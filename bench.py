@@ -1,0 +1,75 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}. Methodology follows the
+reference's TPCDSQueryBenchmark (reference: sql/core/src/test/scala/org/
+apache/spark/sql/execution/benchmark/TPCDSQueryBenchmark.scala:48-83):
+warm JVM, best-of-N wall time per query, full pipeline execution (count
+of the materialised result, no driver-side result transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ushas_spark import registry
+from ushas_spark.session import get_spark
+
+# Queries that define the headline number: one per operator class
+# (scan-agg, join-agg, 6-way join, filter-agg, join-topk, plus extensions
+# appended as they land). Keep this list in sync with SURVEY.md section 2
+# coverage milestones.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+]
+
+ITERATIONS = 3  # best-of-N, after one untimed warm-up
+
+
+def _run_once(fn, spark, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    # Force full execution without transferring rows to Python.
+    df._jdf.queryExecution().executedPlan().executeCollect()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("ushas-bench")
+    registry.load_all()
+
+    names = [n for n in HEADLINE if n in registry.QUERIES]
+    extra = os.environ.get("USHAS_BENCH_QUERIES")
+    if extra:
+        names = [n.strip() for n in extra.split(",") if n.strip() in registry.QUERIES]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = registry.QUERIES[name]
+        _run_once(fn, spark, sf_dir)  # warm-up: JVM JIT + parquet footer cache
+        timings[name] = min(_run_once(fn, spark, sf_dir) for _ in range(ITERATIONS))
+
+    out = {
+        "metric": "headline_queries_total_best_of_%d" % ITERATIONS,
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": {k: round(v, 4) for k, v in timings.items()},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,26 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+from ushas_spark.session import get_spark  # noqa: E402
+
+# Small SF for the fast unit loop; set USHAS_TEST_SF=/root/testdata/sf0.01
+# to run the oracle harness at the driver's gate scale.
+SF_DIR = os.environ.get("USHAS_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("ushas-tests", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR

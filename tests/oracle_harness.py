@@ -1,0 +1,98 @@
+"""Local replica of the driver's DuckDB correctness gate.
+
+Runs a registered Spark query and its oracle SQL side by side and compares
+row count + column names + cell values order-insensitively, with EXACT
+equality (the queries are designed to be bit-reproducible across engines;
+see ushas_spark/oracle_exact.py). Anything that fails here would fail the
+driver's value-hash, so this is the pre-flight check for every operator.
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import Decimal
+
+import duckdb
+import pandas as pd
+
+from ushas_spark.io import TABLES
+
+
+def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con
+
+
+def _norm_cell(v):
+    """Normalise a cell to a comparison-stable Python value."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, Decimal):
+        return v
+    if isinstance(v, pd.Timestamp):
+        if v.tzinfo is not None:
+            v = v.tz_convert("UTC").tz_localize(None)
+        return v.isoformat()
+    if hasattr(v, "isoformat"):  # date / datetime
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm_cell(x)) for k, x in v.items()))
+    try:
+        import numpy as np
+
+        if isinstance(v, np.generic):
+            return _norm_cell(v.item())
+        if isinstance(v, np.ndarray):
+            return tuple(_norm_cell(x) for x in v.tolist())
+    except ImportError:
+        pass
+    return v
+
+
+def canonical_rows(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [
+        tuple(_norm_cell(df.iloc[i][c]) for c in cols) for i in range(len(df))
+    ]
+    return sorted(rows, key=repr)
+
+
+def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    """Return a list of mismatch descriptions (empty == pass)."""
+    problems: list[str] = []
+    s_cols, o_cols = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
+    if s_cols != o_cols:
+        problems.append(f"column mismatch: spark={s_cols} oracle={o_cols}")
+        return problems
+    if len(spark_pdf) != len(oracle_pdf):
+        problems.append(f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+    s_rows, o_rows = canonical_rows(spark_pdf), canonical_rows(oracle_pdf)
+    n_bad = 0
+    for i, (a, b) in enumerate(zip(s_rows, o_rows)):
+        if a != b:
+            n_bad += 1
+            if n_bad <= 5:
+                problems.append(f"row {i}: spark={a!r} oracle={b!r}")
+    if n_bad > 5:
+        problems.append(f"... {n_bad} mismatched rows total")
+    return problems
+
+
+def run_pair(spark, sf_dir: str, query_fn, oracle: str) -> list[str]:
+    spark_pdf = query_fn(spark, sf_dir).toPandas()
+    con = duckdb_connect(sf_dir)
+    try:
+        oracle_pdf = con.execute(oracle).fetchdf()
+    finally:
+        con.close()
+    return compare_frames(spark_pdf, oracle_pdf)

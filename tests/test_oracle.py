@@ -1,0 +1,23 @@
+"""Run every registered query against its DuckDB oracle (driver-gate replica)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.oracle_harness import run_pair
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, sf_dir, name):
+    if name not in ORACLES:
+        # rows-only queries: just assert they execute and return a stable schema
+        df = QUERIES[name](spark, sf_dir)
+        assert df.columns
+        assert df.count() >= 0
+        return
+    problems = run_pair(spark, sf_dir, QUERIES[name], ORACLES[name])
+    assert not problems, f"{name}: " + "; ".join(problems)
