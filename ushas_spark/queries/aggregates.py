@@ -1,1 +1,351 @@
-"""Placeholder — populated in this round."""
+"""Aggregation coverage (SURVEY.md section 2.4).
+
+Covers the reference's aggregate planning surface -- hash aggregate with
+partial/final phases (reference: execution/aggregate/HashAggregateExec.scala
+:40, AggUtils.scala), distinct rewrite (optimizer/RewriteDistinctAggregates
+.scala:102), grouping sets / rollup / cube via Expand (plans/logical/
+basicLogicalOperators.scala:716), pivot (PivotFirst.scala:71), and the
+aggregate-function catalogue (catalyst/expressions/aggregate/*).
+
+Float-valued aggregates use the scaled-integer patterns from
+ushas_spark.oracle_exact so results are bit-identical across engines and
+partitionings -- which also makes them reproducible run-to-run at 100 TB,
+where plain double sums are not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ushas_spark.io import load_table
+from ushas_spark.oracle_exact import (
+    dec_avg,
+    dec_stddev_samp,
+    dec_sum,
+    dec_var_samp,
+    sql_dec_avg,
+    sql_dec_stddev_samp,
+    sql_dec_sum,
+    sql_dec_var_samp,
+)
+from ushas_spark.registry import query
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS n_supp,
+       COUNT(DISTINCT l_partkey) AS n_part,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates + a regular one: exercises the
+    RewriteDistinctAggregates Expand-based plan (reference: optimizer/
+    RewriteDistinctAggregates.scala:102). At scale each distinct column
+    adds one Expand replica of the input -- keep the distinct column set
+    small on wide facts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_minmax_argmax",
+    oracle="""
+SELECT o_orderstatus,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       MIN(o_orderkey) AS first_key,
+       arg_max(o_custkey, o_orderkey) AS cust_of_latest_order
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def agg_minmax_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/max_by. max_by keys on the UNIQUE o_orderkey so the result
+    is deterministic (max_by with tied keys is engine-arbitrary)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.min("o_orderkey").alias("first_key"),
+            F.max_by("o_custkey", "o_orderkey").alias("cust_of_latest_order"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+SELECT r_name,
+       list_sort(list(DISTINCT n_name)) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+""",
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set (reference: catalyst/expressions/aggregate/collect.scala
+    :113 CollectSet, an ObjectHashAggregate-planned TypedImperativeAggregate)
+    -- sorted so the set's arbitrary order doesn't break comparison."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.sort_array(F.collect_set("n_name")).alias("nations"))
+        .orderBy("r_name")
+    )
+
+
+@query(
+    "agg_percentile_exact",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS q25,
+       quantile_cont(l_quantity, 0.5)  AS q50,
+       quantile_cont(l_quantity, 0.75) AS q75
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentile (reference: catalyst/expressions/
+    aggregate/Percentile.scala:58). l_quantity values are small integers
+    stored as doubles, so linear interpolation lands on exact quarter
+    steps and both engines agree bitwise. For large-cardinality columns
+    prefer approx_percentile (see agg_approx_sketches)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit(0.25)).alias("q25"),
+            F.percentile("l_quantity", F.lit(0.5)).alias("q50"),
+            F.percentile("l_quantity", F.lit(0.75)).alias("q75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_stats_moments",
+    oracle=f"""
+SELECT o_orderstatus,
+       {sql_dec_avg("o_totalprice", "avg_price")},
+       {sql_dec_stddev_samp("o_totalprice", "std_price", scale=2)},
+       {sql_dec_var_samp("o_totalprice", "var_price", scale=2)}
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev/variance (reference: CentralMomentAgg.scala:140) computed
+    from exact scaled power sums -- order-independent, hence reproducible
+    on any partitioning (the engines' own streaming moment updates are
+    not)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            dec_avg(F.col("o_totalprice"), "avg_price"),
+            dec_stddev_samp(F.col("o_totalprice"), "std_price", scale=2),
+            dec_var_samp(F.col("o_totalprice"), "var_price", scale=2),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+SELECT r_name, n_name, COUNT(*) AS n, GROUPING(r_name) AS g_r, GROUPING(n_name) AS g_n
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP via Expand (reference: basicLogicalOperators.scala:716
+    GroupingSets; analysis ResolveGroupingAnalytics). grouping() flags
+    disambiguate real NULL keys from subtotal rows."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n"),
+            F.grouping("r_name").cast("long").alias("g_r"),
+            F.grouping("n_name").cast("long").alias("g_n"),
+        )
+        .orderBy(
+            F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first()
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dec_sum("l_quantity", "sum_qty")},
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping combinations through one Expand."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(dec_sum(F.col("l_quantity"), "sum_qty"), F.count("*").alias("n"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       {sql_dec_sum("o_totalprice", "sum_price", scale=2)},
+       COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL entry point (same analyzed plan
+    as the DataFrame path -- SURVEY.md section 3.2)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    f = 100  # scale=2 fixed-point, mirrors sql_dec_sum(scale=2)
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(SUM(CAST(ROUND(o_totalprice * {f}) AS BIGINT)) AS DOUBLE)
+                 / {float(f)} AS sum_price,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle=f"""
+SELECT l_returnflag,
+       {sql_dec_sum("CASE WHEN l_linestatus = 'O' THEN l_quantity END", '"O"')},
+       {sql_dec_sum("CASE WHEN l_linestatus = 'F' THEN l_quantity END", '"F"')}
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit value list (reference: RelationalGroupedDataset
+    .scala:317; PivotFirst.scala:71). Always pass the value list at scale:
+    without it Spark runs an extra distinct job over the pivot column."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dec_sum(F.col("l_quantity"), "sum_qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query("agg_approx_sketches")  # engine-specific estimates: rows-only check
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approx_count_distinct (reference: HyperLogLogPlusPlus
+    .scala:52) and approx_percentile (ApproximatePercentile.scala:68).
+    Estimates are engine-specific, so no cross-engine oracle -- the test
+    suite instead asserts bounded relative error vs exact values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_having_distinct",
+    oracle="""
+SELECT DISTINCT l_returnflag, l_linestatus
+FROM lineitem
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def agg_having_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct -> aggregate rewrite (reference: optimizer/Optimizer.scala
+    :1387 ReplaceDistinctWithAggregate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct().orderBy(
+        "l_returnflag", "l_linestatus"
+    )
+
+
+@query(
+    "agg_dedup_keep_first",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_partkey, l_suppkey,
+                                     l_quantity) AS rn
+  FROM lineitem
+) WHERE rn = 1
+ORDER BY l_orderkey
+""",
+)
+def agg_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-key dedup: the reference's Deduplicate operator
+    (reference: basicLogicalOperators.scala:971 -> ReplaceDeduplicate-
+    WithAggregate) keeps an ARBITRARY row; for a reproducible pipeline we
+    pin 'first by explicit order' with a row_number window whose ORDER BY
+    is a total order ((orderkey, linenumber) alone is NOT unique in this
+    data). Same shuffle cost, deterministic output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+        .withColumn("rn", F.row_number().over(w))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "rn")
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("l_orderkey")
+    )
