@@ -1,0 +1,162 @@
+"""File-format round-trips (SURVEY.md section 2.1 reader/writer surface).
+
+Reference: DataFrameReader.scala:232-487 / DataFrameWriter.scala:59-226
+(modes, partitionBy) and the per-format scans (ParquetFileFormat:56,
+CSVFileFormat:38, JsonFileFormat:36, OrcFileFormat:80, TextFileFormat:39).
+Round-trips run through scratch dirs; queries() entries must not write,
+so this coverage lives here.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from ushas_spark.io import load_table
+
+
+@pytest.fixture()
+def scratch(tmp_path):
+    return str(tmp_path)
+
+
+def _nation(spark, sf_dir):
+    return load_table(spark, sf_dir, "nation")
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_roundtrip_formats(spark, sf_dir, scratch, fmt):
+    df = _nation(spark, sf_dir)
+    path = f"{scratch}/nation_{fmt}"
+    writer = df.write.mode("overwrite").format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.save(path)
+
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", "true").schema(df.schema)
+    if fmt == "json":
+        reader = reader.schema(df.schema)
+    back = reader.load(path)
+    assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_text_format(spark, sf_dir, scratch):
+    df = _nation(spark, sf_dir).select(F.col("n_name").alias("value"))
+    path = f"{scratch}/nation_text"
+    df.write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    assert sorted(r.value for r in back.collect()) == sorted(
+        r.value for r in df.collect()
+    )
+
+
+def test_write_modes(spark, sf_dir, scratch):
+    """append / overwrite / ignore / errorifexists (reference:
+    DataFrameWriter.scala:59 mode)."""
+    df = _nation(spark, sf_dir)
+    path = f"{scratch}/modes"
+    df.write.mode("overwrite").parquet(path)
+    df.write.mode("append").parquet(path)
+    assert spark.read.parquet(path).count() == 2 * df.count()
+    df.write.mode("overwrite").parquet(path)
+    assert spark.read.parquet(path).count() == df.count()
+    df.write.mode("ignore").parquet(path)  # no-op
+    assert spark.read.parquet(path).count() == df.count()
+    with pytest.raises(Exception):
+        df.write.mode("errorifexists").parquet(path)
+
+
+def test_partitioned_write_prunes(spark, sf_dir, scratch):
+    """partitionBy layout + partition pruning on read (reference:
+    PruneFileSourcePartitions.scala:26). The physical scan of a filtered
+    read must only list the matching partition directory."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "status", F.col("o_orderstatus")
+    )
+    path = f"{scratch}/orders_by_status"
+    o.write.mode("overwrite").partitionBy("status").parquet(path)
+
+    read = spark.read.parquet(path).filter(F.col("status") == "O")
+    expected = o.filter(F.col("o_orderstatus") == "O").count()
+    assert read.count() == expected
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    # Partition filter must appear in the scan, not as a post-filter.
+    assert "PartitionFilters: [isnotnull(status" in plan, plan[:2000]
+
+
+def test_csv_permissive_vs_failfast(spark, scratch):
+    """CSV parse modes (reference: CSVFileFormat permissive/failfast)."""
+    bad = f"{scratch}/bad.csv"
+    with open(bad, "w") as f:
+        f.write("k,v\n1,a\nnot-an-int,b\n2,c\n")
+    schema = "k INT, v STRING"
+    perm = spark.read.schema(schema).option("header", "true").csv(bad)
+    rows = perm.collect()
+    assert len(rows) == 3  # permissive keeps the bad row with k=NULL
+    assert sum(1 for r in rows if r.k is None) == 1
+    ff = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "FAILFAST")
+        .csv(bad)
+    )
+    with pytest.raises(Exception):
+        ff.collect()
+
+
+def test_json_lines_and_multiline(spark, scratch):
+    path = f"{scratch}/data.jsonl"
+    with open(path, "w") as f:
+        f.write('{"k": 1, "v": "a"}\n{"k": 2, "v": "b"}\n')
+    df = spark.read.schema("k BIGINT, v STRING").json(path)
+    assert sorted((r.k, r.v) for r in df.collect()) == [(1, "a"), (2, "b")]
+
+    mpath = f"{scratch}/multi.json"
+    with open(mpath, "w") as f:
+        f.write('[{"k": 1, "v": "a"},\n {"k": 2, "v": "b"}]')
+    mdf = (
+        spark.read.schema("k BIGINT, v STRING")
+        .option("multiLine", "true")
+        .json(mpath)
+    )
+    assert mdf.count() == 2
+
+
+def test_bucketed_table_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """bucketBy co-located join (reference: DataFrameWriter.scala:201
+    bucketBy+sortBy): joining two tables bucketed on the same key must
+    plan no Exchange on either side -- the 100TB co-location strategy."""
+    import uuid
+
+    # saveAsTable("overwrite") still refuses a pre-existing managed-table
+    # LOCATION (LOCATION_ALREADY_EXISTS) -- unique names keep runs clean;
+    # the warehouse dir itself is a static conf fixed at session start.
+    suffix = uuid.uuid4().hex[:8]
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable(
+        f"b_orders_{suffix}"
+    )
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable(
+        f"b_lineitem_{suffix}"
+    )
+    # At test scale the planner prefers broadcast (which would hide the
+    # bucketing); disable it to observe the co-located sort-merge join --
+    # the shape that matters at 100TB where neither side broadcasts.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(f"b_orders_{suffix}").join(
+            spark.table(f"b_lineitem_{suffix}"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:3000]
+        assert "Bucketed: true" in plan, plan[:3000]
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -1,0 +1,78 @@
+"""Pin Spark-only functions (no DuckDB twin) with golden values.
+
+These cover the rows-only batteries: values are deterministic within
+Spark, so regressions are caught without a cross-engine oracle.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def test_spark_only_battery_deterministic(spark, sf_dir):
+    q = entrymod.queries()["expr_spark_only_battery"]
+    a = q(spark, sf_dir).collect()
+    b = q(spark, sf_dir).collect()
+    assert a == b
+    assert len(a) > 0
+
+
+def test_spark_only_golden_literals(spark):
+    """Hand-checked golden values for functions with no oracle."""
+    row = spark.sql(
+        """
+        SELECT soundex('Robert') AS sdx,
+               initcap('hello world') AS icap,
+               crc32(cast('abc' AS BINARY)) AS crc,
+               sha1(cast('abc' AS BINARY)) AS sha,
+               hex(255) AS hx,
+               conv('255', 10, 16) AS cv,
+               base64(cast('abc' AS BINARY)) AS b64,
+               months_between(timestamp'1997-02-28 10:30:00',
+                              timestamp'1996-10-30') AS mb,
+               date_format(next_day(date'2015-01-14', 'TU'),
+                           'yyyy-MM-dd') AS nd,
+               format_string('%05d', 42) AS fmt
+        """
+    ).collect()[0]
+    assert row.sdx == "R163"
+    assert row.icap == "Hello World"
+    assert row.crc == 891568578
+    assert row.sha == "a9993e364706816aba3e25717850c26c9cd0d89d"
+    assert row.hx == "FF"
+    assert row.cv == "FF"
+    assert row.b64 == "YWJj"
+    assert abs(row.mb - 3.94959677) < 1e-6
+    assert row.nd == "2015-01-20"
+    assert row.fmt == "00042"
+
+
+def test_approx_sketches_bounded_error(spark, sf_dir):
+    """approx_count_distinct within documented HLL++ error vs exact."""
+    from pyspark.sql import functions as F
+
+    from ushas_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.10
+
+
+def test_bernoulli_sample_seeded(spark, sf_dir):
+    """df.sample with a seed is reproducible and roughly the right size.
+
+    PITFALL (verified here): the seed must be passed with fraction as a
+    KEYWORD -- ``df.sample(0.2, seed=42)`` hits PySpark's positional-arg
+    shuffling (fraction lands in the withReplacement slot) and the seed is
+    silently regenerated per call, making results non-reproducible."""
+    from ushas_spark.io import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    n1 = o.sample(fraction=0.2, seed=42).count()
+    n2 = o.sample(fraction=0.2, seed=42).count()
+    total = o.count()
+    assert n1 == n2
+    assert 0.1 * total < n1 < 0.3 * total

@@ -46,6 +46,7 @@ def load_all() -> None:
     # and there is exactly one place that defines the coverage surface.
     from ushas_spark.queries import (  # noqa: F401
         aggregates,
+        collections,
         expressions,
         joins,
         setops,

@@ -56,6 +56,9 @@ def get_spark(
         # Parquet TIMESTAMP(NANOS) (events.ts) is unreadable by Spark
         # natively; surface it as long nanos and convert in the loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Keep managed tables (bucketing tests etc.) inside the repo.
+        .config("spark.sql.warehouse.dir", os.environ.get(
+            "USHAS_WAREHOUSE", "/root/repo/.spark-warehouse"))
         # Broadcast threshold: keep default 10MB; dimension tables in the
         # star schema are far below it, and we also hint explicitly.
     )
