@@ -49,6 +49,7 @@ def load_all() -> None:
         collections,
         expressions,
         joins,
+        lineage_demo,
         setops,
         sources,
         subqueries,
