@@ -1,1 +1,118 @@
-"""Placeholder — populated in this round."""
+"""As-of (point-in-time) join.
+
+The reference has NO dedicated as-of/range join operator -- such queries
+fall back to theta BNLJ/cartesian (SURVEY.md section 2.3 note). This module
+adds the scalable formulation: tag both sides, UNION them, and take the
+last preceding right-row per key with an ignore-nulls last_value window.
+ONE shuffle on (key), no quadratic blowup -- the standard large-scale
+point-in-time join used for feature stores / event attribution, vs.
+pd.merge_asof which is single-node.
+
+Cost model at 100 TB: union is shuffle-free; the window shuffles on the
+by-key once. Skewed keys behave like any window partition (salt or split
+if a single key exceeds a task).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ushas_spark.io import load_table
+from ushas_spark.registry import query
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    right_values: list[str],
+) -> DataFrame:
+    """For each left row: the right row with the greatest ``right_ts`` <=
+    ``left_ts`` within the same ``by`` key (backward as-of, ties -> the
+    right row sorts first so it is visible to the left row).
+
+    Returns the left columns + the matched ``right_values`` (NULL when no
+    preceding right row exists).
+    """
+    lcols = left.columns
+    l_tagged = left.select(
+        F.col(by).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_values],
+    )
+    r_tagged = right.select(
+        F.col(by).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_r_{c}") for c in right_values],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    # Right rows (_side=0) sort before left rows at equal timestamps, so a
+    # right row AT the left timestamp matches (<= semantics).
+    w = (
+        W.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
+            for c in right_values
+        ],
+    )
+    return filled.filter(F.col("_side") == 1).select(
+        *lcols, *[F.col(f"_m_{c}").alias(f"asof_{c}") for c in right_values]
+    )
+
+
+_ASOF_ORACLE = """
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+       o.o_orderkey AS asof_o_orderkey
+FROM events e
+ASOF LEFT JOIN orders o
+  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+ORDER BY e.event_id
+"""
+
+
+@query("asof_latest_order_before_event", oracle=_ASOF_ORACLE)
+def asof_latest_order_before_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each event: the user's most recent order at event time -- the
+    point-in-time attribution shape. Oracle uses DuckDB's native ASOF
+    JOIN; ours is the union+window formulation.
+
+    Ties: multiple orders can share (o_custkey, o_orderdate); both
+    formulations are only well-defined on a unique (key, ts) right side,
+    so it is pre-reduced to max(o_orderkey) per (custkey, orderdate).
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").alias("k"), "ts"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = asof_join_backward(
+        events,
+        orders,
+        by="k",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_values=["o_orderkey"],
+    )
+    return out.select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+        "asof_o_orderkey",
+    ).orderBy("event_id")

@@ -1,1 +1,400 @@
-"""Placeholder — populated in this round."""
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all shuffle-conscious and expressed as DataFrame ops (no
+Python UDFs; every hash is JVM-side md5 -> codegen'd):
+
+- exact: hash-groupBy on content digest (one shuffle on the digest).
+- n-gram Jaccard: exact pairwise similarity via shingle inverted-index
+  join -- the verification baseline (quadratic only within shared
+  shingles, the standard corpus-dedup join shape).
+- MinHash + LSH: shingle -> minhash signature -> banded bucket join; at
+  100 TB this replaces the all-pairs join with per-band bucket joins whose
+  size is controlled by the band width; candidates verified by exact
+  Jaccard.
+- SimHash: 32-bit signature + byte-banded Hamming candidate join.
+
+Portability: every hash is ``md5`` truncated to 60 bits, identical in
+Spark, DuckDB and Python (`hash60`), so LSH bucket contents -- not just
+final answers -- are reproducible across engines; determinism at 100 TB
+also means re-runs and incremental runs agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ushas_spark.io import load_table
+from ushas_spark.registry import query
+
+N_HASHES = 12
+BANDS = 4
+ROWS_PER_BAND = 3  # N_HASHES / BANDS
+JACCARD_THRESHOLD = 0.2
+SHINGLE_WIDTH = 3
+
+
+def hash60(col: Column) -> Column:
+    """Portable 60-bit integer hash: md5 hex prefix -> bigint. Identical
+    in DuckDB as ``('0x' || substring(md5(x),1,15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def sql_hash60(expr: str) -> str:
+    return f"('0x' || substring(md5({expr}), 1, 15))::BIGINT"
+
+
+def shingles(text_col: str = "text", width: int = SHINGLE_WIDTH) -> Column:
+    """Distinct word n-gram shingles (JVM lambda pipeline, no UDF)."""
+    return F.expr(
+        f"""
+        array_distinct(
+          CASE WHEN size(split({text_col}, '\\\\s+')) >= {width}
+               THEN transform(
+                      sequence(1, size(split({text_col}, '\\\\s+')) - {width - 1}),
+                      i -> concat_ws(' ', slice(split({text_col}, '\\\\s+'), i, {width})))
+               ELSE array()
+          END)
+        """
+    )
+
+
+def sql_shingles(text_expr: str = "text", width: int = SHINGLE_WIDTH) -> str:
+    parts = " || ' ' || ".join(f"s[i+{j}]" for j in range(width))
+    return (
+        f"list_distinct(CASE WHEN len(regexp_split_to_array({text_expr}, '\\s+')) >= {width}"
+        f" THEN [{parts} FOR i IN generate_series(1,"
+        f" len(regexp_split_to_array({text_expr}, '\\s+')) - {width - 1})]"
+        f" ELSE [] END)"
+    ).replace("s[i", "regexp_split_to_array(" + text_expr + ", '\\s+')[i")
+
+
+# --------------------------------------------------------------- exact
+
+
+_EXACT_ORACLE = """
+SELECT COUNT(*) AS n_total,
+       COUNT(DISTINCT md5(text)) AS n_unique,
+       COUNT(*) - COUNT(DISTINCT md5(text)) AS n_removed
+FROM documents
+"""
+
+
+@query("dedup_exact", oracle=_EXACT_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup accounting (hash-groupBy; the survivor set is
+    ``dedup_keep_first``-style min-id per digest). At scale the digest
+    shuffle is the only wide stage and partitions uniformly."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_total"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        (F.count("*") - F.countDistinct(F.md5("text"))).alias("n_removed"),
+    )
+
+
+# ------------------------------------------------- exact n-gram Jaccard
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs Jaccard >= threshold via shingle inverted index."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(shingles()).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("inter"))
+            ).alias("jac"),
+        )
+    )
+
+
+_NGRAM_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({sql_shingles()}) AS shingle FROM documents
+), sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(ROUND(inter * 1000.0 / (sa.n_sh + sb.n_sh - inter)) AS BIGINT)
+         AS jac_x1000
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-trigram Jaccard near-dup pairs (>= 0.2). The inverted-
+    index join is the scalable all-pairs shape: cost concentrates in hot
+    shingles, which salting or frequency-capping controls at 100 TB (rare
+    shingles dominate here)."""
+    pairs = _jaccard_pairs(spark, sf_dir)
+    return (
+        pairs.filter(F.col("jac") >= JACCARD_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("jac") * 1000).cast("long").alias("jac_x1000"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------- MinHash + LSH
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """doc_id -> [minhash_0 .. minhash_{n-1}] via the md5 hash family
+    H_i(s) = hash60(i || ':' || s). One explode + one groupBy."""
+    sh = docs.select("doc_id", F.explode(shingles()).alias("shingle"))
+    aggs = [
+        F.min(hash60(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidates(sigs: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAND) -> DataFrame:
+    """Banded LSH: docs agreeing on ALL rows of any band become candidate
+    pairs. Implemented as explode-to-(band, key) + self-join per bucket --
+    the shape that scales (each bucket is small; no all-pairs)."""
+    band_cols = []
+    for b in range(bands):
+        key = F.md5(
+            F.concat_ws(",", *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)])
+        )
+        band_cols.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
+    exploded = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _sql_minhash_bands() -> tuple[str, str]:
+    mh_cols = ",\n         ".join(
+        f"MIN(('0x' || substring(md5('{i}:' || shingle), 1, 15))::BIGINT) AS mh{i}"
+        for i in range(N_HASHES)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, %d AS band, md5(%s) AS key FROM sigs"
+        % (
+            b,
+            " || ',' || ".join(
+                f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(BANDS)
+    )
+    return mh_cols, band_selects
+
+
+_MH_COLS, _BAND_SELECTS = _sql_minhash_bands()
+
+_MINHASH_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({sql_shingles()}) AS shingle FROM documents
+),
+sigs AS (
+  SELECT doc_id,
+         {_MH_COLS}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(ROUND(inter * 1000.0 / (sa.n_sh + sb.n_sh - inter)) AS BIGINT)
+         AS jac_x1000
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash({N_HASHES} hashes) + LSH({BANDS} bands x {ROWS_PER_BAND}) ->
+    candidate pairs -> exact-Jaccard verification. The 100 TB path: cost
+    is O(docs x bands) + per-bucket joins instead of all-pairs; the md5
+    hash family makes buckets bit-reproducible across engines/runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    cand = lsh_candidates(sigs)
+    sh = docs.select("doc_id", F.explode(shingles()).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
+        .join(b, (F.col("b.doc_id") == F.col("doc_b"))
+              & (F.col("a.shingle") == F.col("b.shingle")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("inter").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("inter")
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jac * 1000).cast("long").alias("jac_x1000"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------- SimHash
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-document {bits}-bit SimHash from token hash votes (explode +
+    one groupBy with per-bit sum aggregates -- map-side combinable)."""
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("w")
+    ).withColumn("h", hash60(F.col("w")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim + bit
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def _sql_simhash() -> str:
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(unnest(regexp_split_to_array(text, '\\s+'))), 1, 15))::BIGINT AS h
+  FROM documents
+),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, {combine} AS simhash
+FROM votes
+ORDER BY doc_id
+"""
+
+
+@query("dedup_simhash", oracle=_sql_simhash())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (bit-exact across engines). Near-dup candidates
+    then come from byte-band bucketing + Hamming distance, see
+    tests/test_dedup.py::test_simhash_hamming_pairs."""
+    return simhash(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def simhash_near_pairs(sims: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Candidate pairs by byte-band bucketing (pigeonhole: hamming <= 6
+    over 4 bytes => at least one byte equal... only guaranteed for <= 3;
+    wider radii need more/overlapping bands), verified by exact popcount."""
+    bands = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.shiftright(F.col("simhash"), 8 * k)
+                        .bitwiseAND(F.lit(255))
+                        .alias("key"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

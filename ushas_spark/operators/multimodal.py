@@ -1,1 +1,127 @@
-"""Placeholder — populated in this round."""
+"""Multimodal column conventions: opaque binary payloads + typed metadata.
+
+Design (BASELINE.json north star; no image/audio libs in this container):
+
+- A multimodal asset is ``payload: binary`` + ``meta: struct<mime,
+  width, height, sample_rate, ...>`` -- the parquet-native layout that
+  scales: binaries stay columnar/compressed, metadata prunes without
+  touching payload bytes (column pruning means a metadata-only query never
+  reads the blob pages at all).
+- Decode / feature-extract / resize / frame-sample run as Arrow-batched
+  ``mapInPandas`` operators: executors see pandas DataFrames whose payload
+  column is raw bytes. The Spark-side plumbing (schema, batching,
+  partitioning) is real and tested; the pixel/sample decode itself is
+  STUBBED behind ``NotImplementedError`` with a deterministic fake used in
+  tests (the container has no codecs -- swap `_decode_stub` for
+  PIL/torchaudio in production).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ushas_spark.io import load_table
+from ushas_spark.registry import query
+
+META_SCHEMA = "mime string, width int, height int, sample_rate int"
+ASSET_SCHEMA = f"asset_id bigint, payload binary, meta struct<{META_SCHEMA.replace(', ', ',').replace(' ', ':')}>"
+
+
+def documents_as_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demo asset table: document text bytes as payloads with fake image
+    metadata (deterministic; stands in for real decoded media)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.when(F.col("doc_id") % 2 == 0, "image/png")
+            .otherwise("audio/wav")
+            .alias("mime"),
+            (F.col("doc_id") % 640).cast("int").alias("width"),
+            (F.col("doc_id") % 480).cast("int").alias("height"),
+            F.lit(16_000).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def decode_assets(assets: DataFrame, feature_dim: int = 8) -> DataFrame:
+    """Arrow-batched decode/feature-extract over ``mapInPandas``.
+
+    Output schema: asset_id, mime, n_bytes, features array<double>. The
+    batch shape (iterator of pandas DataFrames) is exactly what a real
+    decoder needs -- swap ``_decode_stub`` for the codec call.
+    """
+    out_schema = (
+        "asset_id bigint, mime string, n_bytes bigint, features array<double>"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload, meta in zip(
+                pdf["asset_id"], pdf["payload"], pdf["meta"]
+            ):
+                mime = meta["mime"]
+                rows.append(
+                    {
+                        "asset_id": aid,
+                        "mime": mime,
+                        "n_bytes": len(payload),
+                        "features": _decode_stub(bytes(payload), mime, feature_dim),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "mime", "n_bytes", "features"])
+
+    return assets.mapInPandas(op, schema=out_schema)
+
+
+def _decode_stub(payload: bytes, mime: str, feature_dim: int) -> list[float]:
+    """Deterministic fake 'decode + feature extraction'.
+
+    Production implementation decodes pixels/samples here::
+
+        raise NotImplementedError("install PIL/torchaudio and decode")
+
+    The fake hashes byte windows to a fixed-length feature vector so the
+    distributed plumbing is testable without codecs.
+    """
+    if not payload:
+        return [0.0] * feature_dim
+    step = max(1, len(payload) // feature_dim)
+    return [
+        float(sum(payload[i * step : (i + 1) * step]) % 1000) / 1000.0
+        for i in range(feature_dim)
+    ]
+
+
+_ASSET_STATS_ORACLE = """
+SELECT CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
+       COUNT(*) AS n_assets,
+       SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes,
+       MAX(CAST(octet_length(encode(text)) AS BIGINT)) AS max_bytes
+FROM documents
+GROUP BY 1
+ORDER BY mime
+"""
+
+
+@query("multimodal_asset_stats", oracle=_ASSET_STATS_ORACLE)
+def multimodal_asset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only profile of the asset table: at scale this must prune
+    the payload column entirely (verified in tests via ReadSchema)."""
+    a = documents_as_assets(spark, sf_dir)
+    return (
+        a.select("meta.mime", F.octet_length("payload").cast("long").alias("nb"))
+        .groupBy("mime")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum("nb").alias("total_bytes"),
+            F.max("nb").alias("max_bytes"),
+        )
+        .orderBy("mime")
+    )

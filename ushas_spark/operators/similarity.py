@@ -1,1 +1,301 @@
-"""Placeholder — populated in this round."""
+"""Embedding similarity search (ANN) over the `embeddings` table.
+
+Two tiers:
+
+- ``cosine_topk``: exact brute-force cosine top-k -- the correctness
+  baseline. Query set broadcast against the candidate corpus; the
+  per-pair dot product is a JVM higher-order fold (zip_with + aggregate),
+  so the inner loop stays in whole-stage codegen, no Python.
+- ``ann_lsh_topk``: random-hyperplane LSH -- the scale path. Hyperplane
+  weights are derived deterministically from md5 (computed once in Python,
+  embedded as literals), vectors hash to sign-pattern buckets, and only
+  same-bucket pairs are scored. At 100 TB this turns the O(Q x N) scan
+  into a bucket-partitioned join; recall is tunable by planes/tables
+  (verified vs brute force in tests/test_similarity.py).
+
+Determinism: dot products are sequential left folds in BOTH engines (the
+oracle mirrors the fold with list_reduce), and similarity values are
+reported as scaled integers (ROUND(x * 1e6) -> BIGINT, the 0-decimal
+rounding that is engine-exact; see oracle_exact.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ushas_spark.io import load_table
+from ushas_spark.registry import query
+
+DIM = 64
+N_QUERIES = 5  # vec_id < 5 are the demo query vectors
+TOP_K = 10
+# Multi-table LSH: L tables of P planes each. One 8-plane table gives
+# 256 buckets over this corpus (~2 vectors/bucket, recall ~4% -- measured);
+# 4 tables x 4 planes -> 16 buckets/table with candidates unioned across
+# tables restores recall while keeping each bucket join small.
+N_TABLES = 4
+PLANES_PER_TABLE = 4
+
+
+def _dvec(col: Column) -> Column:
+    """array<float> -> array<double> so both engines fold in double."""
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (JVM lambda, codegen'd)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def sql_dot(a: str, b: str) -> str:
+    """DuckDB mirror: same left fold via list_reduce."""
+    return (
+        f"list_reduce(list_prepend(0.0, "
+        f"list_transform(list_zip({a}, {b}), p -> p[1] * p[2])), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def sql_cosine(a: str, b: str) -> str:
+    return f"({sql_dot(a, b)} / (sqrt({sql_dot(a, a)}) * sqrt({sql_dot(b, b)})))"
+
+
+_BRUTE_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT qid, v.vec_id AS cand_id,
+         CAST(ROUND({sql_cosine("qe", "e")} * 1000000) AS BIGINT) AS sim_x1m
+  FROM q JOIN v ON v.vec_id <> qid
+),
+ranked AS (
+  SELECT qid, cand_id, sim_x1m,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY sim_x1m DESC, cand_id) AS rnk
+  FROM scored
+)
+SELECT qid, cand_id, sim_x1m, rnk
+FROM ranked WHERE rnk <= {TOP_K}
+ORDER BY qid, rnk
+"""
+
+
+def cosine_topk(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = TOP_K,
+    qid_col: str = "qid",
+    vec_col: str = "e",
+) -> DataFrame:
+    """Exact top-k cosine neighbours of each query vector.
+
+    Scale shape: broadcast the (small) query set, stream the corpus once,
+    rank per query with one shuffle on qid. Never collect the corpus."""
+    from pyspark.sql import Window as W
+
+    q = queries_df.select(F.col(qid_col), F.col(vec_col).alias("qe"))
+    c = corpus_df.select(F.col("vec_id").alias("cand_id"), F.col(vec_col).alias("ce"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col(qid_col))
+        .select(
+            qid_col,
+            "cand_id",
+            F.round(cosine(F.col("qe"), F.col("ce")) * 1_000_000)
+            .cast("long")
+            .alias("sim_x1m"),
+        )
+    )
+    w = W.partitionBy(qid_col).orderBy(F.col("sim_x1m").desc(), "cand_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+@query("sim_brute_force_topk", oracle=_BRUTE_ORACLE)
+def sim_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e")
+    )
+    return cosine_topk(q, emb).orderBy("qid", "rnk")
+
+
+# ------------------------------------------------------------- LSH ANN
+
+
+def _plane_weights(n_planes: int = N_TABLES * PLANES_PER_TABLE, dim: int = DIM) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 -- identical when
+    recomputed anywhere (the reproducibility property LSH needs so that
+    yesterday's buckets match today's incremental run)."""
+    planes = []
+    for p in range(n_planes):
+        w = []
+        for i in range(dim):
+            h = int(hashlib.md5(f"plane{p}:{i}".encode()).hexdigest()[:15], 16)
+            w.append(((h % 2001) - 1000) / 1000.0)
+        planes.append(w)
+    return planes
+
+
+def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id: bit p = (v . w_p) >= 0."""
+    acc = F.lit(0).cast("long")
+    for p, w in enumerate(planes):
+        warr = F.array(*[F.lit(x) for x in w])
+        bit = F.when(dot(vec, warr) >= 0, F.lit(2**p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        acc = acc + bit
+    return acc
+
+
+def _sql_bucket(vec: str, planes: list[list[float]]) -> str:
+    terms = []
+    for p, w in enumerate(planes):
+        arr = "[" + ", ".join(repr(x) for x in w) + "]"
+        terms.append(
+            f"CASE WHEN {sql_dot(vec, arr)} >= 0 THEN CAST({2**p} AS BIGINT) ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_PLANES = _plane_weights()
+
+
+def _tables(planes: list[list[float]]) -> list[list[list[float]]]:
+    return [
+        planes[t * PLANES_PER_TABLE : (t + 1) * PLANES_PER_TABLE]
+        for t in range(N_TABLES)
+    ]
+
+
+_ANN_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+b AS (
+  {" UNION ALL ".join(
+      f"SELECT vec_id, e, {t} AS tbl, {_sql_bucket('e', tp)} AS bucket FROM v"
+      for t, tp in enumerate(_tables(_PLANES))
+  )}
+),
+q AS (SELECT vec_id AS qid, e AS qe, tbl, bucket FROM b WHERE vec_id < {N_QUERIES}),
+cand AS (
+  SELECT DISTINCT qid, qe, b.vec_id AS cand_id, b.e AS ce
+  FROM q JOIN b ON b.tbl = q.tbl AND b.bucket = q.bucket AND b.vec_id <> qid
+),
+scored AS (
+  SELECT qid, cand_id,
+         CAST(ROUND({sql_cosine("qe", "ce")} * 1000000) AS BIGINT) AS sim_x1m
+  FROM cand
+),
+ranked AS (
+  SELECT qid, cand_id, sim_x1m,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY sim_x1m DESC, cand_id) AS rnk
+  FROM scored
+)
+SELECT qid, cand_id, sim_x1m, rnk
+FROM ranked WHERE rnk <= {TOP_K}
+ORDER BY qid, rnk
+"""
+
+
+def ann_lsh_topk(
+    emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """Multi-table LSH approximate top-k: score only candidates sharing a
+    bucket with the query in ANY table. One narrow map to (table, bucket)
+    ids (explode), one equi-join on them -- the join IS the partition
+    pruning (an IVF coarse quantiser would swap sign-patterns for k-means
+    centroids; same plan shape). Recall tunes with N_TABLES."""
+    from pyspark.sql import Window as W
+
+    tbl_structs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _bucket_expr(F.col("e"), tp).alias("bucket"),
+            )
+            for t, tp in enumerate(_tables(_PLANES))
+        ]
+    )
+    b = emb.select("vec_id", "e", F.explode(tbl_structs).alias("tb")).select(
+        "vec_id", "e", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
+    # Rename every query-side column: q derives from b, so un-aliased
+    # join conditions would resolve to trivially-true self-compares.
+    q = b.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("qe"),
+        F.col("tbl").alias("qtbl"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = (
+        b.join(
+            F.broadcast(q),
+            (F.col("tbl") == F.col("qtbl"))
+            & (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("qid")),
+        )
+        .select("qid", "qe", F.col("vec_id").alias("cand_id"), F.col("e").alias("ce"))
+        .distinct()
+    )
+    scored = cand.select(
+        "qid",
+        "cand_id",
+        F.round(cosine(F.col("qe"), F.col("ce")) * 1_000_000)
+        .cast("long")
+        .alias("sim_x1m"),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("sim_x1m").desc(), "cand_id")
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+@query("sim_ann_lsh_topk", oracle=_ANN_ORACLE)
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("e")
+    )
+    return ann_lsh_topk(emb).orderBy("qid", "rnk")
+
+
+_NORM_ORACLE = f"""
+WITH v AS (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+n AS (SELECT label,
+             CAST(ROUND(sqrt({sql_dot("e", "e")}) * 10000) AS BIGINT) AS norm_x10k
+      FROM v)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(norm_x10k) AS DOUBLE) / 10000.0 / COUNT(*) AS avg_norm
+FROM n GROUP BY label ORDER BY label
+"""
+
+
+@query("sim_norm_stats", oracle=_NORM_ORACLE)
+def sim_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-norm profile per label (embedding QA primitive)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", _dvec(F.col("embedding")).alias("e")
+    )
+    norm_scaled = F.round(F.sqrt(dot(F.col("e"), F.col("e"))) * 10_000).cast("long")
+    return (
+        emb.select("label", norm_scaled.alias("norm_x10k"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            (F.sum("norm_x10k").cast("double") / 10_000.0 / F.count("*")).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )

@@ -1,1 +1,250 @@
-"""Placeholder — populated in this round."""
+"""Text-analysis operators for training-data pipelines.
+
+Beyond the reference's scope (BASELINE.json north star): language-ID
+heuristic, quality scoring, token statistics, and document fingerprinting
+over the `documents` table. Everything is built from JVM-side expressions
+(split / higher-order lambdas / md5) -- no Python UDFs in the hot path, so
+whole-stage codegen applies and the ops scale linearly with executors.
+
+Tokenisation convention: whitespace split (``\\s+``), the lowest common
+denominator both engines implement identically; a BPE-ish regex tokeniser
+is provided as ``token_count_bpe_regex`` for LLM-oriented counting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ushas_spark.io import load_table
+from ushas_spark.registry import query
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+# (Deterministic + portable; accuracy is secondary to pipeline shape.)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "y", "que"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of a text column (JVM split, codegen'd)."""
+    return F.split(col, r"\s+")
+
+
+def token_count_bpe_regex(col: Column | str) -> Column:
+    """LLM-ish token estimate: word pieces + digits + punctuation runs.
+
+    A cheap proxy for BPE token counts (the real tokenizer is a model
+    artifact; this regex family is the standard approximation for corpus
+    sizing at 100TB where exact tokenisation is a separate batch job).
+    """
+    return F.size(
+        F.split(col, r"(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])")
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append deterministic quality-signal columns (length, token stats,
+    stopword ratio) -- the usual pre-filter features for corpus curation."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    en_stop = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(en_stop, w)))
+    return (
+        df.withColumn("n_chars_calc", F.length(t).cast("long"))
+        .withColumn("n_tokens", n_tok.cast("long"))
+        .withColumn("n_unique_tokens", F.size(F.array_distinct(toks)).cast("long"))
+        .withColumn("n_stopwords", n_stop.cast("long"))
+        .withColumn("mean_token_chars_x100",
+                    (F.round(F.length(t).cast("double") / n_tok * 100)).cast("long"))
+    )
+
+
+_TOKEN_STATS_ORACLE = """
+WITH t AS (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS toks
+           FROM documents)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens,
+       CAST(len(list_filter(toks,
+            w -> list_contains(['the','a','of','and','to'], w))) AS BIGINT)
+         AS n_stopwords,
+       CAST(ROUND(CAST(length(text) AS DOUBLE) / len(toks) * 100) AS BIGINT)
+         AS mean_token_chars_x100
+FROM t
+ORDER BY doc_id
+"""
+
+
+@query("text_token_stats", oracle=_TOKEN_STATS_ORACLE)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (the corpus-profiling primitive)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        quality_features(d)
+        .select(
+            "doc_id",
+            "n_chars_calc",
+            "n_tokens",
+            "n_unique_tokens",
+            "n_stopwords",
+            "mean_token_chars_x100",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_QUALITY_ORACLE = """
+WITH t AS (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS toks
+           FROM documents),
+f AS (
+  SELECT doc_id,
+         len(toks) AS n_tok,
+         len(list_distinct(toks)) AS n_uniq,
+         len(list_filter(toks,
+             w -> list_contains(['the','a','of','and','to'], w))) AS n_stop,
+         length(text) AS n_chr
+  FROM t
+)
+SELECT doc_id,
+       CAST(ROUND(
+         100.0 * (CAST(n_uniq AS DOUBLE) / n_tok)
+         + 50.0 * (CAST(n_stop AS DOUBLE) / n_tok)
+         + CASE WHEN n_tok BETWEEN 20 AND 1000 THEN 25.0 ELSE 0.0 END
+         + CASE WHEN n_chr >= 100 THEN 25.0 ELSE 0.0 END
+       ) AS BIGINT) AS quality_x1,
+       (n_tok BETWEEN 20 AND 1000 AND n_chr >= 100) AS passes_gates
+FROM f
+ORDER BY doc_id
+"""
+
+
+@query("text_quality_score", oracle=_QUALITY_ORACLE)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (type-token ratio + stopword density +
+    length gates) -- the C4/Gopher-style rule family expressed as pure
+    column arithmetic. Scaled-integer output keeps it engine-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    en_stop = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    n_tok = F.size(toks).cast("double")
+    n_uniq = F.size(F.array_distinct(toks)).cast("double")
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(en_stop, w))).cast("double")
+    n_chr = F.length("text")
+    score = (
+        100.0 * (n_uniq / n_tok)
+        + 50.0 * (n_stop / n_tok)
+        + F.when((F.size(tokens(F.col("text"))) >= 20) & (F.size(tokens(F.col("text"))) <= 1000), 25.0).otherwise(0.0)
+        + F.when(n_chr >= 100, 25.0).otherwise(0.0)
+    )
+    gates = (F.size(toks) >= 20) & (F.size(toks) <= 1000) & (n_chr >= 100)
+    return d.select(
+        "doc_id",
+        F.round(score).cast("long").alias("quality_x1"),
+        gates.alias("passes_gates"),
+    ).orderBy("doc_id")
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ",".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"len(list_filter(toks, w -> list_contains([{words}], w)))"
+    )
+
+
+_LANG_ORACLE = f"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+           FROM documents),
+s AS (
+  SELECT doc_id,
+         {_lang_score_sql("en")} AS s_en,
+         {_lang_score_sql("es")} AS s_es,
+         {_lang_score_sql("de")} AS s_de,
+         {_lang_score_sql("fr")} AS s_fr
+  FROM t
+)
+SELECT doc_id,
+       CASE
+         WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+         WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+         WHEN s_de >= s_fr THEN 'de'
+         ELSE 'fr'
+       END AS lang_guess,
+       CAST(s_en AS BIGINT) AS s_en
+FROM s
+ORDER BY doc_id
+"""
+
+
+@query("text_lang_guess", oracle=_LANG_ORACLE)
+def text_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID (n-gram heuristic family). Ties break by
+    the fixed preference order en > es > de > fr -- deterministic in both
+    engines by construction."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    def _contains(arr):
+        # PySpark infers lambda arity from the signature -- a default-arg
+        # capture (lambda w, a=arr: ...) would be treated as a 2-arg lambda.
+        return lambda w: F.array_contains(arr, w)
+
+    scores = {}
+    for lang, words in STOPWORDS.items():
+        arr = F.array([F.lit(w) for w in words])
+        scores[lang] = F.size(F.filter(toks, _contains(arr)))
+    guess = (
+        F.when(
+            (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["fr"]),
+            "en",
+        )
+        .when((scores["es"] >= scores["de"]) & (scores["es"] >= scores["fr"]), "es")
+        .when(scores["de"] >= scores["fr"], "de")
+        .otherwise("fr")
+    )
+    return d.select(
+        "doc_id",
+        guess.alias("lang_guess"),
+        scores["en"].cast("long").alias("s_en"),
+    ).orderBy("doc_id")
+
+
+_FINGERPRINT_ORACLE = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(
+             list_sort(list_distinct(regexp_split_to_array(text, '\\s+'))),
+             ' ')) AS bag_fp
+  FROM documents
+)
+SELECT bag_fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc
+FROM fp
+GROUP BY bag_fp
+HAVING COUNT(*) > 1
+ORDER BY bag_fp
+"""
+
+
+@query("text_fingerprint_groups", oracle=_FINGERPRINT_ORACLE)
+def text_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words fingerprint (sorted distinct vocabulary -> md5): a
+    rolling-hash-class document fingerprint that collides exactly for
+    token-permutation near-dups. Groups >1 are dedup candidates; keep_doc
+    pins the canonical survivor (min id -- deterministic)."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(tokens(F.col("text")))), " ")
+    )
+    return (
+        d.select("doc_id", fp.alias("bag_fp"))
+        .groupBy("bag_fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("bag_fp")
+    )
