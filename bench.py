@@ -25,11 +25,26 @@ from ushas_spark.session import get_spark
 # appended as they land). Keep this list in sync with SURVEY.md section 2
 # coverage milestones.
 HEADLINE = [
+    # scan / filter / aggregate
     "q1_pricing_summary",
+    "q6_forecast_revenue",
+    # join shapes
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "q6_forecast_revenue",
     "q10_returned_items",
+    "join_self_pairs",
+    # window / top-k / set ops / grouping
+    "window_topk_per_group",
+    "window_rows_frame",
+    "topk_global",
+    "setop_except_all",
+    "agg_cube",
+    # subquery decorrelation
+    "subq_scalar_correlated",
+    # LLM-pipeline extensions
+    "dedup_minhash_lsh",
+    "sim_brute_force_topk",
+    "text_quality_score",
 ]
 
 ITERATIONS = 3  # best-of-N, after one untimed warm-up

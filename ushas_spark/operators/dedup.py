@@ -45,16 +45,22 @@ def sql_hash60(expr: str) -> str:
 
 
 def shingles(text_col: str = "text", width: int = SHINGLE_WIDTH) -> Column:
-    """Distinct word n-gram shingles (JVM lambda pipeline, no UDF)."""
+    """Distinct word n-gram shingles (JVM lambda pipeline, no UDF).
+
+    The outer single-element transform binds the split-words array to a
+    LAMBDA VARIABLE so the regex split runs once per row -- naming it via
+    a projected column invites CollapseProject to inline the split into
+    the inner lambda, where it would re-run per shingle (measured: the
+    naive form made signature hashing look 10x slower than it was)."""
     return F.expr(
         f"""
-        array_distinct(
-          CASE WHEN size(split({text_col}, '\\\\s+')) >= {width}
-               THEN transform(
-                      sequence(1, size(split({text_col}, '\\\\s+')) - {width - 1}),
-                      i -> concat_ws(' ', slice(split({text_col}, '\\\\s+'), i, {width})))
-               ELSE array()
-          END)
+        array_distinct(flatten(transform(
+          array(split({text_col}, '\\\\s+')),
+          w -> CASE WHEN size(w) >= {width}
+                    THEN transform(sequence(1, size(w) - {width - 1}),
+                                   i -> concat_ws(' ', slice(w, i, {width})))
+                    ELSE array()
+               END)))
         """
     )
 
@@ -166,15 +172,42 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------- MinHash + LSH
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """doc_id -> [minhash_0 .. minhash_{n-1}] via the md5 hash family
-    H_i(s) = hash60(i || ':' || s). One explode + one groupBy."""
-    sh = docs.select("doc_id", F.explode(shingles()).alias("shingle"))
-    aggs = [
-        F.min(hash60(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+# Affine minhash family over a 31-bit prime: h_i(s) = (a_i*h31(s) + b_i)
+# mod P with h31 = hash60(s) mod P. ONE md5 per shingle (the expensive
+# part -- md5 + hex->int conversion), then N cheap integer ops; products
+# stay < 2^62 so int64 arithmetic is exact and ANSI-safe in both engines.
+MINHASH_PRIME = 2147483647
+
+
+def _minhash_coeffs(n_hashes: int = N_HASHES) -> list[tuple[int, int]]:
+    return [
+        ((2 * i + 1) * 2654435761 % MINHASH_PRIME, (i * 40503 + 7) % MINHASH_PRIME)
         for i in range(n_hashes)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """doc_id -> [minhash_0 .. minhash_{n-1}]. One explode + one
+    map-side-combinable groupBy.
+
+    Engineering notes (all measured at sf0.1):
+    - explode+groupBy beats the "no-shuffle" array-lambda formulation ~3x:
+      higher-order lambdas run interpreted, outside whole-stage codegen.
+    - one md5 per shingle + affine derivation beats one md5 per
+      (shingle, hash_i): the md5+conv hex->int path dominates.
+    - the repartition matters: a small parquet file arrives as ONE
+      partition, serialising all hashing onto one core. At 100 TB the
+      scan already has thousands of partitions; min-aggregates combine
+      map-side so the shuffle moves one signature row per doc."""
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    sh = docs.repartition(n).select("doc_id", F.explode(shingles()).alias("shingle"))
+    h31 = (hash60(F.col("shingle")) % MINHASH_PRIME).alias("h31")
+    hashed = sh.select("doc_id", h31)
+    aggs = [
+        F.min((F.lit(a) * F.col("h31") + F.lit(b)) % MINHASH_PRIME).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_minhash_coeffs(n_hashes))
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidates(sigs: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAND) -> DataFrame:
@@ -206,8 +239,8 @@ def lsh_candidates(sigs: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAN
 
 def _sql_minhash_bands() -> tuple[str, str]:
     mh_cols = ",\n         ".join(
-        f"MIN(('0x' || substring(md5('{i}:' || shingle), 1, 15))::BIGINT) AS mh{i}"
-        for i in range(N_HASHES)
+        f"MIN(({a} * h31 + {b}) % {MINHASH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(_minhash_coeffs())
     )
     band_selects = "\n  UNION ALL ".join(
         "SELECT doc_id, %d AS band, md5(%s) AS key FROM sigs"
@@ -228,10 +261,15 @@ _MINHASH_ORACLE = f"""
 WITH sh AS (
   SELECT doc_id, unnest({sql_shingles()}) AS shingle FROM documents
 ),
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(shingle), 1, 15))::BIGINT % {MINHASH_PRIME} AS h31
+  FROM sh
+),
 sigs AS (
   SELECT doc_id,
          {_MH_COLS}
-  FROM sh GROUP BY doc_id
+  FROM hashed GROUP BY doc_id
 ),
 bands AS (
   {_BAND_SELECTS}
@@ -269,26 +307,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs)
     cand = lsh_candidates(sigs)
-    sh = docs.select("doc_id", F.explode(shingles()).alias("shingle"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
-        .join(b, (F.col("b.doc_id") == F.col("doc_b"))
-              & (F.col("a.shingle") == F.col("b.shingle")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+    # Verification: join candidate pairs back to the shingle ARRAYS and
+    # intersect per-row (array_intersect) -- no second explode, no
+    # inverted-index shuffle; the only wide stages are the LSH band join
+    # and these two joins on doc ids.
+    sh = docs.select("doc_id", shingles().alias("sh")).filter(F.size("sh") > 0)
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
+    paired = (
+        cand.join(a, F.col("doc_a") == F.col("a_id"))
+        .join(b, F.col("doc_b") == F.col("b_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+        )
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
     jac = F.col("inter").cast("double") / (
-        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("inter")
+        F.col("n_a") + F.col("n_b") - F.col("inter")
     )
     return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= JACCARD_THRESHOLD)
+        paired.filter(jac >= JACCARD_THRESHOLD)
         .select(
             "doc_a",
             "doc_b",
@@ -306,7 +347,8 @@ SIMHASH_BITS = 32
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """Per-document {bits}-bit SimHash from token hash votes (explode +
     one groupBy with per-bit sum aggregates -- map-side combinable)."""
-    tok = docs.select(
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    tok = docs.repartition(n).select(
         "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("w")
     ).withColumn("h", hash60(F.col("w")))
     votes = [

@@ -103,7 +103,12 @@ def cosine_topk(
     from pyspark.sql import Window as W
 
     q = queries_df.select(F.col(qid_col), F.col(vec_col).alias("qe"))
-    c = corpus_df.select(F.col("vec_id").alias("cand_id"), F.col(vec_col).alias("ce"))
+    # Fan out the corpus: a single small parquet file is one partition,
+    # and the per-pair fold below runs per-core only if the scan does.
+    n = corpus_df.sparkSession.sparkContext.defaultParallelism
+    c = corpus_df.repartition(n).select(
+        F.col("vec_id").alias("cand_id"), F.col(vec_col).alias("ce")
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("cand_id") != F.col(qid_col))
