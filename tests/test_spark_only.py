@@ -47,6 +47,47 @@ def test_spark_only_golden_literals(spark):
     assert row.fmt == "00042"
 
 
+def test_xpath_url_golden(spark):
+    """Golden values for the xpath/URL battery (no DuckDB twin)."""
+    row = spark.sql(
+        """
+        SELECT xpath_string('<a><b>hi</b></a>', '//b') AS xs,
+               xpath_long('<a><n>7</n></a>', '//n') AS xl,
+               xpath('<a><b>1</b><b>2</b></a>', '//b/text()') AS xall,
+               parse_url('https://h.example/p/q?id=42', 'HOST') AS host,
+               parse_url('https://h.example/p/q?id=42', 'PATH') AS path,
+               parse_url('https://h.example/p/q?id=42', 'QUERY', 'id') AS qid,
+               url_encode('a b&c') AS enc,
+               url_decode('a%20b%26c') AS dec
+        """
+    ).collect()[0]
+    assert row.xs == "hi"
+    assert row.xl == 7
+    assert row.xall == ["1", "2"]
+    assert row.host == "h.example"
+    assert row.path == "/p/q"
+    assert row.qid == "42"
+    assert row.enc == "a+b%26c"
+    assert row.dec == "a b&c"
+
+
+def test_cache_uses_in_memory_relation(spark, sf_dir):
+    """df.cache() substitutes InMemoryRelation into later plans
+    (reference: execution/CacheManager.scala, columnar cache)."""
+    from ushas_spark.io import load_table
+
+    n = load_table(spark, sf_dir, "nation")
+    cached = n.cache()
+    try:
+        cached.count()  # materialise
+        agg = cached.groupBy("n_regionkey").count()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, plan[:2000]
+        assert agg.count() == 5
+    finally:
+        cached.unpersist()
+
+
 def test_approx_sketches_bounded_error(spark, sf_dir):
     """approx_count_distinct within documented HLL++ error vs exact."""
     from pyspark.sql import functions as F

@@ -50,6 +50,7 @@ def load_all() -> None:
         expressions,
         joins,
         lineage_demo,
+        misc,
         setops,
         sources,
         subqueries,
