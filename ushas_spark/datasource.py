@@ -1,0 +1,66 @@
+"""Custom data source via the PySpark 4 Python Data Source API.
+
+Maps the reference's DataSource V2 surface (reference: sql/core/src/main/
+java/org/apache/spark/sql/sources/v2/ ReadSupport interfaces + execution/
+datasources/v2/DataSourceV2Strategy.scala) to its modern PySpark
+equivalent: a declarative source with explicit input PARTITIONS, so reads
+parallelise across executors exactly like a file scan.
+
+``ushas_synthetic`` generates deterministic rows from a splitmix-style
+integer mix -- same numbers on every engine/run, so the DuckDB oracle can
+reproduce them arithmetically (the correctness gate then covers the
+custom-source read path end to end).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+MIX_MULT = 2654435761  # Knuth multiplicative hash constant
+MIX_MOD = 2147483647
+
+
+class SyntheticPartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class SyntheticReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n_rows = int(options.get("rows", 1000))
+        self.n_parts = int(options.get("partitions", 8))
+
+    def partitions(self):
+        # Returning an EMPTY partition list makes Spark invoke read(None)
+        # -- always emit at least one (possibly empty) partition.
+        if self.n_rows <= 0:
+            return [SyntheticPartition(0, 0)]
+        step = max(1, self.n_rows // self.n_parts)
+        parts = []
+        for start in range(0, self.n_rows, step):
+            parts.append(SyntheticPartition(start, min(start + step, self.n_rows)))
+        return parts
+
+    def read(self, partition: SyntheticPartition):
+        for i in range(partition.start, partition.end):
+            mixed = (i * MIX_MULT) % MIX_MOD
+            yield (i, mixed % 10, float(mixed % 100000) / 100.0)
+
+
+class SyntheticDataSource(DataSource):
+    """format('ushas_synthetic') -- options: rows, partitions."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ushas_synthetic"
+
+    def schema(self) -> str:
+        return "id bigint, bucket int, val double"
+
+    def reader(self, schema) -> SyntheticReader:
+        return SyntheticReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(SyntheticDataSource)

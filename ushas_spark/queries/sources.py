@@ -138,6 +138,46 @@ def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_custom_datasource_v2",
+    oracle="""
+WITH g AS (
+  SELECT range AS id, (range * 2654435761) % 2147483647 AS mixed
+  FROM range(0, 1000)
+)
+SELECT CAST(mixed % 10 AS INT) AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND((CAST(mixed % 100000 AS DOUBLE) / 100.0) * 100)
+                AS BIGINT)) AS DOUBLE) / 100.0 AS sum_val
+FROM g
+GROUP BY 1
+ORDER BY bucket
+""",
+)
+def source_custom_datasource_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source (the DSv2 surface -- see
+    ushas_spark.datasource): partitioned, deterministic synthetic reads;
+    the oracle regenerates the rows arithmetically."""
+    from ushas_spark.datasource import register
+
+    register(spark)
+    df = (
+        spark.read.format("ushas_synthetic")
+        .option("rows", "1000")
+        .option("partitions", "8")
+        .load()
+    )
+    scaled = F.round(F.col("val") * 100).cast("long")
+    return (
+        df.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(scaled).cast("double") / 100.0).alias("sum_val"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
     "misc_id_functions",
     oracle="""
 SELECT COUNT(*) AS n_rows, COUNT(DISTINCT rid) AS n_distinct_ids

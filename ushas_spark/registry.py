@@ -55,6 +55,7 @@ def load_all() -> None:
         sources,
         subqueries,
         tpch,
+        udfs,
         windows,
     )
     from ushas_spark.operators import (  # noqa: F401
