@@ -47,6 +47,7 @@ def load_all() -> None:
     from ushas_spark.queries import (  # noqa: F401
         aggregates,
         collections,
+        coverage_fill,
         expressions,
         joins,
         lineage_demo,
