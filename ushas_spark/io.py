@@ -40,9 +40,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     full int64 precision -- a double division would lose sub-second bits).
     DuckDB truncates ns->us the same way, so oracle parity holds.
     """
+    # Runtime-settable confs: hold even when the caller (e.g. the verify
+    # driver) built the session without ushas_spark defaults. UTC keeps
+    # timestamp formatting aligned with the DuckDB oracle regardless of
+    # the host/session timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # Runtime-settable conf: works even when the caller (e.g. the
-        # verify driver) built the session without ushas_spark defaults.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
