@@ -86,6 +86,22 @@ def test_multimodal_decode_plumbing(spark, sf_dir):
     assert rows == again
 
 
+def test_multimodal_resize_and_frame_sample(spark, sf_dir):
+    """Resize / frame-sample plumbing: schema, filtering by mime, 1->N
+    expansion, determinism (codec stubbed -- see module docstring)."""
+    assets = multimodal.documents_as_assets(spark, sf_dir)
+    resized = multimodal.resize_images(assets, 64, 48)
+    r = resized.orderBy("asset_id").limit(3).collect()
+    assert all(row.width == 64 and row.height == 48 for row in r)
+    assert all(row.mime == "image/png" for row in r)
+    frames = multimodal.sample_frames(assets, every_n_bytes=64)
+    f = frames.filter(F.col("asset_id") == 1).orderBy("frame_idx").collect()
+    assert [row.frame_idx for row in f] == list(range(len(f)))
+    assert len(f) >= 2  # docs are a few hundred bytes -> several windows
+    again = frames.filter(F.col("asset_id") == 1).orderBy("frame_idx").collect()
+    assert f == again
+
+
 def test_multimodal_metadata_query_prunes_payload(spark, sf_dir):
     """A metadata-only aggregate must not read the payload column."""
     a = multimodal.documents_as_assets(spark, sf_dir)

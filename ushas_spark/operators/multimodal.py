@@ -99,6 +99,75 @@ def _decode_stub(payload: bytes, mime: str, feature_dim: int) -> list[float]:
     ]
 
 
+def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize operator plumbing: filters to image assets, passes payloads
+    through an Arrow-batched resize, emits payload + updated metadata.
+    The pixel work is STUBBED (no codecs in this container)::
+
+        raise NotImplementedError("decode with PIL, resize, re-encode")
+
+    The deterministic fake truncates payload bytes proportionally so
+    batch shapes, schema evolution, and downstream reads are testable.
+    """
+    out_schema = (
+        "asset_id bigint, payload binary, mime string, width int, height int"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload, meta in zip(pdf["asset_id"], pdf["payload"], pdf["meta"]):
+                if meta["mime"] != "image/png":
+                    continue
+                raw = bytes(payload)
+                # STUB: proportional byte truncation stands in for decode->
+                # resize->encode; swap for the real codec call.
+                scale = max(1, (meta["width"] or 1) * (meta["height"] or 1))
+                keep = max(1, min(len(raw), (width * height * len(raw)) // scale))
+                rows.append(
+                    {
+                        "asset_id": aid,
+                        "payload": raw[:keep],
+                        "mime": meta["mime"],
+                        "width": width,
+                        "height": height,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "payload", "mime", "width", "height"]
+            )
+
+    return assets.mapInPandas(op, schema=out_schema)
+
+
+def sample_frames(assets: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """Frame-sampling plumbing for video/audio payloads: one output row
+    per sampled 'frame' (byte window stands in for a decoded frame --
+    STUB, same contract as resize_images). Demonstrates the 1->N row
+    expansion shape (explode-like) through mapInPandas."""
+    out_schema = "asset_id bigint, frame_idx int, frame_sig bigint"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload, meta in zip(pdf["asset_id"], pdf["payload"], pdf["meta"]):
+                if meta["mime"] != "audio/wav":
+                    continue
+                raw = bytes(payload)
+                for idx, off in enumerate(range(0, len(raw), every_n_bytes)):
+                    window = raw[off : off + every_n_bytes]
+                    rows.append(
+                        {
+                            "asset_id": aid,
+                            "frame_idx": idx,
+                            "frame_sig": sum(window) % 100000,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["asset_id", "frame_idx", "frame_sig"])
+
+    return assets.mapInPandas(op, schema=out_schema)
+
+
 _ASSET_STATS_ORACLE = """
 SELECT CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
        COUNT(*) AS n_assets,

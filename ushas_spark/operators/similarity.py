@@ -276,6 +276,82 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb).orderBy("qid", "rnk")
 
 
+_EMB_DEDUP_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+b AS (
+  {" UNION ALL ".join(
+      f"SELECT vec_id, e, {t} AS tbl, {_sql_bucket('e', tp)} AS bucket FROM v"
+      for t, tp in enumerate(_tables(_PLANES))
+  )}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, a.e AS e_a, bb.vec_id AS id_b, bb.e AS e_b
+  FROM b a JOIN b bb
+    ON a.tbl = bb.tbl AND a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+)
+SELECT id_a, id_b,
+       CAST(ROUND({sql_cosine("e_a", "e_b")} * 1000000) AS BIGINT) AS sim_x1m
+FROM cand
+WHERE {sql_cosine("e_a", "e_b")} >= 0.40
+ORDER BY id_a, id_b
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_EMB_DEDUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.40 -- the synthetic corpus has no truly duplicated vectors; max pairwise cosine is ~0.51, so the demo threshold sits at the top of the real distribution): the semantic
+    dedup tier. LSH buckets bound the candidate set exactly as in ANN
+    search -- at 100 TB this is the only formulation that avoids the
+    O(N^2) similarity matrix; the threshold check runs per candidate
+    pair."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("e")
+    )
+    tbl_structs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _bucket_expr(F.col("e"), tp).alias("bucket"),
+            )
+            for t, tp in enumerate(_tables(_PLANES))
+        ]
+    )
+    b = emb.select("vec_id", "e", F.explode(tbl_structs).alias("tb")).select(
+        "vec_id", "e", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
+    other = b.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("e").alias("e_b"),
+        F.col("tbl").alias("tbl_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    cand = (
+        b.join(
+            other,
+            (F.col("tbl") == F.col("tbl_b"))
+            & (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("vec_id") < F.col("id_b")),
+        )
+        .select(
+            F.col("vec_id").alias("id_a"),
+            F.col("e").alias("e_a"),
+            "id_b",
+            "e_b",
+        )
+        .distinct()
+    )
+    sim = cosine(F.col("e_a"), F.col("e_b"))
+    return (
+        cand.filter(sim >= 0.40)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(sim * 1_000_000).cast("long").alias("sim_x1m"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 _NORM_ORACLE = f"""
 WITH v AS (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
 n AS (SELECT label,

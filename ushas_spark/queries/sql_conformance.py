@@ -1,0 +1,152 @@
+"""SQL-surface conformance shapes (SURVEY.md section 5 item 4: the
+reference's sql-tests golden files -- group-by.sql, window.sql,
+typeCoercion/, natural-join, ...). Each query pins a parser/analyzer
+behavior that the operator batteries don't isolate: ordinals, HAVING
+without GROUP BY, LATERAL VIEW, aliases in ORDER BY, coercion in unions
+and comparisons."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ushas_spark.io import register_views
+from ushas_spark.registry import query
+
+
+def _sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(text)
+
+
+_ORDINALS = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("sql_group_order_by_ordinal", oracle=_ORDINALS)
+def sql_group_order_by_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY / ORDER BY ordinal positions (group-by-ordinal.sql)."""
+    return _sql(spark, sf_dir, _ORDINALS)
+
+
+_HAVING_NO_GROUP = """
+SELECT COUNT(*) AS n FROM orders HAVING COUNT(*) > 0
+"""
+
+
+@query("sql_having_without_group_by", oracle=_HAVING_NO_GROUP)
+def sql_having_without_group_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING with no GROUP BY == global aggregate filter (having.sql)."""
+    return _sql(spark, sf_dir, _HAVING_NO_GROUP)
+
+
+_ORDER_BY_ALIAS = """
+SELECT o_orderkey, o_totalprice * 2 AS doubled
+FROM orders
+ORDER BY doubled DESC, o_orderkey
+LIMIT 20
+"""
+
+
+@query("sql_order_by_alias", oracle=_ORDER_BY_ALIAS)
+def sql_order_by_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY references a select-list alias (resolution order quirk
+    both engines implement)."""
+    return _sql(spark, sf_dir, _ORDER_BY_ALIAS)
+
+
+_LATERAL_VIEW = """
+SELECT doc_id, word
+FROM documents
+LATERAL VIEW explode(split(text, ' ')) t AS word
+WHERE doc_id < 5
+ORDER BY doc_id, word
+"""
+
+_LATERAL_VIEW_ORACLE = """
+SELECT doc_id, unnest(string_split(text, ' ')) AS word
+FROM documents
+WHERE doc_id < 5
+ORDER BY doc_id, word
+"""
+
+
+@query("sql_lateral_view", oracle=_LATERAL_VIEW_ORACLE)
+def sql_lateral_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW explode -- the HiveQL generator syntax (reference:
+    Generate + UnresolvedGenerator resolution)."""
+    return _sql(spark, sf_dir, _LATERAL_VIEW)
+
+
+_HAVING_AGG_NOT_SELECTED = """
+SELECT o_orderstatus
+FROM orders
+GROUP BY o_orderstatus
+HAVING COUNT(*) > 100 AND MAX(o_totalprice) > 200000
+ORDER BY o_orderstatus
+"""
+
+
+@query("sql_having_unselected_agg", oracle=_HAVING_AGG_NOT_SELECTED)
+def sql_having_unselected_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING over aggregates that are NOT in the select list."""
+    return _sql(spark, sf_dir, _HAVING_AGG_NOT_SELECTED)
+
+
+_UNION_COERCION = """
+SELECT x FROM (
+  SELECT CAST(1 AS INT) AS x
+  UNION ALL
+  SELECT CAST(2.5 AS DOUBLE)
+  UNION ALL
+  SELECT CAST(3 AS BIGINT)
+)
+ORDER BY x
+"""
+
+
+@query("sql_union_type_coercion", oracle=_UNION_COERCION)
+def sql_union_type_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union branch coercion int/bigint/double -> double
+    (typeCoercion/widenSetOperationTypes)."""
+    return _sql(spark, sf_dir, _UNION_COERCION)
+
+
+_CASE_NULL = """
+SELECT o_orderkey,
+       CASE WHEN o_orderstatus = 'O' THEN o_totalprice END AS open_price,
+       COALESCE(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END, -1.0) AS coalesced,
+       (NULL = 1) IS NULL AS threevalued,
+       NOT (NULL = 1) IS NULL AS negated_check
+FROM orders
+ORDER BY o_orderkey
+LIMIT 50
+"""
+
+
+@query("sql_case_null_semantics", oracle=_CASE_NULL)
+def sql_case_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE without ELSE -> NULL; three-valued logic round-trips."""
+    return _sql(spark, sf_dir, _CASE_NULL)
+
+
+_NESTED_AGG_SUBQ = """
+SELECT s.o_orderstatus, s.total_n
+FROM (
+  SELECT o_orderstatus, COUNT(*) AS total_n,
+         SUM(COUNT(*)) OVER () AS grand
+  FROM orders GROUP BY o_orderstatus
+) s
+WHERE s.total_n * 4 > s.grand
+ORDER BY s.o_orderstatus
+"""
+
+
+@query("sql_window_over_aggregate", oracle=_NESTED_AGG_SUBQ)
+def sql_window_over_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function over an aggregate result (SUM(COUNT(*)) OVER ()) --
+    the analyzer must nest agg-then-window (window.sql family)."""
+    return _sql(spark, sf_dir, _NESTED_AGG_SUBQ)

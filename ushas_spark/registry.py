@@ -54,6 +54,7 @@ def load_all() -> None:
         misc,
         setops,
         sources,
+        sql_conformance,
         subqueries,
         tpch,
         udfs,
