@@ -53,8 +53,10 @@ ITERATIONS = 3  # best-of-N, after one untimed warm-up
 def _run_once(fn, spark, sf_dir: str) -> float:
     t0 = time.perf_counter()
     df = fn(spark, sf_dir)
-    # Force full execution without transferring rows to Python.
-    df._jdf.queryExecution().executedPlan().executeCollect()
+    # Force full execution through the noop sink: computes every row,
+    # transfers none (executeCollect would bill driver-side transfer to
+    # queries with large outputs, e.g. full-table window functions).
+    df.write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 
 

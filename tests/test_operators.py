@@ -33,6 +33,23 @@ def test_ann_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.3, f"ANN recall too low: {recall:.2f}"
 
 
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF with nprobe=2 of 8 centroids must recover a reasonable share
+    of the true top-k (floor pinned so quantiser regressions show)."""
+    from ushas_spark.operators.ivf import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), "e")
+    brute = {
+        (r.qid, r.cand_id) for r in similarity.cosine_topk(q, emb, k=10).collect()
+    }
+    ivf = {(r.qid, r.cand_id) for r in ivf_topk(emb, k=10).collect()}
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.2, f"IVF recall too low: {recall:.2f}"
+
+
 def test_simhash_hamming_pairs(spark, sf_dir):
     """Byte-banded SimHash candidates: every returned pair respects the
     Hamming bound and near-dup docs (bag-fingerprint collisions) are

@@ -1,0 +1,143 @@
+"""IVF (inverted-file) approximate nearest neighbour -- the coarse-
+quantiser counterpart to the LSH tables in ``similarity.py``.
+
+Shape: pick K deterministic coarse centroids, assign every vector to its
+nearest centroid (the "inverted list"), and at query time score only the
+lists of the nprobe nearest centroids. At 100 TB the assignment is one
+broadcast-join pass over the corpus and each query touches nprobe/K of
+the data -- the same plan family as a partition-pruned scan, with the
+centroid id acting as the partition key (a production deployment would
+PARTITION the parquet BY the centroid id so probes prune files).
+
+Determinism: centroids are actual corpus vectors chosen by id stride (no
+random k-means init), all scoring uses the sequential-fold dot product,
+so the DuckDB oracle reproduces the exact lists and results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ushas_spark.io import load_table
+from ushas_spark.operators.similarity import (
+    N_QUERIES,
+    TOP_K,
+    _dvec,
+    cosine,
+    sql_cosine,
+)
+from ushas_spark.registry import query
+
+N_CENTROIDS = 8
+CENTROID_STRIDE = 63  # centroid c = vector with vec_id == c * stride
+NPROBE = 2
+
+
+def _centroids(emb: DataFrame) -> DataFrame:
+    ids = [c * CENTROID_STRIDE for c in range(N_CENTROIDS)]
+    return emb.filter(F.col("vec_id").isin(ids)).select(
+        (F.col("vec_id") / CENTROID_STRIDE).cast("int").alias("cid"),
+        F.col("e").alias("ce"),
+    )
+
+
+def _assign(emb: DataFrame, cents: DataFrame, rank_limit: int, id_col: str) -> DataFrame:
+    """Rank centroids per vector by cosine; keep the top ``rank_limit``
+    (1 for corpus assignment, NPROBE for query probing)."""
+    from pyspark.sql import Window as W
+
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        "e",
+        "cid",
+        F.round(cosine(F.col("e"), F.col("ce")) * 1_000_000).cast("long").alias("cs"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("cs").desc(), "cid")
+    return (
+        scored.withColumn("crnk", F.row_number().over(w))
+        .filter(F.col("crnk") <= rank_limit)
+        .select(id_col, "e", "cid")
+    )
+
+
+_SQL_CENT_IDS = ", ".join(str(c * CENTROID_STRIDE) for c in range(N_CENTROIDS))
+
+_IVF_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cents AS (
+  SELECT CAST(vec_id / {CENTROID_STRIDE} AS INT) AS cid, e AS ce
+  FROM v WHERE vec_id IN ({_SQL_CENT_IDS})
+),
+assign AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT v.vec_id, v.e, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY CAST(ROUND({sql_cosine("v.e", "c.ce")} * 1000000) AS BIGINT) DESC,
+                      c.cid) AS crnk
+    FROM v, cents c
+  ) WHERE crnk <= 1
+),
+qprobe AS (
+  SELECT vec_id AS qid, e AS qe, cid FROM (
+    SELECT v.vec_id, v.e, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY CAST(ROUND({sql_cosine("v.e", "c.ce")} * 1000000) AS BIGINT) DESC,
+                      c.cid) AS crnk
+    FROM v, cents c
+    WHERE v.vec_id < {N_QUERIES}
+  ) WHERE crnk <= {NPROBE}
+),
+scored AS (
+  SELECT DISTINCT q.qid, a.vec_id AS cand_id,
+         CAST(ROUND({sql_cosine("q.qe", "a.e")} * 1000000) AS BIGINT) AS sim_x1m
+  FROM qprobe q JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, cand_id, sim_x1m,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY sim_x1m DESC, cand_id) AS rnk
+  FROM scored
+)
+SELECT qid, cand_id, sim_x1m, rnk
+FROM ranked WHERE rnk <= {TOP_K}
+ORDER BY qid, rnk
+"""
+
+
+def ivf_topk(
+    emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES, nprobe: int = NPROBE
+) -> DataFrame:
+    """IVF search: corpus assigned to nearest centroid; queries probe
+    their ``nprobe`` nearest centroid lists only."""
+    from pyspark.sql import Window as W
+
+    cents = _centroids(emb)
+    assigned = _assign(emb, cents, 1, "vec_id")
+    queries = _assign(
+        emb.filter(F.col("vec_id") < n_queries), cents, nprobe, "vec_id"
+    ).select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"), "cid")
+    scored = (
+        assigned.join(F.broadcast(queries), ["cid"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cand_id"),
+            F.round(cosine(F.col("qe"), F.col("e")) * 1_000_000)
+            .cast("long")
+            .alias("sim_x1m"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("qid").orderBy(F.col("sim_x1m").desc(), "cand_id")
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+@query("sim_ivf_topk", oracle=_IVF_ORACLE)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("e")
+    )
+    return ivf_topk(emb).orderBy("qid", "rnk")

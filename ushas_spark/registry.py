@@ -63,6 +63,7 @@ def load_all() -> None:
     from ushas_spark.operators import (  # noqa: F401
         asof,
         dedup,
+        ivf,
         multimodal,
         similarity,
         text,
