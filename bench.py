@@ -32,6 +32,8 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q10_returned_items",
+    "q9_product_type_profit",
+    "q18_large_volume",
     "join_self_pairs",
     # window / top-k / set ops / grouping
     "window_topk_per_group",

@@ -88,11 +88,22 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
     return problems
 
 
-def run_pair(spark, sf_dir: str, query_fn, oracle: str) -> list[str]:
+def run_pair(
+    spark, sf_dir: str, query_fn, oracle: str, allow_empty: bool = False
+) -> list[str]:
     spark_pdf = query_fn(spark, sf_dir).toPandas()
     con = duckdb_connect(sf_dir)
     try:
         oracle_pdf = con.execute(oracle).fetchdf()
     finally:
         con.close()
-    return compare_frames(spark_pdf, oracle_pdf)
+    problems = compare_frames(spark_pdf, oracle_pdf)
+    if not problems and len(spark_pdf) == 0 and not allow_empty:
+        # Two empty results "match" vacuously -- that's how a filter
+        # window that misses the data range hides a broken query (it
+        # happened: TPC-H 1993/94 dates vs a 1995-2001 corpus).
+        problems.append(
+            "both sides returned 0 rows: vacuous match (add to EMPTY_OK "
+            "if genuinely expected)"
+        )
+    return problems

@@ -141,3 +141,56 @@ def test_exchange_reuse_in_selfjoin(spark, sf_dir):
 def test_no_cartesian_anywhere(spark, sf_dir, name):
     plan = _plan(QUERIES[name](spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_q19_residual_predicates_pushed(spark, sf_dir):
+    """Q19's OR-of-ANDs: Catalyst must extract per-table residuals below
+    the join -- the lineitem scan gets the l_quantity range hull, the part
+    scan gets the p_brand/p_size disjunction (CombineFilters +
+    PushPredicateThroughJoin on the common factors)."""
+    plan = _plan(QUERIES["q19_discounted_revenue"](spark, sf_dir))
+    scans = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_quantity" in s for s in scans), plan
+    assert any("p_brand" in s or "p_size" in s for s in scans), plan
+
+
+def test_q16_not_in_plans_anti_join(spark, sf_dir):
+    """NOT IN over the supplier exclusion must plan a broadcast anti
+    join, never a per-row subquery."""
+    plan = _plan(QUERIES["q16_parts_supplier_counts"](spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_q16_distinct_agg_two_phase(spark, sf_dir):
+    """COUNT(DISTINCT) expands to the two-shuffle rewrite with partial
+    aggregation on the (group, distinct) key."""
+    plan = _plan(QUERIES["q16_parts_supplier_counts"](spark, sf_dir))
+    assert "partial_" in plan and "HashAggregate" in plan, plan
+
+
+def test_q13_outer_join_preserved(spark, sf_dir):
+    """The o_orderpriority predicate lives in the JOIN condition, so the
+    outer join must NOT degrade to inner (that would drop zero-order
+    customers and change the count-0 bucket)."""
+    plan = _plan(QUERIES["q13_customer_distribution"](spark, sf_dir))
+    assert "LeftOuter" in plan, plan
+
+
+def test_q15_single_lineitem_scan(spark, sf_dir):
+    """The revenue CTE feeds both the join input and the MAX; the window
+    formulation must evaluate it from ONE lineitem scan (a scalar-subquery
+    formulation recomputes the whole aggregate -- verified and rejected)."""
+    plan = _plan(QUERIES["q15_top_supplier"](spark, sf_dir))
+    lineitem_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "lineitem" in ln
+    ]
+    assert len(lineitem_scans) == 1, plan
+
+
+def test_q9_broadcasts_filtered_dims(spark, sf_dir):
+    """part (LIKE-filtered) and nation must broadcast; only fact-fact
+    joins may shuffle."""
+    plan = _plan(QUERIES["q9_product_type_profit"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan

@@ -41,7 +41,7 @@ def subq_in(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUBQ_NOT_IN = """
 SELECT c_custkey
 FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
 ORDER BY c_custkey
 """
 
@@ -77,7 +77,7 @@ def subq_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUBQ_SCALAR = f"""
 SELECT o_orderkey, o_totalprice
 FROM orders
-WHERE o_totalprice > 2 * (SELECT {_AVG_PRICE} FROM orders)
+WHERE o_totalprice > 1.9 * (SELECT {_AVG_PRICE} FROM orders)
 ORDER BY o_orderkey
 """
 
@@ -94,7 +94,7 @@ def subq_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUBQ_CORR_SCALAR = """
 SELECT p_partkey, p_brand, p_retailprice
 FROM part p
-WHERE p_retailprice > 1.5 * (
+WHERE p_retailprice > 1.01 * (
   SELECT CAST(SUM(CAST(ROUND(p2.p_retailprice * 100) AS BIGINT)) AS DOUBLE)
          / 100.0 / CAST(COUNT(*) AS DOUBLE)
   FROM part p2 WHERE p2.p_brand = p.p_brand

@@ -66,6 +66,7 @@ def load_all() -> None:
         ivf,
         multimodal,
         similarity,
+        skew,
         text,
     )
     from ushas_spark.streaming import queries as streaming_queries  # noqa: F401
