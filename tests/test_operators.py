@@ -166,3 +166,20 @@ def test_hash60_matches_python(spark):
     for r in rows:
         expect = int(hashlib.md5(r.s.encode()).hexdigest()[:15], 16)
         assert r.h == expect
+
+
+def test_connected_components_chain_triangle_singleton(spark):
+    """CC on a known graph: a 4-chain (diameter > 1 forces multiple
+    propagation rounds), a triangle, and an isolated node."""
+    from ushas_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], ["id"])
+    #  chain 0-1-2-3, triangle 4-5-6, singleton 7
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5), (5, 6), (4, 6)], ["src", "dst"]
+    )
+    got = {
+        (r.id, r.label)
+        for r in connected_components(nodes, edges, id_col="id").collect()
+    }
+    assert got == {(0, 0), (1, 0), (2, 0), (3, 0), (4, 4), (5, 4), (6, 4), (7, 7)}

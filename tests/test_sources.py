@@ -160,3 +160,40 @@ def test_bucketed_table_join_avoids_shuffle(spark, sf_dir, tmp_path):
         assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_catalog_ddl_create_insert_drop(spark, sf_dir, tmp_path):
+    """SQL DDL surface against the in-memory catalog with datasource
+    tables: CREATE TABLE USING parquet, INSERT INTO, INSERT OVERWRITE,
+    CTAS, SHOW/DESCRIBE, DROP (reference: sql/hive DDL suites; here on
+    the session catalog, which is the supported surface in this
+    container -- no Hive metastore)."""
+    loc = (tmp_path / "ddl_tbl").as_posix()
+    spark.sql("DROP TABLE IF EXISTS ddl_nation")
+    spark.sql(
+        f"CREATE TABLE ddl_nation (n_nationkey BIGINT, n_name STRING) "
+        f"USING parquet LOCATION '{loc}'"
+    )
+    spark.sql("INSERT INTO ddl_nation VALUES (1, 'A'), (2, 'B')")
+    spark.sql("INSERT INTO ddl_nation VALUES (3, 'C')")
+    assert spark.table("ddl_nation").count() == 3
+    spark.sql("INSERT OVERWRITE ddl_nation VALUES (9, 'Z')")
+    assert [r.n_name for r in spark.table("ddl_nation").collect()] == ["Z"]
+    assert any(
+        t.name == "ddl_nation" for t in spark.catalog.listTables()
+    )
+    cols = {c.name for c in spark.catalog.listColumns("ddl_nation")}
+    assert cols == {"n_nationkey", "n_name"}
+    # CTAS from a real table
+    spark.sql("DROP TABLE IF EXISTS ddl_ctas")
+    ctas_loc = (tmp_path / "ddl_ctas").as_posix()
+    spark.sql(
+        f"CREATE TABLE ddl_ctas USING parquet LOCATION '{ctas_loc}' AS "
+        f"SELECT * FROM parquet.`{sf_dir}/nation.parquet`"
+    )
+    assert spark.table("ddl_ctas").count() == 25
+    spark.sql("DROP TABLE ddl_nation")
+    spark.sql("DROP TABLE ddl_ctas")
+    assert not any(
+        t.name in ("ddl_nation", "ddl_ctas") for t in spark.catalog.listTables()
+    )

@@ -440,3 +440,114 @@ def simhash_near_pairs(sims: DataFrame, max_hamming: int = 6) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via hash-min label propagation.
+
+    The standard large-graph formulation (no GraphFrames dependency):
+    every node starts labelled with its own id; each round every node
+    takes the min of its own label and its neighbours' labels; converged
+    when nothing changes. Rounds needed = component diameter, which for
+    near-dup clusters is tiny (dup clusters are dense).
+
+    Scale design (100 TB):
+    - each round is one shuffle join (edges x labels) + one groupBy min
+      on the node id -- hash-partitioned on the same key, so AQE keeps
+      the exchanges aligned;
+    - ``localCheckpoint(eager=True)`` after every round truncates the
+      logical plan -- without it the plan doubles per iteration and the
+      driver dies re-optimizing before the data is ever the bottleneck
+      (the classic iterative-Spark failure mode);
+    - the convergence probe aggregates a single change count per round
+      (a scalar to the driver, not data).
+    """
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).union(
+        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.s == labels.id)
+            .groupBy(F.col("d").alias("nid"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.nid, "left")
+            .select(
+                labels.id,
+                F.least(
+                    labels.label, F.coalesce(F.col("nbr_label"), labels.label)
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, unnest({sql_shingles()}) AS shingle FROM documents
+), sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= {JACCARD_THRESHOLD}
+), edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+), reach(id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.id
+)
+SELECT id AS doc_id, MIN(label) AS cluster_id
+FROM reach GROUP BY id ORDER BY doc_id
+"""
+
+
+@query("dedup_cluster_components", oracle=_CLUSTER_ORACLE)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: connected components over the
+    Jaccard candidate graph, labelling every document with the min doc_id
+    of its duplicate cluster (singletons label themselves). This is the
+    step a real corpus dedup needs after pair generation -- keep one
+    canonical doc per cluster, drop the rest.
+
+    The oracle computes the same transitive closure with a recursive CTE
+    -- feasible for DuckDB at gate scale, while the Spark side is the
+    O(diameter)-round distributed algorithm that survives 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _jaccard_pairs(spark, sf_dir).filter(
+        F.col("jac") >= JACCARD_THRESHOLD
+    )
+    labels = connected_components(
+        docs, pairs, id_col="doc_id", src="doc_a", dst="doc_b"
+    )
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
