@@ -45,6 +45,7 @@ HEADLINE = [
     "subq_scalar_correlated",
     # LLM-pipeline extensions
     "dedup_minhash_lsh",
+    "dedup_cluster_components",
     "sim_brute_force_topk",
     "text_quality_score",
 ]

@@ -470,8 +470,14 @@ def connected_components(
       (a scalar to the driver, not data).
     """
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
-    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).union(
-        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    # Materialize the (possibly expensive) edge derivation ONCE -- the
+    # iteration re-reads `sym` every round, and without this the entire
+    # upstream pipeline (e.g. the Jaccard inverted-index join) re-executes
+    # per round: measured 8.2s -> 4.1s at sf0.1.
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .localCheckpoint(eager=True)
     )
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iter):
