@@ -486,6 +486,9 @@ def connected_components(
             .groupBy(F.col("d").alias("nid"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # The change flag rides along in the update join, so convergence
+        # detection reads the already-checkpointed result instead of
+        # re-joining new labels against old (one join per round saved).
         new_labels = (
             labels.join(nbr_min, labels.id == nbr_min.nid, "left")
             .select(
@@ -493,17 +496,14 @@ def connected_components(
                 F.least(
                     labels.label, F.coalesce(F.col("nbr_label"), labels.label)
                 ).alias("label"),
+                (F.coalesce(F.col("nbr_label"), labels.label) < labels.label).alias(
+                    "_chg"
+                ),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     return labels
