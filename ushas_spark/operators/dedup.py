@@ -557,3 +557,62 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     ).orderBy("doc_id")
+
+
+_SURVIVOR_ORACLE = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, unnest({sql_shingles()}) AS shingle FROM documents
+), sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= {JACCARD_THRESHOLD}
+), edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+), reach(id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.id
+), clusters AS (
+  SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id
+)
+SELECT COUNT(*) AS n_docs,
+       SUM(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END) AS n_kept,
+       SUM(CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END) AS n_removed,
+       SUM(CASE WHEN doc_id <> cluster_id THEN n_chars ELSE 0 END)
+         AS chars_removed
+FROM clusters JOIN documents USING (doc_id)
+"""
+
+
+@query("dedup_survivor_stats", oracle=_SURVIVOR_ORACLE)
+def dedup_survivor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup END PRODUCT: keep the min-doc_id canonical document per
+    near-dup cluster, drop the rest, and account for what was removed
+    (docs and characters). At 100 TB the survivor filter is a broadcast-
+    free co-partitioned join of the cluster map back to the corpus --
+    the map has one row per doc but only (doc_id, cluster_id) columns.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _jaccard_pairs(spark, sf_dir).filter(F.col("jac") >= JACCARD_THRESHOLD)
+    clusters = connected_components(
+        docs, pairs, id_col="doc_id", src="doc_a", dst="doc_b"
+    ).select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+    dup = F.col("doc_id") != F.col("cluster_id")
+    return (
+        clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(~dup, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(dup, 1).otherwise(0)).alias("n_removed"),
+            F.sum(F.when(dup, F.col("n_chars")).otherwise(F.lit(0))).alias(
+                "chars_removed"
+            ),
+        )
+    )
