@@ -183,3 +183,32 @@ def test_connected_components_chain_triangle_singleton(spark):
         for r in connected_components(nodes, edges, id_col="id").collect()
     }
     assert got == {(0, 0), (1, 0), (2, 0), (3, 0), (4, 4), (5, 4), (6, 4), (7, 7)}
+
+
+def test_banded_join_matches_naive_theta(spark, sf_dir):
+    """The bucketed band join must return exactly the naive inequality
+    join's pairs (the formulation the reference would BNLJ)."""
+    from ushas_spark.io import load_table
+    from ushas_spark.operators.rangejoin import _BAND_US, banded_self_join
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    banded = banded_self_join(events, _BAND_US).select("a_event_id", "b_event_id")
+    a, b = events.alias("a"), events.alias("b")
+    naive = a.join(
+        b,
+        (F.col("b.ts") < F.col("a.ts"))
+        & (F.col("b.ts") > F.col("a.ts") - F.expr(f"INTERVAL {_BAND_US} MICROSECOND")),
+    ).select(F.col("a.event_id").alias("a_event_id"), F.col("b.event_id").alias("b_event_id"))
+    assert banded.exceptAll(naive).count() == 0
+    assert naive.exceptAll(banded).count() == 0
+
+
+def test_banded_join_plans_no_bnlj(spark, sf_dir):
+    """The band join must plan as an equi-join on the bucket key -- no
+    BroadcastNestedLoopJoin / CartesianProduct anywhere in the plan."""
+    from ushas_spark.operators.rangejoin import join_range_banded
+
+    df = join_range_banded(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -1,0 +1,141 @@
+"""Range (band) join and hypertable-style time-bucket rollup.
+
+The reference has NO dedicated range-join operator: an inequality-only
+join falls back to BroadcastNestedLoopJoin / CartesianProduct
+(reference: sql/core/src/main/scala/org/apache/spark/sql/execution/
+SparkStrategies.scala:248-276, joins/BroadcastNestedLoopJoinExec.scala),
+which is O(n*m) and dies at scale. This module adds the standard
+large-scale formulation -- **bucketed band join**: quantise time into
+fixed-width buckets no narrower than the band, explode the probe side
+into the (at most 2) buckets its band can touch, equi-join on the
+bucket, then re-check the exact predicate. Catalyst plans the bucket
+equi-join as a shuffled hash / sort-merge join, so the cost is
+O(n + m + matches) with ONE shuffle on the bucket key -- the same trick
+Databricks' range-join optimization and PostGIS tiling use.
+
+Cost model at 100 TB: bucket width == band width caps the probe-side
+fan-out at 2x; each bucket is a normal shuffle partition key (time
+buckets are near-uniform for event streams, so no skew salting needed).
+A BNLJ at this scale would be ~10^9 x more comparisons.
+
+The time-bucket rollup is the hypertable continuous-aggregate pattern
+(TimescaleDB-style): aggregate once at fine grain with EXACT scaled-
+integer partial sums, then re-aggregate coarse grains FROM the fine
+aggregate -- the reaggregation reads the (tiny) hourly relation, not the
+raw events, which is what makes maintaining day/week/month rollups over
+100 TB of events affordable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ushas_spark.io import load_table
+from ushas_spark.oracle_exact import SCALE, dec_sum, sql_dec_sum
+from ushas_spark.registry import query
+
+# 10 minutes in microseconds: band width AND bucket width. Keeping them
+# equal means any band (t-10min, t) spans at most 2 buckets.
+_BAND_US = 10 * 60 * 1_000_000
+
+
+def banded_self_join(events: DataFrame, band_us: int) -> DataFrame:
+    """Pairs (a, b) of events with ``a.ts - band < b.ts < a.ts``.
+
+    Returns the probe row's columns plus the matched row's ``b_event_id``
+    / ``b_value``. Exact semantics of the naive theta join, planned as a
+    bucket equi-join (no BNLJ).
+    """
+    with_bucket = events.withColumn(
+        "_bkt", F.expr(f"unix_micros(ts) DIV {band_us}")
+    )
+    # Probe side: the band (ts - band, ts) only intersects bucket(ts) and
+    # bucket(ts)-1, so a 2-way explode bounds the fan-out.
+    probe = with_bucket.select(
+        F.col("event_id").alias("a_event_id"),
+        F.col("ts").alias("a_ts"),
+        F.explode(F.array(F.col("_bkt") - 1, F.col("_bkt"))).alias("_bkt"),
+    )
+    build = with_bucket.select(
+        F.col("_bkt"),
+        F.col("event_id").alias("b_event_id"),
+        F.col("ts").alias("b_ts"),
+        F.col("value").alias("b_value"),
+    )
+    pairs = probe.join(build, "_bkt").where(
+        (F.col("b_ts") < F.col("a_ts"))
+        & (F.col("b_ts") > F.col("a_ts") - F.expr(f"INTERVAL {band_us} MICROSECOND"))
+    )
+    return pairs
+
+
+_RANGE_ORACLE = f"""
+SELECT a.event_id,
+       COUNT(*) AS n_preceding,
+       {sql_dec_sum('b.value', 'preceding_value_sum')}
+FROM events a
+JOIN events b
+  ON b.ts > a.ts - INTERVAL 10 MINUTE AND b.ts < a.ts
+GROUP BY a.event_id
+ORDER BY a.event_id
+"""
+
+
+@query("join_range_banded", oracle=_RANGE_ORACLE)
+def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: count + value-sum of events in the 10 minutes before it
+    (strict band, no equality key). Oracle is the naive inequality join;
+    ours is the bucketed band join -- same rows, shuffle-join plan.
+    """
+    events = load_table(spark, sf_dir, "events")
+    pairs = banded_self_join(events, _BAND_US)
+    return (
+        pairs.groupBy(F.col("a_event_id").alias("event_id"))
+        .agg(
+            F.count("*").alias("n_preceding"),
+            dec_sum(F.col("b_value"), "preceding_value_sum"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_ROLLUP_ORACLE = f"""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dec_sum('value', 'value_sum')}
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
+
+@query("agg_time_bucket_rollup", oracle=_ROLLUP_ORACLE)
+def agg_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup: hourly buckets aggregated from raw events,
+    daily buckets re-aggregated FROM the hourly relation (not the raw
+    table). Partial sums stay exact scaled BIGINTs until the final
+    division, so the two-level reaggregation is bit-identical to the
+    oracle's one-level daily aggregate.
+    """
+    events = load_table(spark, sf_dir, "events")
+    f = 10**SCALE
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_h"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * f).cast("long")).alias("s"),
+    )
+    daily = (
+        hourly.groupBy(
+            F.date_format(F.date_trunc("day", "bucket_h"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            (F.sum("s").cast("double") / float(f)).alias("value_sum"),
+        )
+        .orderBy("day", "event_type")
+    )
+    return daily
