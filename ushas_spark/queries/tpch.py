@@ -871,3 +871,197 @@ def q21_suppliers_who_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFram
 
     register_views(spark, sf_dir)
     return spark.sql(_Q21_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Q2 / Q11 / Q20: the three shapes that need the partsupp table the corpus
+# lacks. partsupp is DERIVED identically in both engines from lineitem:
+# ps_supplycost = MIN(l_extendedprice / l_quantity)   (per-row IEEE division
+# then MIN -- comparison-only, so bit-portable), ps_availqty =
+# SUM(l_quantity) (integral-valued doubles < 2^53 -- exact in any
+# accumulation order). This keeps all three classic plan shapes testable:
+# correlated-min (Q2), HAVING-vs-global-aggregate (Q11), nested
+# IN + correlated scalar aggregate (Q20).
+
+_PARTSUPP_CTE = """WITH partsupp AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(l_extendedprice / l_quantity) AS ps_supplycost,
+         SUM(l_quantity) AS ps_availqty
+  FROM lineitem GROUP BY 1, 2)
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the _PARTSUPP_CTE derivation (see block comment)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"),
+        F.sum("l_quantity").alias("ps_availqty"),
+    )
+
+
+def _partsupp_europe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """partsupp joined to its supplier's nation, filtered to EUROPE.
+
+    region/nation are constant-size -> broadcast; the only shuffle is the
+    partsupp aggregation itself.
+    """
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_sup = (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = _partsupp(spark, sf_dir)
+    return ps.join(eu_sup, ps.ps_suppkey == eu_sup.s_suppkey)
+
+
+_Q2_ORACLE = _PARTSUPP_CTE + """
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps.ps_suppkey
+FROM partsupp ps
+JOIN part ON p_partkey = ps.ps_partkey
+JOIN supplier ON s_suppkey = ps.ps_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_size <= 15 AND p_type = 'SMALL' AND r_name = 'EUROPE'
+  AND ps.ps_supplycost = (
+    SELECT MIN(ps2.ps_supplycost)
+    FROM partsupp ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.ps_partkey = ps.ps_partkey AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, ps.ps_suppkey
+LIMIT 100
+"""
+
+
+@query("q2_min_cost_supplier", oracle=_Q2_ORACLE)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest EUROPE supplier per part (correlated MIN
+    subquery). The oracle keeps the textbook correlated scalar subquery;
+    ours computes the per-part minimum with a window over the SAME joined
+    relation -- one scan + one window shuffle on ps_partkey instead of
+    re-executing the 4-way join per the decorrelated plan (the q15
+    exchange-reuse lesson). MIN over doubles is comparison-only, so the
+    equality filter selects bit-identical rows on both engines.
+    (reference analogue: correlated subquery rewrite in
+    catalyst/optimizer/subquery.scala RewriteCorrelatedScalarSubquery)
+    """
+    from pyspark.sql import Window as W
+
+    eu = _partsupp_europe(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "SMALL")
+    )
+    best = eu.withColumn(
+        "_min_cost", F.min("ps_supplycost").over(W.partitionBy("ps_partkey"))
+    ).filter(F.col("ps_supplycost") == F.col("_min_cost"))
+    return (
+        best.join(F.broadcast(part), best.ps_partkey == part.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "ps_suppkey")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey", "ps_suppkey"
+        )
+        .limit(100)
+    )
+
+
+_Q11_SCALED = "SUM(CAST(ROUND(ps_supplycost * ps_availqty * 10000) AS BIGINT))"
+
+_Q11_ORACLE = _PARTSUPP_CTE + f"""
+SELECT ps_partkey,
+       CAST({_Q11_SCALED} AS DOUBLE) / 10000.0 AS value_sum
+FROM partsupp
+JOIN supplier ON ps_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+GROUP BY ps_partkey
+HAVING CAST({_Q11_SCALED} AS DOUBLE) >
+  (SELECT CAST({_Q11_SCALED} AS DOUBLE) * 0.001
+   FROM partsupp
+   JOIN supplier ON ps_suppkey = s_suppkey
+   JOIN nation ON s_nationkey = n_nationkey
+   JOIN region ON n_regionkey = r_regionkey
+   WHERE r_name = 'EUROPE')
+ORDER BY value_sum DESC, ps_partkey
+"""
+
+
+@query("q11_important_stock", oracle=_Q11_ORACLE)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part inventory value vs a fraction of the
+    GLOBAL value (HAVING against a scalar aggregate of the same relation).
+    The oracle re-aggregates in a scalar subquery; ours materialises the
+    grouped relation once (localCheckpoint -- one lineitem scan total),
+    reduces it to a 1-row global sum through a normal partial->final
+    aggregate, and broadcasts that row back. No empty-partition window
+    (which would move EVERY per-part row to a single task -- a wall at
+    billions of parts) and no second scan of the fact table. Value sums
+    use exact scaled-integer partials on both sides, so the > threshold
+    comparison is bit-portable.
+    """
+    eu = _partsupp_europe(spark, sf_dir)
+    scaled = F.round(
+        F.col("ps_supplycost") * F.col("ps_availqty") * 10000
+    ).cast("long")
+    per_part = eu.groupBy("ps_partkey").agg(F.sum(scaled).alias("_s"))
+    per_part = per_part.localCheckpoint(eager=True)
+    total = per_part.agg(F.sum("_s").alias("_total"))
+    with_total = per_part.join(F.broadcast(total))
+    return (
+        with_total.filter(
+            F.col("_s").cast("double") > F.col("_total").cast("double") * 0.001
+        )
+        .select(
+            "ps_partkey",
+            (F.col("_s").cast("double") / 10000.0).alias("value_sum"),
+        )
+        .orderBy(F.col("value_sum").desc(), "ps_partkey")
+    )
+
+
+_Q20_ORACLE = _PARTSUPP_CTE + """
+SELECT s_name, s_suppkey
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE' AND s_suppkey IN (
+  SELECT ps_suppkey FROM partsupp
+  WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    AND ps_availqty > (SELECT 5.0 * SUM(l_quantity) FROM lineitem
+                       WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+                         AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                         AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'))
+ORDER BY s_name, s_suppkey
+"""
+
+
+@query("q20_excess_stock_suppliers", oracle=_Q20_ORACLE)
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN subqueries with a correlated scalar
+    aggregate threshold (suppliers of 'small%' parts whose stock exceeds
+    5x their 1997 shipments -- the multiplier is retuned for this data's
+    date spread so the filter actually discriminates; at the classic 0.5
+    every supplier passes because availqty spans all seven years).
+
+    Run through spark.sql so Catalyst performs BOTH decorrelations: the
+    IN becomes a left semi join and the correlated SUM a co-partitioned
+    aggregate + left outer join (reference: catalyst/optimizer/
+    subquery.scala PullupCorrelatedPredicates / RewritePredicateSubquery)
+    -- every join shuffles on (partkey, suppkey) or suppkey, nothing
+    executes per-row. Empty correlated groups yield NULL and drop out,
+    matching DuckDB.
+    """
+    from ushas_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q20_ORACLE)
