@@ -1,0 +1,162 @@
+"""Training-corpus pipeline operators: split, pack, vocabulary.
+
+The reference has no corpus-preparation surface at all (it is a query
+engine fork; SURVEY.md section 2 note) -- these are the operations a
+100 TB pretraining-data pipeline runs after dedup/quality filtering, so
+they are built as first-class oracle-gated operators:
+
+- **Deterministic train/val/test split**: membership must be a pure
+  function of the example (hash-based), never `rand()` -- reruns,
+  backfills and multi-engine consumers must agree on every row. The
+  60-bit md5 hash (`ushas_spark.operators.dedup.hash60`) is portable
+  across Spark / DuckDB / Python.
+- **Token-budget shard packing**: group documents into fixed-token
+  shards for sequence packing. The global-greedy formulation is a
+  sequential scan (unparallelisable); the scalable variant packs within
+  N hash buckets -- each bucket is an independent window partition, so
+  the prefix sum never single-partitions the corpus, and shard ids
+  (bucket, local_shard) stay deterministic.
+- **Vocabulary top-k**: the classic explode -> count -> top-k. Partial
+  (map-side) aggregation combines counts before the shuffle, so the
+  shuffle volume is distinct-tokens, not total-tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ushas_spark.io import load_table
+from ushas_spark.operators.dedup import hash60, sql_hash60
+from ushas_spark.registry import query
+
+N_PACK_BUCKETS = 32
+# ~850 whitespace tokens per bucket at sf0.001/sf0.01 -- a 300-token
+# budget yields ~3 shards per bucket at gate scale (so the packing
+# boundary is actually exercised) and scales linearly with the corpus.
+SHARD_TOKEN_BUDGET = 300
+
+# train/val/test = 90/5/5 by hash bucket -- membership is a pure function
+# of doc_id, stable across engines, reruns, and scale factors.
+_SPLIT_CASE_SQL = """CASE WHEN {h} % 100 < 90 THEN 'train'
+     WHEN {h} % 100 < 95 THEN 'val' ELSE 'test' END"""
+
+
+def split_column(doc_id: F.Column | str = "doc_id") -> F.Column:
+    h = hash60(F.col(doc_id).cast("string"))
+    return (
+        F.when(h % 100 < 90, "train").when(h % 100 < 95, "val").otherwise("test")
+    )
+
+
+_SPLIT_ORACLE = f"""
+SELECT {_SPLIT_CASE_SQL.format(h=sql_hash60("CAST(doc_id AS VARCHAR)"))} AS split,
+       COUNT(*) AS n_docs,
+       SUM(CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)) AS tok_sum,
+       SUM(n_chars) AS char_sum
+FROM documents
+GROUP BY 1
+ORDER BY split
+"""
+
+
+@query("pipeline_train_test_split", oracle=_SPLIT_ORACLE)
+def pipeline_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 hash split with per-split document/token/char accounting.
+    All sums are integer-exact, so the oracle comparison is trivial."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", r"\s+")).cast("long")
+    return (
+        docs.select(split_column().alias("split"), toks.alias("tok"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").alias("tok_sum"),
+            F.sum("n_chars").alias("char_sum"),
+        )
+        .orderBy("split")
+    )
+
+
+_PACK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         {sql_hash60("CAST(doc_id AS VARCHAR)")} AS h,
+         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS tok
+  FROM documents),
+packed AS (
+  SELECT h % {N_PACK_BUCKETS} AS bucket, doc_id, tok,
+         SUM(tok) OVER (PARTITION BY h % {N_PACK_BUCKETS} ORDER BY h, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM toks)
+SELECT bucket,
+       (cum - tok) // {SHARD_TOKEN_BUDGET} AS shard,
+       COUNT(*) AS n_docs,
+       SUM(tok) AS shard_tokens
+FROM packed
+GROUP BY 1, 2
+ORDER BY bucket, shard
+"""
+
+
+@query("pipeline_pack_shards", oracle=_PACK_ORACLE)
+def pipeline_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into ~{budget}-token shards within hash buckets.
+
+    A document starts the next shard when the running total before it
+    crosses the budget boundary (start-offset packing -- a pure windowed
+    prefix sum; greedy bin-closing would need a sequential scan). Window
+    partitions are the N hash buckets, so at 100 TB each bucket's prefix
+    sum is an independent task and nothing funnels to one executor.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    h = hash60(F.col("doc_id").cast("string"))
+    toks = F.size(F.split("text", r"\s+")).cast("long")
+    base = docs.repartition(n).select(
+        "doc_id", h.alias("h"), toks.alias("tok")
+    ).withColumn("bucket", F.col("h") % N_PACK_BUCKETS)
+    w = (
+        W.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = base.withColumn("cum", F.sum("tok").over(w)).withColumn(
+        "shard", F.expr(f"(cum - tok) DIV {SHARD_TOKEN_BUDGET}")
+    )
+    return (
+        packed.groupBy("bucket", "shard")
+        .agg(F.count("*").alias("n_docs"), F.sum("tok").alias("shard_tokens"))
+        .orderBy("bucket", "shard")
+    )
+
+
+_VOCAB_ORACLE = """
+SELECT token, COUNT(*) AS freq
+FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+      FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY freq DESC, token
+LIMIT 50
+"""
+
+
+@query("text_vocab_topk", oracle=_VOCAB_ORACLE)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 tokens by frequency (vocabulary head). Explode -> partial
+    count -> shuffle on token -> TakeOrderedAndProject; ties broken by
+    token text so the LIMIT is deterministic on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    tok = docs.repartition(n).select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+    )
+    return (
+        tok.filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(50)
+    )

@@ -65,6 +65,7 @@ def load_all() -> None:
         dedup,
         ivf,
         multimodal,
+        pipeline,
         rangejoin,
         similarity,
         skew,
