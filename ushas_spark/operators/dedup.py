@@ -103,9 +103,21 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs Jaccard >= threshold via shingle inverted index."""
+    """All-pairs Jaccard >= threshold via shingle inverted index.
+
+    The shingle explode is referenced THREE times downstream (join side a,
+    join side b, the per-doc size aggregate) -- materialize it once with
+    localCheckpoint or the md5-per-shingle hashing runs 3x; and
+    repartition first because the documents table is a single parquet
+    file (one partition) at small SFs.
+    """
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(shingles()).alias("shingle"))
+    n = spark.sparkContext.defaultParallelism
+    sh = (
+        d.repartition(n)
+        .select("doc_id", F.explode(shingles()).alias("shingle"))
+        .localCheckpoint(eager=True)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -469,7 +481,6 @@ def connected_components(
     - the convergence probe aggregates a single change count per round
       (a scalar to the driver, not data).
     """
-    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
     # Materialize the (possibly expensive) edge derivation ONCE -- the
     # iteration re-reads `sym` every round, and without this the entire
     # upstream pipeline (e.g. the Jaccard inverted-index join) re-executes
@@ -479,7 +490,18 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
         .localCheckpoint(eager=True)
     )
-    labels = labels.localCheckpoint(eager=True)
+    # Iterate ONLY over nodes that appear in an edge: singletons (the vast
+    # majority of a deduped corpus) can never change label, so they join
+    # back in once at the end instead of riding every round's shuffles.
+    # At 100 TB this shrinks the iterated relation to the candidate-pair
+    # minority; at sf0.1 it is 477 of 5000 docs (10x less per-round
+    # shuffle; whole query 5.2s -> 4.8s isolated, best-of-3).
+    labels = (
+        sym.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.s == labels.id)
@@ -506,7 +528,11 @@ def connected_components(
         labels = new_labels.drop("_chg")
         if changed == 0:
             break
-    return labels
+    # Re-attach singletons: every node not in any edge labels itself.
+    all_nodes = nodes.select(F.col(id_col).alias("id"))
+    return all_nodes.join(labels, "id", "left").select(
+        "id", F.coalesce("label", F.col("id")).alias("label")
+    )
 
 
 _CLUSTER_ORACLE = f"""
