@@ -349,3 +349,29 @@ def agg_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("l_orderkey")
     )
+
+
+_HISTOGRAM_ORACLE = f"""
+SELECT CAST(LEAST(FLOOR(value / 50.0), 9) AS BIGINT) AS bin,
+       COUNT(*) AS n,
+       {sql_dec_sum('value', 'bin_value_sum')}
+FROM events
+GROUP BY 1
+ORDER BY bin
+"""
+
+
+@query("agg_histogram_bins", oracle=_HISTOGRAM_ORACLE)
+def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (10 bins of 50 over events.value, last bin
+    open-ended): the numeric-profiling primitive. The bin expression is
+    per-row IEEE floor division -- bit-portable -- and the per-bin sums
+    use exact scaled integers. One map-side-combining aggregation, no
+    skew (bins are bounded)."""
+    e = load_table(spark, sf_dir, "events")
+    bin_col = F.least(F.floor(F.col("value") / 50.0), F.lit(9)).cast("long")
+    return (
+        e.groupBy(bin_col.alias("bin"))
+        .agg(F.count("*").alias("n"), dec_sum(F.col("value"), "bin_value_sum"))
+        .orderBy("bin")
+    )

@@ -237,3 +237,68 @@ def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last_value("o_orderkey").over(wfull).alias("last_key"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+_SESSIONIZE_ORACLE = """
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM marked)
+SELECT user_id, session_idx,
+       COUNT(*) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS t_start,
+       (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS duration_s
+FROM sess
+GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
+
+
+@query("window_sessionize_gaps", oracle=_SESSIONIZE_ORACLE)
+def window_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: 30-minute-gap sessions via lag -> boundary
+    flag -> running sum (the batch twin of streaming_session_window).
+    Two window passes over ONE shuffle on user_id -- both windows share
+    the (user_id, ts, event_id) sort order so Catalyst plans a single
+    Exchange + Sort feeding both Window operators. Duration math stays in
+    integer microseconds (epoch), so the oracle comparison is exact.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap_us = 30 * 60 * 1_000_000
+    marked = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > gap_us
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = marked.withColumn("session_idx", F.sum("new_sess").over(wrun))
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("t_start"),
+            F.expr(
+                "(unix_micros(max(ts)) - unix_micros(min(ts))) DIV 1000000"
+            ).alias("duration_s"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
