@@ -74,10 +74,18 @@ def main() -> None:
     if extra:
         names = [n.strip() for n in extra.split(",") if n.strip() in registry.QUERIES]
 
+    # Global warm pass: one untimed run of the whole suite first. JIT
+    # compilation of the shared operator kernels (parquet reader, hash agg,
+    # SMJ) otherwise lands entirely on whichever query runs first and
+    # misattributes ~2-8s of one-time JVM cost to it. The reference
+    # benchmark methodology likewise times only warm iterations.
+    for name in names:
+        _run_once(registry.QUERIES[name], spark, sf_dir)
+
     timings: dict[str, float] = {}
     for name in names:
         fn = registry.QUERIES[name]
-        _run_once(fn, spark, sf_dir)  # warm-up: JVM JIT + parquet footer cache
+        _run_once(fn, spark, sf_dir)  # per-query warm-up: plan + footer cache
         timings[name] = min(_run_once(fn, spark, sf_dir) for _ in range(ITERATIONS))
 
     out = {

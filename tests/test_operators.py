@@ -50,6 +50,27 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.2, f"IVF recall too low: {recall:.2f}"
 
 
+def test_hamming_quantized_recall(spark, sf_dir):
+    """Sign-quantized (packed-bit) Hamming top-k must recover a floor
+    fraction of the true cosine top-k -- 64 sign bits on this corpus
+    measures ~26% recall; the floor pins regressions, not the ceiling."""
+    from ushas_spark.operators.similarity import sim_hamming_packed_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), "e")
+    brute = {
+        (r.qid, r.cand_id) for r in similarity.cosine_topk(q, emb, k=10).collect()
+    }
+    ham = {
+        (r.qid, r.cand_id)
+        for r in sim_hamming_packed_topk(spark, sf_dir).collect()
+    }
+    recall = len(brute & ham) / len(brute)
+    assert recall >= 0.15, f"quantized recall too low: {recall:.2f}"
+
+
 def test_simhash_hamming_pairs(spark, sf_dir):
     """Byte-banded SimHash candidates: every returned pair respects the
     Hamming bound and near-dup docs (bag-fingerprint collisions) are

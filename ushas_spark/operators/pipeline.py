@@ -160,3 +160,71 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), "token")
         .limit(50)
     )
+
+
+_DECONTAM_EVAL_MOD = 50  # doc_id % 50 == 0 plays the held-out benchmark set
+
+_DECONTAM_ORACLE = f"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+           FROM documents),
+ng AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+         ELSE [] END AS ngs
+  FROM t
+),
+flat AS (SELECT doc_id, unnest(ngs) AS ng FROM ng),
+ev AS (SELECT DISTINCT ng FROM flat WHERE doc_id % {_DECONTAM_EVAL_MOD} = 0),
+tr AS (SELECT doc_id, ng FROM flat WHERE doc_id % {_DECONTAM_EVAL_MOD} <> 0)
+SELECT tr.doc_id, COUNT(DISTINCT tr.ng) AS n_shared_ngrams
+FROM tr JOIN ev ON tr.ng = ev.ng
+GROUP BY tr.doc_id
+ORDER BY tr.doc_id
+"""
+
+
+@query("pipeline_decontaminate", oracle=_DECONTAM_ORACLE)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word 3-gram with the held-out eval split (doc_id % 50 == 0 here; in
+    production the eval side is the benchmark suite itself). The list of
+    flagged docs feeds an anti-join that drops them from the corpus.
+
+    Scale shape: the eval n-gram set is tiny relative to the corpus
+    (benchmarks are MBs, the corpus is TBs) -> distinct it and BROADCAST
+    it; the train side streams through explode -> broadcast-hash
+    semi-match -> partial distinct-count. The 100 TB cost is one corpus
+    scan, no shuffle of the full n-gram stream.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    n = F.size(toks)
+    ngs = F.when(
+        n >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    flat = d.select("doc_id", F.explode(ngs).alias("ng"))
+    ev = (
+        flat.filter(F.col("doc_id") % _DECONTAM_EVAL_MOD == 0)
+        .select("ng")
+        .distinct()
+    )
+    tr = flat.filter(F.col("doc_id") % _DECONTAM_EVAL_MOD != 0)
+    return (
+        tr.join(F.broadcast(ev), "ng")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("ng").alias("n_shared_ngrams"))
+        .orderBy("doc_id")
+    )

@@ -215,6 +215,100 @@ def text_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_REPETITION_ORACLE = """
+WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+           FROM documents),
+base AS (
+  SELECT doc_id,
+         len(toks) AS n_tok,
+         len(list_distinct(toks)) AS n_uniq,
+         CASE WHEN len(toks) >= 2 THEN
+           list_transform(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+                          p -> p[1] || ' ' || p[2])
+         ELSE [] END AS bgs
+  FROM t
+),
+ex AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM ex GROUP BY doc_id, tok),
+tc AS (SELECT doc_id, MAX(c) AS top_cnt FROM cnt GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(b.n_tok AS BIGINT) AS n_tok,
+       CAST(ROUND((1.0 - CAST(b.n_uniq AS DOUBLE) / b.n_tok) * 10000)
+            AS BIGINT) AS dup_tok_x10k,
+       CAST(ROUND(CAST(tc.top_cnt AS DOUBLE) / b.n_tok * 10000)
+            AS BIGINT) AS top_tok_x10k,
+       CASE WHEN len(b.bgs) > 0 THEN
+         CAST(ROUND((1.0 - CAST(len(list_distinct(b.bgs)) AS DOUBLE)
+                     / len(b.bgs)) * 10000) AS BIGINT)
+       ELSE CAST(0 AS BIGINT) END AS dup_bigram_x10k
+FROM base b JOIN tc ON b.doc_id = tc.doc_id
+ORDER BY b.doc_id
+"""
+
+
+@query("text_repetition_score", oracle=_REPETITION_ORACLE)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-token
+    fraction, most-frequent-token fraction, duplicate-bigram fraction
+    (the rule family that catches boilerplate / keyword-stuffed pages
+    before pretraining).
+
+    Scale shape: the array-side fractions are pure per-row column
+    arithmetic (codegen'd, no shuffle); the top-token count is the only
+    shuffle -- explode -> partial count -> per-doc max, shuffled on
+    doc_id so it rides the same partitioning as the final join. No
+    Python anywhere. Fractions ship as scaled integers (engine-exact).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    bigrams = F.when(
+        n_tok >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n_tok - 1),
+            F.slice(toks, 2, n_tok - 1),
+            lambda x, y: F.concat_ws(" ", x, y),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = d.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tok"),
+        F.round((1.0 - n_uniq.cast("double") / n_tok) * 10_000)
+        .cast("long")
+        .alias("dup_tok_x10k"),
+        F.when(
+            F.size(bigrams) > 0,
+            F.round(
+                (1.0 - F.size(F.array_distinct(bigrams)).cast("double") / F.size(bigrams))
+                * 10_000
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("dup_bigram_x10k"),
+    )
+    top = (
+        d.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_cnt"))
+    )
+    return (
+        base.join(top, "doc_id")
+        .select(
+            "doc_id",
+            "n_tok",
+            "dup_tok_x10k",
+            F.round(F.col("top_cnt").cast("double") / F.col("n_tok") * 10_000)
+            .cast("long")
+            .alias("top_tok_x10k"),
+            "dup_bigram_x10k",
+        )
+        .orderBy("doc_id")
+    )
+
+
 _FINGERPRINT_ORACLE = """
 WITH fp AS (
   SELECT doc_id,

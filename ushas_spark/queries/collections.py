@@ -281,3 +281,29 @@ def stack_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey", "metric")
     )
+
+
+@query(
+    "melt_unpivot_api",
+    oracle="""
+SELECT p_partkey, metric, val
+FROM (
+  SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+  UNION ALL
+  SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part
+)
+ORDER BY p_partkey, metric
+""",
+)
+def melt_unpivot_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame unpivot/melt API (Spark 3.4+) -- same Expand-based plan
+    as stack() but typed through the DataFrame API; value columns are
+    cast to a common type first (unpivot requires it)."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").alias("p_retailprice"),
+    )
+    return p.unpivot(
+        "p_partkey", ["p_size", "p_retailprice"], "metric", "val"
+    ).orderBy("p_partkey", "metric")

@@ -150,3 +150,47 @@ def sql_window_over_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window function over an aggregate result (SUM(COUNT(*)) OVER ()) --
     the analyzer must nest agg-then-window (window.sql family)."""
     return _sql(spark, sf_dir, _NESTED_AGG_SUBQ)
+
+
+_LATERAL_CORRELATED = """
+SELECT n.n_name, t.top_cust, t.top_bal
+FROM nation n,
+LATERAL (
+  SELECT c_name AS top_cust, c_acctbal AS top_bal
+  FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name
+  LIMIT 1
+) t
+ORDER BY n.n_name
+"""
+
+
+@query("sql_lateral_correlated", oracle=_LATERAL_CORRELATED)
+def sql_lateral_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery in FROM (top-1-per-group as a lateral
+    join) -- the Spark 3.2+ upgrade over the reference's 2.4 parser, which
+    only had LATERAL VIEW generators. Planned as a correlated
+    DomainJoin -> rewritten to a join + window internally; nations with no
+    customers drop out (inner lateral semantics, identical in DuckDB)."""
+    return _sql(spark, sf_dir, _LATERAL_CORRELATED)
+
+
+_INTERVAL_ARITH = """
+SELECT o_orderkey,
+       CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS STRING) AS due_date,
+       CAST(CAST(o_orderdate - INTERVAL 1 MONTH AS DATE) AS STRING) AS prior_month,
+       CAST(CAST(o_orderdate + INTERVAL 2 HOUR AS TIMESTAMP) AS STRING) AS plus_2h
+FROM orders
+WHERE o_orderkey <= 2000
+ORDER BY o_orderkey
+"""
+
+
+@query("sql_interval_arithmetic", oracle=_INTERVAL_ARITH)
+def sql_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL literal arithmetic through the parser (reference:
+    CalendarIntervalType, datetimeExpressions TimeAdd/TimeSub). Month
+    addition end-of-month clamping agrees across engines; outputs cast to
+    DATE/TIMESTAMP so the comparison is type-stable."""
+    return _sql(spark, sf_dir, _INTERVAL_ARITH)
