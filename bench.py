@@ -47,7 +47,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_cluster_components",
     "sim_brute_force_topk",
+    "sim_hamming_packed_topk",
     "text_quality_score",
+    "text_repetition_score",
+    "pipeline_decontaminate",
 ]
 
 ITERATIONS = 3  # best-of-N, after one untimed warm-up

@@ -307,3 +307,33 @@ def melt_unpivot_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.unpivot(
         "p_partkey", ["p_size", "p_retailprice"], "metric", "val"
     ).orderBy("p_partkey", "metric")
+
+
+_VARIANT_ORACLE = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+       json_extract_string(props, '$.k') AS k_str
+FROM events
+WHERE event_id < 3000
+ORDER BY event_id
+"""
+
+
+@query("expr_variant_get", oracle=_VARIANT_ORACLE)
+def expr_variant_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType: parse_json into an open-schema variant, then
+    typed path extraction with variant_get -- the modern replacement for
+    stringly-typed get_json_object on semi-structured columns (binary
+    encoding, no per-access reparse; at 100 TB the parse happens once at
+    ingest and shredded access stays columnar)."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return (
+        e.filter(F.col("event_id") < 3000)
+        .select(
+            "event_id",
+            F.variant_get(v, "$.k", "bigint").alias("k_num"),
+            F.variant_get(v, "$.k", "string").alias("k_str"),
+        )
+        .orderBy("event_id")
+    )

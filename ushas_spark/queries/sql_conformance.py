@@ -194,3 +194,18 @@ def sql_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     addition end-of-month clamping agrees across engines; outputs cast to
     DATE/TIMESTAMP so the comparison is type-stable."""
     return _sql(spark, sf_dir, _INTERVAL_ARITH)
+
+
+_GROUP_BY_ALL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY ALL
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+@query("sql_group_by_all", oracle=_GROUP_BY_ALL)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (infer grouping keys from the select list) -- Spark
+    3.4+ / DuckDB shared surface; same SQL text runs on both engines."""
+    return _sql(spark, sf_dir, _GROUP_BY_ALL)

@@ -302,3 +302,45 @@ def window_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_idx")
     )
+
+
+_GAP_FILL_ORACLE = """
+WITH s AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 7 < 3 THEN NULL ELSE o_totalprice END AS sparse_val
+  FROM orders
+)
+SELECT o_orderkey, o_orderstatus, sparse_val,
+       last_value(sparse_val IGNORE NULLS) OVER (
+         PARTITION BY o_orderstatus ORDER BY o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_val
+FROM s
+ORDER BY o_orderstatus, o_orderkey
+"""
+
+
+@query("window_gap_fill_locf", oracle=_GAP_FILL_ORACLE)
+def window_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward gap fill: last_value IGNORE NULLS
+    over a running frame (the timeseries forward-fill operator; reference
+    windowExpressions.scala Lead/Lag ignoreNulls flags). Leading rows of a
+    partition with no prior observation stay NULL in both engines. One
+    shuffle on the partition key; no Python."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_orderstatus")
+        .orderBy("o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sparse = F.when(F.col("o_orderkey") % 7 < 3, F.lit(None)).otherwise(
+        F.col("o_totalprice")
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            sparse.alias("sparse_val"),
+        )
+        .withColumn("filled_val", F.last("sparse_val", ignorenulls=True).over(w))
+        .orderBy("o_orderstatus", "o_orderkey")
+    )
