@@ -197,3 +197,35 @@ def test_catalog_ddl_create_insert_drop(spark, sf_dir, tmp_path):
     assert not any(
         t.name in ("ddl_nation", "ddl_ctas") for t in spark.catalog.listTables()
     )
+
+
+def test_xml_roundtrip(spark, sf_dir, tmp_path):
+    """Native XML source/sink (Spark 4.0+; upgrade over the reference,
+    which only had xpath_* expressions over strings). Row-tag framed
+    write then schema-inferred read must round-trip values."""
+    n = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_xml")
+    n.write.format("xml").option("rowTag", "nation").mode("overwrite").save(path)
+    back = spark.read.format("xml").option("rowTag", "nation").load(path)
+    assert sorted(back.columns) == sorted(n.columns)
+    a = {tuple(r) for r in n.select("n_nationkey", "n_name").collect()}
+    b = {tuple(r) for r in back.select("n_nationkey", "n_name").collect()}
+    assert a == b
+
+
+def test_observation_metrics(spark, sf_dir):
+    """df.observe(Observation, ...) -- executor-side accumulated metrics
+    piggybacking on a normal action (the CollectMetrics operator); the
+    zero-extra-pass way to audit row counts / invariants inline at 100 TB."""
+    from pyspark.sql import Observation
+
+    o = load_table(spark, sf_dir, "orders")
+    obs = Observation("audit")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)).alias("n_bad"),
+    )
+    total = observed.count()
+    assert obs.get["n_rows"] == total
+    assert obs.get["n_bad"] == 0

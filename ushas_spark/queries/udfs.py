@@ -243,3 +243,44 @@ def udf_sql_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT p_partkey, ushas_szsq(p_size) AS szsq FROM part ORDER BY p_partkey"
     )
+
+
+_UDTF_ORACLE = """
+WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+           FROM documents WHERE doc_id < 5)
+SELECT doc_id,
+       unnest(toks) AS tok,
+       unnest(range(0, len(toks))) AS pos
+FROM t
+ORDER BY doc_id, pos
+"""
+
+
+@query("udf_python_udtf", oracle=_UDTF_ORACLE)
+def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real Python UDTF (Spark 3.5+ @udtf, reference parity:
+    UserDefinedGenerator generators.scala:91 / Hive GenericUDTF): a
+    table function lateral-joined per input row, yielding (token, pos)
+    rows. Arrow-batched eval; the generator runs in Python, so this is
+    the API-coverage path -- the hot-path equivalent is posexplode(split)
+    (see posexplode_with_position), which stays JVM-side."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="tok string, pos int")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, t in enumerate(re.split(r"\s+", text)):
+                yield t, i
+
+    spark.udtf.register("ushas_tokenize", Tokenize)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.tok, t.pos
+        FROM documents d, LATERAL ushas_tokenize(d.text) t
+        WHERE d.doc_id < 5
+        ORDER BY d.doc_id, t.pos
+        """
+    )
