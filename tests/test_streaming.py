@@ -132,3 +132,21 @@ def test_streaming_lineage(spark, sf_dir):
     assert any(col == "sum_value" and "value" == src_col for col, _, src_col in edges)
     srcs = {s for _, s, _ in edges}
     assert srcs  # every leaf got some source identity
+
+
+@pytest.mark.skipif(
+    not ops.supports_transform_with_state(),
+    reason="google.protobuf unavailable in this container "
+    "(transformWithState state-server dependency)",
+)
+def test_transform_with_state_running_count(spark, sf_dir):
+    """transformWithStateInPandas running count must agree with the batch
+    groupBy count on a finite replay."""
+    ev = ops.read_events_stream(spark, sf_dir)
+    out = ops.run_to_memory(
+        ops.running_count_with_state(ev), "t_tws", output_mode="update"
+    )
+    got = {(r.user_id, r.n_events) for r in out.collect()}
+    batch = load_table(spark, sf_dir, "events").groupBy("user_id").count()
+    want = {(r.user_id, r["count"]) for r in batch.collect()}
+    assert got == want

@@ -234,3 +234,54 @@ def sessionize_with_state(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def supports_transform_with_state() -> bool:
+    """transformWithStateInPandas needs `google.protobuf` for its state
+    server protocol; absent in this container (environment gate, like
+    JDBC). The operator below is the real cluster formulation."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_count_with_state(events: DataFrame) -> DataFrame:
+    """Per-user running event count via transformWithStateInPandas (the
+    Spark 4 successor of applyInPandasWithState / the reference's
+    FlatMapGroupsWithState, plans/logical/object.scala:365-409):
+    typed ValueState per key, RocksDB-backed, schema-validated state.
+    Emits the cumulative count per key per micro-batch (Update mode)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.count = handle.getValueState("count", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            total = sum(len(pdf) for pdf in rows)
+            prev = self.count.get()
+            n = (prev[0] if prev else 0) + total
+            self.count.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+        def close(self) -> None:
+            pass
+
+    spark = events.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return events.select("user_id").groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningCount(),
+        outputStructType="user_id BIGINT, n_events BIGINT",
+        outputMode="Update",
+        timeMode="None",
+    )
