@@ -194,3 +194,30 @@ def test_q9_broadcasts_filtered_dims(spark, sf_dir):
     joins may shuffle."""
     plan = _plan(QUERIES["q9_product_type_profit"](spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_decontaminate_broadcasts_eval_ngrams(spark, sf_dir):
+    """The eval-side n-gram set must be the broadcast build side -- at
+    100 TB the benchmark suite is MBs while the corpus is TBs, so a
+    shuffle join here would shuffle the full corpus n-gram stream."""
+    plan = _plan(QUERIES["pipeline_decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_hamming_topk_broadcasts_queries(spark, sf_dir):
+    """Packed-bit Hamming ANN: query set broadcast against the streamed
+    corpus (BroadcastNestedLoopJoin over the != predicate); the corpus
+    itself must never be the build side."""
+    plan = _plan(QUERIES["sim_hamming_packed_topk"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_repetition_score_single_doc_shuffle(spark, sf_dir):
+    """The array-side fractions are per-row arithmetic; only the
+    top-token explode path may shuffle (partial count -> doc_id agg ->
+    join) plus the final presentation sort: at most 4 exchanges, and
+    never a cartesian join."""
+    plan = _plan(QUERIES["text_repetition_score"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 4, plan
