@@ -1,0 +1,94 @@
+"""Scale-stress checks on synthetic in-memory data (spark.range), far
+above the parquet fixtures' row counts. The sf* parquet files are single
+row-groups (scan parallelism 1 locally), so these are the only tests
+that exercise the operators' *distributed* shape on this machine:
+32-partition inputs, real shuffles, no driver collects of bulk data.
+
+They assert correctness properties (planted near-dup recall, session
+count invariants), not wall-time -- timing belongs to bench.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ushas_spark.operators.dedup import lsh_candidates, minhash_signatures
+
+N_DOCS = 120_000  # 60k planted near-dup pairs
+N_EVENTS = 2_000_000
+N_USERS = 50_000
+
+
+def test_minhash_lsh_planted_neardup_recall(spark):
+    """120k synthetic docs: ids (2k, 2k+1) share a 30-token text, the odd
+    one appends one extra token (Jaccard ~ 30/31). MinHash-LSH candidate
+    generation must recover nearly all planted pairs while staying far
+    below the O(N^2) pair space."""
+    base = spark.range(N_DOCS, numPartitions=32)
+    text0 = F.concat_ws(
+        " ",
+        F.expr(
+            "transform(sequence(1, 30), "
+            "i -> substring(md5(concat(string((id DIV 2) * 2), ':', string(i))), 1, 6))"
+        ),
+    )
+    docs = base.select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 2 == 1,
+            F.concat(text0, F.lit(" "), F.substring(F.md5(F.col("id").cast("string")), 1, 6)),
+        )
+        .otherwise(text0)
+        .alias("text"),
+    )
+    cand = lsh_candidates(minhash_signatures(docs))
+    n_cand = cand.count()
+    # planted pair (2k, 2k+1) appears as doc_a=2k, doc_b=2k+1
+    hits = cand.filter(
+        (F.col("doc_a") % 2 == 0) & (F.col("doc_b") == F.col("doc_a") + 1)
+    ).count()
+    recall = hits / (N_DOCS / 2)
+    assert recall >= 0.8, f"planted near-dup recall {recall:.3f}"
+    # candidate set must stay near-linear, nowhere near the 7.2e9 pair space
+    assert n_cand < N_DOCS * 20, n_cand
+
+
+def test_gap_sessionization_invariants_2m_events(spark):
+    """2M synthetic events over 50k users: the lag -> boundary -> running
+    sum sessionization must satisfy the structural invariants (one
+    session per user minimum, session count equals boundary count, no
+    session longer than its user's event count) with the corpus shuffled
+    across 32 partitions."""
+    ev = spark.range(N_EVENTS, numPartitions=32).select(
+        (F.col("id") % N_USERS).alias("user_id"),
+        F.timestamp_micros(
+            (F.lit(1_600_000_000_000_000) + (F.xxhash64("id") % 864_000) * 1_000_000)
+        ).alias("ts"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "user_id")
+    gap_s = 1800
+    with_gap = ev.withColumn(
+        "new_session",
+        (
+            F.coalesce(
+                (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > gap_s,
+                F.lit(True),
+            )
+        ).cast("int"),
+    )
+    sess = with_gap.withColumn(
+        "session_idx", F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    agg = sess.groupBy("user_id", "session_idx").agg(F.count("*").alias("n_events"))
+    per_user = agg.groupBy("user_id").agg(
+        F.max("session_idx").alias("n_sessions"), F.sum("n_events").alias("n_ev")
+    )
+    row = per_user.agg(
+        F.count("*").alias("users"),
+        F.sum("n_ev").alias("total_events"),
+        F.min("n_sessions").alias("min_sessions"),
+    ).collect()[0]
+    assert row.users == N_USERS
+    assert row.total_events == N_EVENTS
+    assert row.min_sessions >= 1

@@ -109,6 +109,8 @@ def test_bernoulli_sample_seeded(spark, sf_dir):
     KEYWORD -- ``df.sample(0.2, seed=42)`` hits PySpark's positional-arg
     shuffling (fraction lands in the withReplacement slot) and the seed is
     silently regenerated per call, making results non-reproducible."""
+    from pyspark.sql import functions as F
+
     from ushas_spark.io import load_table
 
     o = load_table(spark, sf_dir, "orders")
@@ -117,3 +119,20 @@ def test_bernoulli_sample_seeded(spark, sf_dir):
     total = o.count()
     assert n1 == n2
     assert 0.1 * total < n1 < 0.3 * total
+
+
+def test_rand_randn_seeded(spark, sf_dir):
+    """Seeded rand/randn (reference: randomExpressions.scala, seeds fixed
+    by ResolveRandomSeed): reproducible across runs, correct ranges.
+    Excluded from the DuckDB gate by nature (engine-specific PRNG)."""
+    from pyspark.sql import functions as F
+
+    from ushas_spark.io import load_table
+
+    o = load_table(spark, sf_dir, "orders").limit(500)
+    a = [r.u for r in o.select(F.rand(seed=7).alias("u")).collect()]
+    b = [r.u for r in o.select(F.rand(seed=7).alias("u")).collect()]
+    assert a == b
+    assert all(0.0 <= x < 1.0 for x in a)
+    n = [r.z for r in o.select(F.randn(seed=7).alias("z")).collect()]
+    assert abs(sum(n) / len(n)) < 0.3  # loose CLT sanity bound
