@@ -44,6 +44,7 @@ HEADLINE = [
     # subquery decorrelation
     "subq_scalar_correlated",
     # LLM-pipeline extensions
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_cluster_components",
     "sim_brute_force_topk",

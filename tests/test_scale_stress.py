@@ -92,3 +92,62 @@ def test_gap_sessionization_invariants_2m_events(spark):
     assert row.users == N_USERS
     assert row.total_events == N_EVENTS
     assert row.min_sessions >= 1
+
+
+def test_ngram_jaccard_hot_shingle_bucket_bounded(spark):
+    """Planted skew: 5k docs that all share one ubiquitous trigram
+    ("the quick brown" prefix) plus distinct tails. Without the
+    NGRAM_DF_CAP stop-shingle filter the inverted-index self-join would
+    emit ~12.5M pairs from that single shingle; with it, the shared
+    shingle's document frequency (5000 > cap) removes it from the index
+    and the candidate pair count stays near-linear."""
+    from ushas_spark.operators.dedup import NGRAM_DF_CAP, shingles
+
+    n_docs = 5_000
+    docs = spark.range(n_docs, numPartitions=32).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("the quick brown "),
+            F.expr(
+                "concat_ws(' ', transform(sequence(1, 6), "
+                "i -> substring(md5(concat(string(id), ':', string(i))), 1, 6)))"
+            ),
+        ).alias("text"),
+    )
+    sh_all = docs.select("doc_id", F.explode(shingles()).alias("shingle"))
+    hot = (
+        sh_all.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > NGRAM_DF_CAP)
+    )
+    # the planted stop-shingle is over the cap...
+    assert hot.filter(F.col("shingle") == "the quick brown").count() == 1
+    sh = sh_all.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    pairs = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .count()
+    )
+    # ...and without it the capped join stays near-linear: the uncapped
+    # version would have >= C(5000,2)*[pairs per hot shingle] ~ 12.5M+.
+    assert pairs < n_docs * 10, pairs
+
+
+def test_salted_join_salt_is_deterministic_across_runs(spark):
+    """The salt must be identical on re-execution (task retry /
+    speculation safety): two independent evaluations of the salted big
+    side must assign every row the same salt."""
+    from pyspark.sql import functions as SF
+
+    big = spark.range(10_000, numPartitions=16).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    salted = big.withColumn("_salt", SF.pmod(SF.xxhash64(*big.columns), SF.lit(8)))
+    a = salted.groupBy("k").agg(F.first("_salt").alias("s1"))
+    b = salted.groupBy("k").agg(F.first("_salt").alias("s2"))
+    diff = a.join(b, "k").filter(F.col("s1") != F.col("s2")).count()
+    assert diff == 0

@@ -229,3 +229,35 @@ def test_observation_metrics(spark, sf_dir):
     total = observed.count()
     assert obs.get["n_rows"] == total
     assert obs.get["n_bad"] == 0
+
+
+def test_jdbc_partitioned_read_and_pushdown(spark, sf_dir, tmp_path):
+    """JDBC source: partitioned parallel read (partitionColumn bounds ->
+    numPartitions JDBC slices) and predicate pushdown into the
+    JDBCRelation scan (PushedFilters in the plan)."""
+    from ushas_spark.io import load_table
+
+    url = f"jdbc:derby:{tmp_path}/jdbcdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    cust.write.jdbc(url, "customer_t", mode="overwrite", properties=props)
+
+    part = spark.read.jdbc(
+        url,
+        "customer_t",
+        column="c_custkey",
+        lowerBound=0,
+        upperBound=cust.count() + 1,
+        numPartitions=4,
+        properties=props,
+    )
+    assert part.rdd.getNumPartitions() == 4
+    assert part.count() == cust.count()
+
+    filtered = part.filter(F.col("c_nationkey") == 3)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "c_nationkey" in plan
+    expected = cust.filter(F.col("c_nationkey") == 3).count()
+    assert filtered.count() == expected

@@ -150,3 +150,86 @@ def test_transform_with_state_running_count(spark, sf_dir):
     batch = load_table(spark, sf_dir, "events").groupBy("user_id").count()
     want = {(r.user_id, r["count"]) for r in batch.collect()}
     assert got == want
+
+
+def test_streaming_limit_emits_exactly_n(spark, sf_dir, multi_batch_dir):
+    """StreamingGlobalLimitExec: .limit(n) on an append stream emits
+    exactly n rows across multiple micro-batches (state carries the
+    running total; later batches top up, then stop)."""
+    total = load_table(spark, sf_dir, "events").count()
+    n = min(150, total - 1)
+    limited = ops.streaming_limit(_stream_from(spark, multi_batch_dir), n)
+    out = ops.run_to_memory(limited, "t_limit_test", output_mode="append")
+    assert out.count() == n
+
+
+def test_console_sink_smoke(spark, sf_dir):
+    """Console sink (reference: execution/streaming/sources/
+    ConsoleWriter.scala): the format('console') writer must plan and run
+    a finite replay to completion."""
+    events = ops.read_events_stream(spark, sf_dir)
+    q = (
+        events.groupBy("event_type")
+        .count()
+        .writeStream.outputMode("complete")
+        .format("console")
+        .option("numRows", "3")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert q.lastProgress is not None
+    finally:
+        q.stop()
+
+
+def test_socket_source_smoke(spark):
+    """Socket source (reference: execution/streaming/sources/socket.scala):
+    serve lines over a loopback socket, read with format('socket'), and
+    check the lines arrive in a memory sink. Skips if the container
+    forbids loopback listeners."""
+    import socket
+    import threading
+    import time
+
+    lines = [f"line-{i}" for i in range(20)]
+    try:
+        server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        server.bind(("127.0.0.1", 0))
+        server.listen(1)
+    except OSError as exc:  # pragma: no cover - environment-dependent
+        pytest.skip(f"loopback listener unavailable: {exc}")
+    port = server.getsockname()[1]
+
+    def serve():
+        conn, _ = server.accept()
+        with conn:
+            conn.sendall(("\n".join(lines) + "\n").encode())
+            time.sleep(3)
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    stream = (
+        spark.readStream.format("socket")
+        .option("host", "127.0.0.1")
+        .option("port", str(port))
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_socket_test")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.table("t_socket_test").count() >= len(lines):
+                break
+            time.sleep(0.5)
+        got = {r.value for r in spark.table("t_socket_test").collect()}
+        assert set(lines) <= got
+    finally:
+        q.stop()
+        server.close()

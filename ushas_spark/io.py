@@ -34,11 +34,14 @@ BROADCAST_TABLES = {"region", "nation"}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one star-schema table from the scale-factor directory.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark reads only as
-    long nanos (``spark.sql.legacy.parquet.nanosAsLong``); convert to a
-    microsecond TimestampType here with integer division (``DIV`` keeps
-    full int64 precision -- a double division would lose sub-second bits).
-    DuckDB truncates ns->us the same way, so oracle parity holds.
+    ``events.ts`` is parquet TIMESTAMP(NANOS). Depending on the Spark
+    build it surfaces as either long nanos (when
+    ``spark.sql.legacy.parquet.nanosAsLong`` is honoured) or as
+    TIMESTAMP_NTZ (Spark 4 in this environment -- verified by probe).
+    Normalize BOTH to a session-TZ TimestampType here so every consumer
+    (unix_micros arithmetic, window/session ops, the streaming reader)
+    sees one type. Under the pinned UTC session timezone the NTZ->TZ cast
+    is value-exact; the ns->us truncation matches DuckDB's.
     """
     # Runtime-settable confs: hold even when the caller (e.g. the verify
     # driver) built the session without ushas_spark defaults. UTC keeps
@@ -48,10 +51,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -101,23 +101,41 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------- exact n-gram Jaccard
 
+# Shingles appearing in more than this many documents are stop-phrases:
+# they carry no dedup signal and each contributes O(df^2) join pairs --
+# the ONE quadratic bucket this join shape can produce at 100 TB. They
+# are dropped from the shingle universe (index AND sizes, so the Jaccard
+# denominator stays consistent) before the self-join. The hot list is
+# tiny by construction (few shingles are ubiquitous), so it broadcasts.
+NGRAM_DF_CAP = 256
+
 
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs Jaccard >= threshold via shingle inverted index.
 
-    The shingle explode is referenced THREE times downstream (join side a,
-    join side b, the per-doc size aggregate) -- materialize it once with
-    localCheckpoint or the md5-per-shingle hashing runs 3x; and
-    repartition first because the documents table is a single parquet
-    file (one partition) at small SFs.
+    The shingle explode is referenced FOUR times downstream (hot-shingle
+    scan, join side a, join side b, the per-doc size aggregate) --
+    materialize it once with localCheckpoint or the md5-per-shingle
+    hashing re-runs; and repartition first because the documents table is
+    a single parquet file (one partition) at small SFs.
     """
     d = load_table(spark, sf_dir, "documents")
     n = spark.sparkContext.defaultParallelism
-    sh = (
+    sh_all = (
         d.repartition(n)
         .select("doc_id", F.explode(shingles()).alias("shingle"))
         .localCheckpoint(eager=True)
     )
+    # Document-frequency cap: shingles() is per-doc distinct, so count(*)
+    # IS document frequency. The over-cap list is broadcast to an anti
+    # join -- no extra wide shuffle on the big side beyond the groupBy.
+    hot = (
+        sh_all.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > NGRAM_DF_CAP)
+        .select("shingle")
+    )
+    sh = sh_all.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -144,8 +162,12 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NGRAM_ORACLE = f"""
-WITH sh AS (
+WITH sh_all AS (
   SELECT doc_id, unnest({sql_shingles()}) AS shingle FROM documents
+), hot AS (
+  SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) > {NGRAM_DF_CAP}
+), sh AS (
+  SELECT * FROM sh_all WHERE shingle NOT IN (SELECT shingle FROM hot)
 ), sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
@@ -165,10 +187,12 @@ ORDER BY doc_a, doc_b
 
 @query("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-trigram Jaccard near-dup pairs (>= 0.2). The inverted-
-    index join is the scalable all-pairs shape: cost concentrates in hot
-    shingles, which salting or frequency-capping controls at 100 TB (rare
-    shingles dominate here)."""
+    """Exact word-trigram Jaccard near-dup pairs (>= 0.2) over the
+    DF-capped shingle universe. The inverted-index join is the scalable
+    all-pairs shape; the NGRAM_DF_CAP stop-shingle filter removes the one
+    quadratic-under-skew bucket (a ubiquitous trigram at 100 TB would
+    otherwise put O(df^2) pairs on one key). Oracle applies the identical
+    cap, so the gate stays exact."""
     pairs = _jaccard_pairs(spark, sf_dir)
     return (
         pairs.filter(F.col("jac") >= JACCARD_THRESHOLD)

@@ -9,11 +9,13 @@ Design (BASELINE.json north star; no image/audio libs in this container):
   reads the blob pages at all).
 - Decode / feature-extract / resize / frame-sample run as Arrow-batched
   ``mapInPandas`` operators: executors see pandas DataFrames whose payload
-  column is raw bytes. The Spark-side plumbing (schema, batching,
-  partitioning) is real and tested; the pixel/sample decode itself is
-  STUBBED behind ``NotImplementedError`` with a deterministic fake used in
-  tests (the container has no codecs -- swap `_decode_stub` for
-  PIL/torchaudio in production).
+  column is raw bytes. The AUDIO tier is a real codec: genuine RIFF/WAVE
+  containers synthesized and decoded with stdlib ``wave``/``struct``
+  (``multimodal_wav_decode``, oracle-gated on header fields AND PCM
+  sample statistics). The IMAGE pixel decode remains STUBBED behind a
+  deterministic fake (no PIL in this container -- swap ``_decode_stub``
+  for the codec call in production); its Spark-side plumbing (schema,
+  batching, partitioning) is real and tested.
 """
 
 from __future__ import annotations
@@ -166,6 +168,144 @@ def sample_frames(assets: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             yield pd.DataFrame(rows, columns=["asset_id", "frame_idx", "frame_sig"])
 
     return assets.mapInPandas(op, schema=out_schema)
+
+
+# ------------------------------------------------------ real WAV codec
+#
+# The audio half of the decode tier is NOT stubbed: payloads are genuine
+# RIFF/WAVE files (stdlib ``wave`` writer) and the decoder parses them
+# with the stdlib reader -- a real container-format decode with zero
+# external codecs. Generation is deterministic from asset_id, so the
+# DuckDB oracle recomputes every decoded statistic arithmetically.
+
+_WAV_N_ASSETS = 200  # bounded for the gate; the operator itself streams
+
+
+def _wav_params(asset_id: int) -> tuple[int, int]:
+    """(sample_rate, n_frames) derived from the id -- mirrored in SQL."""
+    return 8000 + (asset_id % 2) * 8000, 64 + asset_id % 64
+
+
+def _wav_sample(asset_id: int, i: int) -> int:
+    """Deterministic 16-bit PCM sample -- mirrored in SQL."""
+    return (asset_id * 31 + i * 7) % 2001 - 1000
+
+
+def synthesize_wav_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real mono 16-bit PCM WAV payloads, one per document id. Runs as
+    Arrow-batched mapInPandas: each executor writes WAV containers
+    locally; only (id, payload) crosses the Arrow boundary."""
+    import io
+    import struct
+    import wave
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _WAV_N_ASSETS
+    ).select(F.col("doc_id").alias("asset_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for aid in pdf["asset_id"]:
+                aid = int(aid)
+                rate, n = _wav_params(aid)
+                samples = [_wav_sample(aid, i) for i in range(n)]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(rate)
+                    w.writeframes(struct.pack(f"<{n}h", *samples))
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"asset_id": pdf["asset_id"], "payload": payloads}
+            )
+
+    return d.mapInPandas(gen, schema="asset_id bigint, payload binary")
+
+
+def decode_wav_stats(assets: DataFrame) -> DataFrame:
+    """REAL audio decode (stdlib ``wave`` + ``struct``): parses the RIFF
+    header for rate/channels/frame count, unpacks the PCM block, and
+    computes sample statistics. Same mapInPandas contract as the stubbed
+    image path -- this is the production shape with an actual codec."""
+    import io
+    import struct
+    import wave
+
+    out_schema = (
+        "asset_id bigint, sample_rate bigint, n_channels bigint, "
+        "n_frames bigint, duration_us bigint, peak bigint, sample_sum bigint"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    rate = w.getframerate()
+                    nch = w.getnchannels()
+                    n = w.getnframes()
+                    samples = struct.unpack(f"<{n * nch}h", w.readframes(n))
+                rows.append(
+                    {
+                        "asset_id": aid,
+                        "sample_rate": rate,
+                        "n_channels": nch,
+                        "n_frames": n,
+                        "duration_us": n * 1_000_000 // rate,
+                        "peak": max(abs(s) for s in samples),
+                        "sample_sum": sum(samples),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id",
+                    "sample_rate",
+                    "n_channels",
+                    "n_frames",
+                    "duration_us",
+                    "peak",
+                    "sample_sum",
+                ],
+            )
+
+    return assets.mapInPandas(op, schema=out_schema)
+
+
+_WAV_DECODE_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id AS asset_id,
+         8000 + (doc_id % 2) * 8000 AS sample_rate,
+         64 + doc_id % 64 AS n_frames
+  FROM documents WHERE doc_id < {_WAV_N_ASSETS}
+), s AS (
+  SELECT asset_id, sample_rate, n_frames,
+         [(asset_id * 31 + i * 7) % 2001 - 1000
+          FOR i IN generate_series(0, n_frames - 1)] AS samples
+  FROM p
+)
+SELECT asset_id,
+       CAST(sample_rate AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(n_frames * 1000000 // sample_rate AS BIGINT) AS duration_us,
+       CAST(list_max(list_transform(samples, x -> abs(x))) AS BIGINT) AS peak,
+       CAST(list_sum(samples) AS BIGINT) AS sample_sum
+FROM s
+ORDER BY asset_id
+"""
+
+
+@query("multimodal_wav_decode", oracle=_WAV_DECODE_ORACLE)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL audio pipeline: synthesize genuine WAV containers
+    -> Arrow batch -> stdlib wave/struct decode -> per-asset PCM stats.
+    The oracle regenerates the deterministic samples arithmetically, so
+    header parsing, frame counts, and sample arithmetic are all gated."""
+    assets = synthesize_wav_assets(spark, sf_dir)
+    return decode_wav_stats(assets).orderBy("asset_id")
 
 
 _ASSET_STATS_ORACLE = """

@@ -35,14 +35,14 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the big side salted and the small side replicated.
 
-    The big side gets a deterministic per-row salt (pmod of a hash of the
-    whole row would be ideal; a cheap monotonically-derived salt suffices
-    since only uniformity matters, not reproducibility of the salt
-    itself). The small side explodes to all salts, so every big row finds
-    its partner in exactly one (key, salt) bucket.
+    The big side's salt is ``pmod(xxhash64(<all row cols>), S)`` --
+    deterministic under task retry/speculation (a retried task re-derives
+    the SAME salt; monotonically_increasing_id would re-salt rows
+    differently mid-query). The small side explodes to all salts, so
+    every big row finds its partner in exactly one (key, salt) bucket.
     """
     salted_big = big.withColumn(
-        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
+        "_salt", F.pmod(F.xxhash64(*big.columns), F.lit(n_salts)).cast("int")
     )
     salted_small = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
@@ -61,10 +61,12 @@ def salted_aggregate_counts(
 ) -> DataFrame:
     """Two-phase aggregation through a salted key: partial counts per
     (key, salt), then final per key. For COUNT/SUM-class aggregates this
-    is exact; the first shuffle spreads a hot key over n_salts reducers."""
+    is exact; the first shuffle spreads a hot key over n_salts reducers.
+    Salt is retry-deterministic (xxhash64 of the row, not a partition-
+    indexed id)."""
     partial = (
         df.withColumn(
-            "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+            "_salt", F.pmod(F.xxhash64(*df.columns), F.lit(n_salts))
         )
         .groupBy(key, "_salt")
         .agg(F.count("*").alias("_partial_n"))

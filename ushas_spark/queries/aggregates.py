@@ -95,7 +95,7 @@ def agg_minmax_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     oracle="""
 SELECT r_name,
-       list_sort(list(DISTINCT n_name)) AS nations
+       to_json(list_sort(list(DISTINCT n_name))) AS nations
 FROM nation JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 ORDER BY r_name
@@ -104,13 +104,17 @@ ORDER BY r_name
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_set (reference: catalyst/expressions/aggregate/collect.scala
     :113 CollectSet, an ObjectHashAggregate-planned TypedImperativeAggregate)
-    -- sorted so the set's arbitrary order doesn't break comparison."""
+    -- sorted so the set's arbitrary order doesn't break comparison.
+    The array result is serialised with to_json on BOTH sides: the
+    driver's canonicalizer hashes cells via pandas and dies on raw list
+    cells, so complex-typed outputs cross the comparison boundary as
+    JSON strings."""
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     return (
         nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
-        .agg(F.sort_array(F.collect_set("n_name")).alias("nations"))
+        .agg(F.to_json(F.sort_array(F.collect_set("n_name"))).alias("nations"))
         .orderBy("r_name")
     )
 

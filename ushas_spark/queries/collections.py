@@ -34,9 +34,9 @@ SELECT doc_id,
        list_sort(words)[1] AS min_word,
        list_contains(words, 'data') AS has_data,
        CAST(COALESCE(list_position(words, 'data'), 0) AS BIGINT) AS data_pos,
-       list_sort(list_distinct(words)) AS vocab,
-       list_slice(words, 1, 3) AS first3,
-       list_reverse(words) AS rev_words,
+       to_json(list_sort(list_distinct(words))) AS vocab,
+       to_json(list_slice(words, 1, 3)) AS first3,
+       to_json(list_reverse(words)) AS rev_words,
        array_to_string(list_slice(words, 1, 3), '|') AS joined3
 FROM t
 ORDER BY doc_id
@@ -60,9 +60,9 @@ def array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(F.array_sort("words"), 1).alias("min_word"),
             F.array_contains("words", "data").alias("has_data"),
             F.array_position("words", "data").alias("data_pos"),
-            F.array_sort(F.array_distinct("words")).alias("vocab"),
-            F.slice("words", 1, 3).alias("first3"),
-            F.reverse("words").alias("rev_words"),
+            F.to_json(F.array_sort(F.array_distinct("words"))).alias("vocab"),
+            F.to_json(F.slice("words", 1, 3)).alias("first3"),
+            F.to_json(F.reverse("words")).alias("rev_words"),
             F.array_join(F.slice("words", 1, 3), "|").alias("joined3"),
         )
         .orderBy("doc_id")
@@ -73,13 +73,13 @@ def array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_construct_battery",
     oracle="""
 SELECT p_partkey,
-       [p_size, p_size * 2, 7] AS built,
-       generate_series(1, 5) AS seq5,
-       generate_series(0, 10, 2) AS evens,
-       flatten([[p_size], [1, 2]]) AS flat,
-       list_sort(list_intersect([p_size, 1, 2], [2, 1])) AS inter,
-       list_sort(list_concat([p_size], [p_size + 1])) AS cc,
-       [r % 3 = 0 FOR r IN generate_series(1, 6)] AS mod_flags
+       to_json([p_size, p_size * 2, 7]) AS built,
+       to_json(generate_series(1, 5)) AS seq5,
+       to_json(generate_series(0, 10, 2)) AS evens,
+       to_json(flatten([[p_size], [1, 2]])) AS flat,
+       to_json(list_sort(list_intersect([p_size, 1, 2], [2, 1]))) AS inter,
+       to_json(list_sort(list_concat([p_size], [p_size + 1]))) AS cc,
+       to_json([r % 3 = 0 FOR r IN generate_series(1, 6)]) AS mod_flags
 FROM part
 ORDER BY p_partkey
 """,
@@ -92,15 +92,15 @@ def array_construct_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     size = F.col("p_size")
     return p.select(
         "p_partkey",
-        F.array(size, size * 2, F.lit(7)).alias("built"),
-        F.sequence(F.lit(1), F.lit(5)).alias("seq5"),
-        F.sequence(F.lit(0), F.lit(10), F.lit(2)).alias("evens"),
-        F.flatten(F.array(F.array(size), F.array(F.lit(1), F.lit(2)))).alias("flat"),
-        F.array_sort(
+        F.to_json(F.array(size, size * 2, F.lit(7))).alias("built"),
+        F.to_json(F.sequence(F.lit(1), F.lit(5))).alias("seq5"),
+        F.to_json(F.sequence(F.lit(0), F.lit(10), F.lit(2))).alias("evens"),
+        F.to_json(F.flatten(F.array(F.array(size), F.array(F.lit(1), F.lit(2))))).alias("flat"),
+        F.to_json(F.array_sort(
             F.array_intersect(F.array(size, F.lit(1), F.lit(2)), F.array(F.lit(2), F.lit(1)))
-        ).alias("inter"),
-        F.array_sort(F.concat(F.array(size), F.array(size + 1))).alias("cc"),
-        F.transform(F.sequence(F.lit(1), F.lit(6)), lambda r: r % 3 == 0).alias("mod_flags"),
+        )).alias("inter"),
+        F.to_json(F.array_sort(F.concat(F.array(size), F.array(size + 1)))).alias("cc"),
+        F.to_json(F.transform(F.sequence(F.lit(1), F.lit(6)), lambda r: r % 3 == 0)).alias("mod_flags"),
     ).orderBy("p_partkey")
 
 
@@ -109,14 +109,14 @@ def array_construct_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS words FROM documents)
 SELECT doc_id,
-       list_transform(words, w -> upper(w)) AS upper_words,
-       list_filter(words, w -> length(w) > 4) AS long_words,
+       to_json(list_transform(words, w -> upper(w))) AS upper_words,
+       to_json(list_filter(words, w -> length(w) > 4)) AS long_words,
        len(list_filter(words, w -> w = 'data')) > 0 AS any_data,
        len(list_filter(words, w -> length(w) > 1)) = len(words) AS all_long,
        list_reduce(list_prepend(0, list_transform(words, w -> length(w))),
                    (acc, x) -> acc + x) AS total_chars,
-       list_transform(list_zip(words, generate_series(1, len(words))),
-                      p -> concat(p[1], ':', CAST(p[2] AS VARCHAR))) AS indexed
+       to_json(list_transform(list_zip(words, generate_series(1, len(words))),
+                      p -> concat(p[1], ':', CAST(p[2] AS VARCHAR)))) AS indexed
 FROM t
 ORDER BY doc_id
 """,
@@ -132,18 +132,18 @@ def hof_lambda_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", words.alias("words"))
         .select(
             "doc_id",
-            F.transform("words", lambda w: F.upper(w)).alias("upper_words"),
-            F.filter("words", lambda w: F.length(w) > 4).alias("long_words"),
+            F.to_json(F.transform("words", lambda w: F.upper(w))).alias("upper_words"),
+            F.to_json(F.filter("words", lambda w: F.length(w) > 4)).alias("long_words"),
             F.exists("words", lambda w: w == "data").alias("any_data"),
             F.forall("words", lambda w: F.length(w) > 1).alias("all_long"),
             F.aggregate(
                 "words", F.lit(0), lambda acc, w: acc + F.length(w)
             ).cast("long").alias("total_chars"),
-            F.zip_with(
+            F.to_json(F.zip_with(
                 "words",
                 F.sequence(F.lit(1), F.size("words")),
                 lambda w, i: F.concat(w, F.lit(":"), i.cast("string")),
-            ).alias("indexed"),
+            )).alias("indexed"),
         )
         .orderBy("doc_id")
     )
@@ -154,7 +154,7 @@ def hof_lambda_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT p_partkey,
        map_extract(map(['brand', 'type'], [p_brand, p_type]), 'brand')[1] AS brand_val,
-       list_sort(map_keys(map(['brand', 'type'], [p_brand, p_type]))) AS mkeys,
+       to_json(list_sort(map_keys(map(['brand', 'type'], [p_brand, p_type])))) AS mkeys,
        CAST(cardinality(map(['brand', 'type'], [p_brand, p_type])) AS BIGINT) AS msize,
        element_at(map(['sz'], [p_size]), 'sz')[1] AS sz_val
 FROM part
@@ -172,7 +172,7 @@ def map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "p_partkey",
         F.element_at(m, "brand").alias("brand_val"),
-        F.array_sort(F.map_keys(m)).alias("mkeys"),
+        F.to_json(F.array_sort(F.map_keys(m))).alias("mkeys"),
         F.size(m).cast("long").alias("msize"),
         F.element_at(F.create_map(F.lit("sz"), F.col("p_size")), "sz").alias("sz_val"),
     ).orderBy("p_partkey")

@@ -194,3 +194,41 @@ def misc_id_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ids.agg(
         F.count("*").alias("n_rows"), F.countDistinct("rid").alias("n_distinct_ids")
     )
+
+
+@query(
+    "source_jdbc_roundtrip",
+    oracle="""
+SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+""",
+)
+def source_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC source/sink (reference: execution/datasources/jdbc/
+    JdbcRelationProvider.scala:24, JDBCRDD.scala) against EMBEDDED Derby
+    -- already on Spark's classpath, so the whole JDBC stack (write
+    CREATE/INSERT, read, predicate pushdown into the JDBCRelation scan)
+    runs for real in-process with no external endpoint. The nation table
+    round-trips through Derby; the aggregate proves the read.
+
+    Scale note: production JDBC reads must set partitionColumn/
+    lowerBound/upperBound/numPartitions to parallelise (tested in
+    tests/test_sources.py::test_jdbc_partitioned_read_and_pushdown);
+    an unpartitioned read is a single task.
+    """
+    import tempfile
+
+    url = f"jdbc:derby:{tempfile.mkdtemp(prefix='ushas_derby_')}/db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    nation.write.jdbc(url, "nation_t", mode="overwrite", properties=props)
+    back = spark.read.jdbc(url, "nation_t", properties=props)
+    return (
+        back.groupBy("n_regionkey")
+        .agg(F.count("*").alias("n_nations"), F.min("n_name").alias("first_name"))
+        .orderBy("n_regionkey")
+    )

@@ -29,16 +29,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, "
     "value double, props string"
 )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a file-source stream. ts arrives as long nanos
-    (see ushas_spark.io.load_table) and is converted to a microsecond
-    timestamp -- the streaming reader honours the same legacy conf."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """events.parquet as a file-source stream. ts is parquet
+    TIMESTAMP(NANOS), which this Spark 4 build reads as TIMESTAMP_NTZ;
+    cast to a session-TZ timestamp so the streaming side matches
+    ushas_spark.io.load_table exactly (UTC session TZ -> value-exact)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # The file stream source requires a DIRECTORY; point it at the sf dir
     # and glob-filter to the events table.
     raw = (
@@ -46,7 +47,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_to_memory(
@@ -117,6 +118,16 @@ def session_window_counts(events: DataFrame, gap: str = "30 minutes") -> DataFra
             "n_events",
         )
     )
+
+
+def streaming_limit(events: DataFrame, n: int) -> DataFrame:
+    """Streaming global limit (reference: execution/streaming/
+    StreamingGlobalLimitExec.scala:39, planned by SparkStrategies for
+    append-mode streams): emit at most ``n`` rows across ALL micro-
+    batches, tracked in a single-partition state store. WHICH rows pass
+    is batch-order-dependent, so downstream checks must be on the count,
+    not the contents."""
+    return events.limit(n)
 
 
 def streaming_dedup_keys(events: DataFrame) -> DataFrame:

@@ -141,6 +141,28 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("v_id", "p_id")
 
 
+_LIMIT_N = 500
+
+_LIMIT_ORACLE = f"""
+SELECT LEAST({_LIMIT_N}, COUNT(*)) AS n_rows FROM events
+"""
+
+
+@query("streaming_limit", oracle=_LIMIT_ORACLE)
+def streaming_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming global limit (StreamingGlobalLimitExec): a finite replay
+    through .limit(n) must emit exactly min(n, |stream|) rows. Row
+    IDENTITY is batch-order-dependent, so the oracle checks the one
+    deterministic property -- the emitted count."""
+    from pyspark.sql import functions as F
+
+    events = ops.read_events_stream(spark, sf_dir)
+    out = ops.run_to_memory(
+        ops.streaming_limit(events, _LIMIT_N), "t_limit", output_mode="append"
+    )
+    return out.agg(F.count("*").alias("n_rows"))
+
+
 @query("streaming_sessionize_state")  # custom stateful: rows-only check
 def streaming_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState sessionization (arbitrary stateful op --
