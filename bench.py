@@ -64,7 +64,25 @@ def _run_once(fn, spark, sf_dir: str) -> float:
     # transfers none (executeCollect would bill driver-side transfer to
     # queries with large outputs, e.g. full-table window functions).
     df.write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+    elapsed = time.perf_counter() - t0
+    _release_storage(spark)
+    return elapsed
+
+
+def _release_storage(spark) -> None:
+    """Drop cached/localCheckpointed blocks between queries.
+
+    The dedup tier localCheckpoints intermediates (correct inside one
+    query: it truncates iterative lineage / avoids triple-evaluating the
+    shingle explode). Those blocks stay referenced after the query
+    finishes, and in a back-to-back bench run the accumulated storage
+    memory-pressures LATER queries (measured: q5 went 1.7s -> 3.0s once
+    three checkpointing queries preceded it). Unpersisting between
+    queries keeps each timing independent -- the cross-query hygiene a
+    long-lived cluster session would apply too. Non-blocking: the drop
+    happens off the timed path."""
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist(False)
 
 
 def main() -> None:
