@@ -233,3 +233,185 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("ng").alias("n_shared_ngrams"))
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------ per-source quota sample
+
+QUOTA_PER_SOURCE = 10
+# Pre-filter oversampling: keep-rate per source is quota/count; admitting
+# 1.5x that rate by hash BEFORE the rank bounds every window partition to
+# ~1.5*quota rows regardless of corpus size. The rank then trims to the
+# exact quota. Both stages are pure hash functions, so the oracle mirrors
+# them exactly.
+_QUOTA_OVERSAMPLE_X1000 = 1500
+
+
+def _quota_hash(doc_id: F.Column | str = "doc_id") -> F.Column:
+    return hash60(F.concat(F.lit("quota:"), F.col(doc_id).cast("string")))
+
+
+_QUOTA_ORACLE = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source
+), pre AS (
+  SELECT d.doc_id, d.source,
+         {sql_hash60("'quota:' || CAST(d.doc_id AS VARCHAR)")} AS h
+  FROM documents d JOIN counts c USING (source)
+  WHERE {sql_hash60("'quota:' || CAST(d.doc_id AS VARCHAR)")} % 1000
+        < ({_QUOTA_OVERSAMPLE_X1000} * {QUOTA_PER_SOURCE}) / c.n_src
+), ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rnk
+  FROM pre
+)
+SELECT source, COUNT(*) AS n_sampled, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM ranked WHERE rnk <= {QUOTA_PER_SOURCE}
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("pipeline_quota_sample", oracle=_QUOTA_ORACLE)
+def pipeline_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sampling (the corpus-balancing step of a
+    pretraining mix): deterministically keep ``QUOTA_PER_SOURCE`` docs
+    per source, chosen by hash rank so reruns and engines agree.
+
+    Scale shape: the naive formulation ranks EVERY row in a per-source
+    window -- one reducer per source, quadratic pain on a dominant
+    source. Here a hash pre-filter admits ~1.5x the quota rate first
+    (uses only the broadcast per-source counts), so each window
+    partition holds ~15 rows regardless of corpus size. Same trick as
+    reservoir-style sampling at 100 TB: bound the sorted set, never sort
+    the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_src"))
+    h = _quota_hash()
+    pre = (
+        d.join(F.broadcast(counts), "source")
+        .withColumn("_h", h)
+        .filter(
+            F.col("_h") % 1000
+            < (_QUOTA_OVERSAMPLE_X1000 * QUOTA_PER_SOURCE) / F.col("n_src")
+        )
+    )
+    w = W.partitionBy("source").orderBy("_h", "doc_id")
+    sampled = pre.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= QUOTA_PER_SOURCE
+    )
+    return (
+        sampled.groupBy("source")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+# -------------------------------------------------- weighted source mix
+
+_MIX_ORACLE = f"""
+WITH w AS (
+  SELECT source, 20 + {sql_hash60("source")} % 60 AS weight_pct
+  FROM (SELECT DISTINCT source FROM documents)
+)
+SELECT d.source,
+       MIN(w.weight_pct) AS weight_pct,
+       COUNT(*) AS n_total,
+       SUM(CASE WHEN {sql_hash60("'mix:' || CAST(d.doc_id AS VARCHAR)")} % 100
+                     < w.weight_pct THEN 1 ELSE 0 END) AS n_kept,
+       SUM(CASE WHEN {sql_hash60("'mix:' || CAST(d.doc_id AS VARCHAR)")} % 100
+                     < w.weight_pct
+                THEN CAST(len(regexp_split_to_array(d.text, '\\s+')) AS BIGINT)
+                ELSE 0 END) AS tok_kept
+FROM documents d JOIN w USING (source)
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+@query("pipeline_source_mix", oracle=_MIX_ORACLE)
+def pipeline_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing: each source gets a sampling weight (here
+    derived deterministically from the source name; in production, from
+    the mixture config), and each document is kept iff a pure hash of
+    its id falls under the weight -- the Bernoulli mix that needs NO
+    shuffle of the corpus (map-side decision), reruns identically, and
+    composes with the split/dedup hashes because each uses a distinct
+    salt prefix. Reports per-source kept counts + token budgets."""
+    d = load_table(spark, sf_dir, "documents")
+    weights = (
+        d.select("source")
+        .distinct()
+        .withColumn("weight_pct", (F.lit(20) + hash60(F.col("source")) % 60))
+    )
+    keep = hash60(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 100 < F.col(
+        "weight_pct"
+    )
+    toks = F.size(F.split(F.col("text"), r"\s+")).cast("long")
+    return (
+        d.join(F.broadcast(weights), "source")
+        .groupBy("source")
+        .agg(
+            F.min("weight_pct").alias("weight_pct"),
+            F.count("*").alias("n_total"),
+            F.sum(keep.cast("bigint")).alias("n_kept"),
+            F.sum(F.when(keep, toks).otherwise(F.lit(0))).alias("tok_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+# ------------------------------------------------- quality-filter funnel
+
+_FUNNEL_ORACLE = """
+WITH t AS (
+  SELECT n_chars,
+         lang,
+         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tok,
+         CAST(len(list_distinct(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
+           AS n_distinct_tok
+  FROM documents
+)
+SELECT COUNT(*) AS n_total,
+       SUM(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) AS n_after_len,
+       SUM(CASE WHEN n_chars >= 100 AND lang IN ('en','de','fr','es')
+                THEN 1 ELSE 0 END) AS n_after_lang,
+       SUM(CASE WHEN n_chars >= 100 AND lang IN ('en','de','fr','es')
+                     AND n_tok >= 20 THEN 1 ELSE 0 END) AS n_after_tok,
+       SUM(CASE WHEN n_chars >= 100 AND lang IN ('en','de','fr','es')
+                     AND n_tok >= 20 AND n_distinct_tok * 2 >= n_tok
+                THEN 1 ELSE 0 END) AS n_after_rep
+FROM t
+"""
+
+
+@query("pipeline_filter_funnel", oracle=_FUNNEL_ORACLE)
+def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel: the survivor count after each cumulative
+    filter stage (length -> language -> token count -> repetition), the
+    report every corpus-curation pipeline prints before committing a
+    mix. ONE scan, conditional aggregation -- no per-stage passes; at
+    100 TB this is the difference between one job and five."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), r"\s+")
+    t = d.select(
+        "n_chars",
+        "lang",
+        F.size(words).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct_tok"),
+    )
+    s_len = F.col("n_chars") >= 100
+    s_lang = s_len & F.col("lang").isin("en", "de", "fr", "es")
+    s_tok = s_lang & (F.col("n_tok") >= 20)
+    s_rep = s_tok & (F.col("n_distinct_tok") * 2 >= F.col("n_tok"))
+    return t.agg(
+        F.count("*").alias("n_total"),
+        F.sum(s_len.cast("bigint")).alias("n_after_len"),
+        F.sum(s_lang.cast("bigint")).alias("n_after_lang"),
+        F.sum(s_tok.cast("bigint")).alias("n_after_tok"),
+        F.sum(s_rep.cast("bigint")).alias("n_after_rep"),
+    )

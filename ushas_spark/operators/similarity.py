@@ -470,3 +470,61 @@ def sim_hamming_packed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .orderBy("qid", "rnk")
     )
+
+
+# --------------------------------------------- per-label centroid stats
+
+_CENTROID_ORACLE = """
+WITH d AS (
+  SELECT label, i AS dim,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS sv
+  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+), s AS (
+  SELECT label, dim, SUM(sv) AS sd FROM d GROUP BY 1, 2
+), n AS (
+  SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label
+)
+SELECT label, n_vecs,
+       CAST(SUM(sd * sd) AS DOUBLE)
+         / (100000000.0 * n_vecs * n_vecs) AS centroid_norm2
+FROM s JOIN n USING (label)
+GROUP BY label, n_vecs
+ORDER BY label
+"""
+
+
+@query("sim_label_centroid_stats", oracle=_CENTROID_ORACLE)
+def sim_label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid norm over the embedding corpus -- the cluster-
+    quality probe an embedding pipeline runs after assignment (tight
+    clusters -> centroid norm near the member norms; noise -> near 0).
+
+    Scale shape: posexplode to (label, dim) rows and aggregate -- the
+    shuffle key is (label, dim), so no reducer ever holds a whole label's
+    vectors (the naive collect-per-label formulation does). Sums are
+    exact scaled BIGINTs (elements rounded at 1e4); the only float op is
+    ONE final division of exact integers, identical in both engines.
+    Overflow headroom: |sum| <= n * 1e4-scale * dim; at 1e9 vectors per
+    label the dot of sums stays under int64 by restricting to
+    per-dimension partials -- at genuinely larger scales switch sd to
+    DECIMAL(38,0).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    d = e.select("label", F.posexplode("embedding").alias("dim", "val"))
+    sv = F.round(F.col("val").cast("double") * 10000).cast("long")
+    s = d.groupBy("label", "dim").agg(F.sum(sv).alias("sd"))
+    n = e.groupBy("label").agg(F.count("*").alias("n_vecs"))
+    return (
+        s.groupBy("label")
+        .agg(F.sum(F.col("sd") * F.col("sd")).alias("_num"))
+        .join(F.broadcast(n), "label")
+        .select(
+            "label",
+            "n_vecs",
+            (
+                F.col("_num").cast("double")
+                / (F.lit(100000000.0) * F.col("n_vecs") * F.col("n_vecs"))
+            ).alias("centroid_norm2"),
+        )
+        .orderBy("label")
+    )
