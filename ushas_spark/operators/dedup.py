@@ -569,8 +569,12 @@ def connected_components(
 
 
 _CLUSTER_ORACLE = f"""
-WITH RECURSIVE sh AS (
+WITH RECURSIVE sh_all AS (
   SELECT doc_id, unnest({sql_shingles()}) AS shingle FROM documents
+), hot AS (
+  SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) > {NGRAM_DF_CAP}
+), sh AS (
+  SELECT * FROM sh_all WHERE shingle NOT IN (SELECT shingle FROM hot)
 ), sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
@@ -619,8 +623,12 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SURVIVOR_ORACLE = f"""
-WITH RECURSIVE sh AS (
+WITH RECURSIVE sh_all AS (
   SELECT doc_id, unnest({sql_shingles()}) AS shingle FROM documents
+), hot AS (
+  SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) > {NGRAM_DF_CAP}
+), sh AS (
+  SELECT * FROM sh_all WHERE shingle NOT IN (SELECT shingle FROM hot)
 ), sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
