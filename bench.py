@@ -52,6 +52,9 @@ HEADLINE = [
     "text_quality_score",
     "text_repetition_score",
     "pipeline_decontaminate",
+    "pipeline_quota_sample",
+    "sim_label_centroid_stats",
+    "multimodal_wav_decode",
 ]
 
 ITERATIONS = 3  # best-of-N, after one untimed warm-up

@@ -221,3 +221,54 @@ def test_repetition_score_single_doc_shuffle(spark, sf_dir):
     plan = _plan(QUERIES["text_repetition_score"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange") <= 4, plan
+
+
+def test_quota_sample_broadcasts_counts_and_bounds_window(spark, sf_dir):
+    """Per-source quota: the per-source count relation must be the
+    broadcast build side (it is n_sources rows at any corpus size), and
+    the pre-filter must sit UNDER the window (Filter before Window in
+    the plan) so the ranked partition is the oversampled minority, never
+    the full corpus."""
+    plan = _plan(QUERIES["pipeline_quota_sample"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" in plan, plan
+    assert plan.index("Window") < plan.index("BroadcastHashJoin"), (
+        "window must consume the pre-filtered join output"
+    )
+
+
+def test_source_mix_single_corpus_scan_broadcast_weights(spark, sf_dir):
+    """Weighted mixing: weights (distinct sources) broadcast; the corpus
+    is scanned once and never sort-merge-joined."""
+    plan = _plan(QUERIES["pipeline_source_mix"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_filter_funnel_one_scan_no_joins(spark, sf_dir):
+    """The funnel is ONE conditional-aggregation scan: no joins, and
+    exactly one wide stage (the global aggregate's exchange)."""
+    plan = _plan(QUERIES["pipeline_filter_funnel"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+
+
+def test_centroid_stats_aggregates_on_label_dim(spark, sf_dir):
+    """Centroid norms must aggregate on (label, dim) -- the generate
+    (posexplode) feeds a hash aggregate, and the tiny per-label count
+    relation is broadcast back, so no reducer ever sees a whole label's
+    vectors."""
+    plan = _plan(QUERIES["sim_label_centroid_stats"](spark, sf_dir))
+    assert "Generate" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_jaccard_hot_shingle_filter_is_anti_join(spark, sf_dir):
+    """The stop-shingle cap must plan as a broadcast ANTI join (hot list
+    is tiny) -- a shuffled anti join would add a full-corpus-width
+    exchange to remove a handful of shingles."""
+    plan = _plan(QUERIES["dedup_ngram_jaccard"](spark, sf_dir))
+    assert "BroadcastHashJoin LeftAnti" in plan or (
+        "LeftAnti, BuildRight" in plan
+    ), plan

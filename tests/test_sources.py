@@ -261,3 +261,62 @@ def test_jdbc_partitioned_read_and_pushdown(spark, sf_dir, tmp_path):
     assert "PushedFilters" in plan and "c_nationkey" in plan
     expected = cust.filter(F.col("c_nationkey") == 3).count()
     assert filtered.count() == expected
+
+
+def test_hive_metastore_scan_and_dynamic_partition_insert(tmp_path):
+    """Real Hive metastore coverage (reference: sql/hive/.../
+    HiveTableScanExec.scala:53, InsertIntoHiveTable.scala:66): an
+    embedded-Derby metastore + `USING hive` table, exercising CREATE /
+    static INSERT / dynamic-partition INSERT OVERWRITE / scan. Runs in a
+    subprocess because spark.sql.catalogImplementation is a static conf
+    -- the suite's shared JVM already holds a non-Hive session."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        f"""
+        from pyspark.sql import SparkSession
+        d = {str(tmp_path)!r}
+        spark = (SparkSession.builder.master("local[2]")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.warehouse.dir", d + "/wh")
+            .config("spark.hadoop.javax.jdo.option.ConnectionURL",
+                    "jdbc:derby:;databaseName=" + d + "/metastore_db;create=true")
+            .config("spark.sql.session.timeZone", "UTC")
+            .enableHiveSupport().getOrCreate())
+        spark.sparkContext.setLogLevel("ERROR")
+        assert spark.conf.get("spark.sql.catalogImplementation") == "hive"
+        spark.sql("CREATE TABLE ht (k INT, v STRING) USING hive")
+        spark.sql("INSERT INTO ht VALUES (1, 'a'), (2, 'b')")
+        assert [tuple(r) for r in
+                spark.sql("SELECT * FROM ht ORDER BY k").collect()] == \\
+            [(1, 'a'), (2, 'b')]
+        # dynamic-partition insert (nonstrict = all partitions dynamic)
+        spark.sql("SET hive.exec.dynamic.partition.mode=nonstrict")
+        spark.sql(
+            "CREATE TABLE hp (v STRING) USING hive PARTITIONED BY (p INT)")
+        spark.sql(
+            "INSERT OVERWRITE TABLE hp PARTITION (p) "
+            "SELECT v, k AS p FROM ht")
+        parts = [r[0] for r in spark.sql("SHOW PARTITIONS hp").collect()]
+        assert sorted(parts) == ['p=1', 'p=2'], parts
+        # overwrite only the partitions present in the new data
+        spark.sql(
+            "INSERT OVERWRITE TABLE hp PARTITION (p) "
+            "SELECT 'z' AS v, 1 AS p")
+        rows = sorted(tuple(r) for r in spark.sql("SELECT v, p FROM hp").collect())
+        assert rows == [('b', 2), ('z', 1)], rows
+        plan = spark.sql("SELECT v FROM hp WHERE p = 2")._jdf \\
+            .queryExecution().executedPlan().toString()
+        assert "Scan hive" in plan or "HiveTableRelation" in plan, plan
+        print("HIVE_OK")
+        """
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert "HIVE_OK" in proc.stdout, proc.stdout + proc.stderr
