@@ -233,3 +233,30 @@ def test_banded_join_plans_no_bnlj(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_incremental_minhash_equals_full_run_restricted(spark, sf_dir):
+    """The incremental run must emit EXACTLY the full run's pairs that
+    touch the increment (no duplicates vs history, no missed pairs) --
+    the invariant that makes daily incremental dedup composable."""
+    from ushas_spark.operators.dedup import (
+        _INCR_NEW_MIN,
+        _INCR_NEW_MOD,
+        JACCARD_THRESHOLD,
+        lsh_candidates,
+        minhash_signatures,
+    )
+    from ushas_spark.io import load_table
+    from ushas_spark.registry import QUERIES
+
+    incr = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_minhash_incremental"](spark, sf_dir).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()
+    }
+    is_new = lambda d: d % _INCR_NEW_MOD >= _INCR_NEW_MIN  # noqa: E731
+    expected = {(a, b) for a, b in full if is_new(a) or is_new(b)}
+    assert incr == expected

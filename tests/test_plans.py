@@ -272,3 +272,11 @@ def test_jaccard_hot_shingle_filter_is_anti_join(spark, sf_dir):
     assert "BroadcastHashJoin LeftAnti" in plan or (
         "LeftAnti, BuildRight" in plan
     ), plan
+
+
+def test_incremental_minhash_broadcasts_increment(spark, sf_dir):
+    """The increment's band keys must be the broadcast side of the
+    candidate join -- the historical band table (years of corpus) is
+    never shuffled by a daily run."""
+    plan = _plan(QUERIES["dedup_minhash_incremental"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan

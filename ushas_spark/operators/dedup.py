@@ -246,6 +246,21 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
+def band_keys(
+    sigs: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAND
+) -> DataFrame:
+    """Signature rows -> (doc_id, band, key) bucket membership."""
+    band_cols = []
+    for b in range(bands):
+        key = F.md5(
+            F.concat_ws(",", *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)])
+        )
+        band_cols.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def lsh_candidates(sigs: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAND) -> DataFrame:
     """Banded LSH: docs agreeing on ALL rows of any band become candidate
     pairs. Implemented as explode-to-(band, key) + self-join per bucket --
@@ -259,15 +274,7 @@ def lsh_candidates(sigs: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAN
     # cluster persist(DISK_ONLY) or a signatures table serves the same
     # role.
     sigs = sigs.localCheckpoint(eager=True)
-    band_cols = []
-    for b in range(bands):
-        key = F.md5(
-            F.concat_ws(",", *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)])
-        )
-        band_cols.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
-    exploded = sigs.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    exploded = band_keys(sigs, bands, rows)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -278,6 +285,40 @@ def lsh_candidates(sigs: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAN
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def incremental_lsh_candidates(
+    sigs: DataFrame, new_ids: DataFrame
+) -> DataFrame:
+    """Incremental dedup candidates: today's batch vs the full corpus.
+
+    The daily-increment pattern at 100 TB: historical signatures live in
+    a signature TABLE (recomputed here only because the gate has no
+    store); only the increment's band keys are new work. Candidates =
+    (corpus x increment) band-bucket matches -- the increment side is
+    broadcast (a day's batch vs years of corpus), so the historical band
+    table is never shuffled, and existing-vs-existing pairs (already
+    emitted by past runs) are structurally excluded. Pairs are
+    normalized to doc_a < doc_b.
+    """
+    sigs = sigs.localCheckpoint(eager=True)
+    bk = band_keys(sigs)
+    bk_new = bk.join(F.broadcast(new_ids), "doc_id")
+    a = bk.alias("a")
+    b = bk_new.alias("b")
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
         .distinct()
     )
 
@@ -356,6 +397,100 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # intersect per-row (array_intersect) -- no second explode, no
     # inverted-index shuffle; the only wide stages are the LSH band join
     # and these two joins on doc ids.
+    sh = docs.select("doc_id", shingles().alias("sh")).filter(F.size("sh") > 0)
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
+    paired = (
+        cand.join(a, F.col("doc_a") == F.col("a_id"))
+        .join(b, F.col("doc_b") == F.col("b_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+        )
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("inter")
+    )
+    return (
+        paired.filter(jac >= JACCARD_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jac * 1000).cast("long").alias("jac_x1000"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# Today's increment: a deterministic 20% slice of the corpus stands in
+# for the daily batch (id-mod, so every engine and SF agrees).
+_INCR_NEW_MOD = 10
+_INCR_NEW_MIN = 8
+
+_INCR_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({{shingles}}) AS shingle FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(shingle), 1, 15))::BIGINT % {MINHASH_PRIME} AS h31
+  FROM sh
+),
+sigs AS (
+  SELECT doc_id,
+         {{mh_cols}}
+  FROM hashed GROUP BY doc_id
+),
+bands AS (
+  {{band_selects}}
+),
+cand AS (
+  SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS doc_a,
+                  GREATEST(a.doc_id, b.doc_id) AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id <> b.doc_id
+  WHERE b.doc_id % {_INCR_NEW_MOD} >= {_INCR_NEW_MIN}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(ROUND(inter * 1000.0 / (sa.n_sh + sb.n_sh - inter)) AS BIGINT)
+         AS jac_x1000
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+""".format(
+    shingles=sql_shingles(), mh_cols=_MH_COLS, band_selects=_BAND_SELECTS
+)
+
+
+@query("dedup_minhash_incremental", oracle=_INCR_ORACLE)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection: today's batch (a deterministic 20%
+    id-slice) against the full corpus. This is how LSH dedup actually
+    runs at 100 TB -- signatures of the historical corpus are a stored
+    table, only the increment is new work, the increment's band keys are
+    BROADCAST against the historical band table (never shuffling years
+    of corpus), and existing-vs-existing pairs are structurally excluded
+    because past runs already emitted them. Candidates verified by exact
+    Jaccard, like the full run."""
+    docs = load_table(spark, sf_dir, "documents")
+    new_ids = docs.filter(
+        F.col("doc_id") % _INCR_NEW_MOD >= _INCR_NEW_MIN
+    ).select("doc_id")
+    sigs = minhash_signatures(docs)
+    cand = incremental_lsh_candidates(sigs, new_ids)
     sh = docs.select("doc_id", shingles().alias("sh")).filter(F.size("sh") > 0)
     a = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
