@@ -280,3 +280,41 @@ def test_incremental_minhash_broadcasts_increment(spark, sf_dir):
     never shuffled by a daily run."""
     plan = _plan(QUERIES["dedup_minhash_incremental"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling (the runtime half of the skew story; the
+    planned half is operators/skew.py salting): plant one hot key in a
+    sort-merge join and require the final adaptive plan to mark the join
+    skew-handled (skew=true), i.e. the oversized partition was split
+    instead of serialising one task."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+        # the suite session runs 8 shuffle partitions; at 8 the hot
+        # partition's COMPRESSED size stays under 2x the median and the
+        # skew detector (correctly) declines -- use the production 32
+        "spark.sql.shuffle.partitions": "32",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(400_000, numPartitions=16).selectExpr(
+            "CASE WHEN id % 4 = 0 THEN 0 ELSE id END AS k",
+            "repeat('x', 64) AS pad",
+        )
+        dim = spark.range(2_000).selectExpr("id AS k", "id * 2 AS v")
+        joined = big.join(dim, "k").groupBy().count()
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -82,3 +82,44 @@ def test_shingles_engine_portable(spark, toks):
     con.register("d", pdf)
     want = sorted(con.sql(f"SELECT {sql_shingles('text')} FROM d").fetchone()[0])
     assert got == want
+
+
+def test_quota_sample_never_exceeds_quota(spark, sf_dir):
+    """Structural invariants of the quota sampler at gate scale: no
+    source exceeds QUOTA_PER_SOURCE; every source with >= quota docs in
+    the oversampled pre-filter reaches it exactly."""
+    from ushas_spark.operators.pipeline import QUOTA_PER_SOURCE
+    from ushas_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["pipeline_quota_sample"](spark, sf_dir).collect()
+    assert rows, "sampler must emit sources"
+    for r in rows:
+        assert 1 <= r.n_sampled <= QUOTA_PER_SOURCE, r
+
+
+def test_filter_funnel_is_monotonic(spark, sf_dir):
+    """Each cumulative stage can only shrink the survivor set."""
+    from ushas_spark.registry import QUERIES, load_all
+
+    load_all()
+    (r,) = QUERIES["pipeline_filter_funnel"](spark, sf_dir).collect()
+    seq = [r.n_total, r.n_after_len, r.n_after_lang, r.n_after_tok, r.n_after_rep]
+    assert all(a >= b for a, b in zip(seq, seq[1:])), seq
+    assert seq[-1] > 0, "funnel must not annihilate the gate corpus"
+
+
+def test_source_mix_kept_bounded_by_total(spark, sf_dir):
+    """Mix invariants: kept <= total per source, and the mix keeps a
+    nontrivial fraction overall (weights are 20-79%)."""
+    from ushas_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["pipeline_source_mix"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_total, r
+        assert 20 <= r.weight_pct <= 79, r
+    total = sum(r.n_total for r in rows)
+    kept = sum(r.n_kept for r in rows)
+    assert 0.1 * total < kept < 0.9 * total, (kept, total)
