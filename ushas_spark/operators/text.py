@@ -34,16 +34,25 @@ def tokens(col: Column | str) -> Column:
     return F.split(col, r"\s+")
 
 
+# Letter runs | single digits (GPT-2-style digit splitting) | single
+# non-space punctuation. Deliberately lookaround-free so the SAME pattern
+# runs under Java regex (Spark) and RE2 (DuckDB).
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
 def token_count_bpe_regex(col: Column | str) -> Column:
     """LLM-ish token estimate: word pieces + digits + punctuation runs.
 
     A cheap proxy for BPE token counts (the real tokenizer is a model
     artifact; this regex family is the standard approximation for corpus
-    sizing at 100TB where exact tokenisation is a separate batch job).
+    sizing at 100 TB where exact tokenisation is a separate batch job).
+    Counted as regex MATCHES, not splits -- identical across engines.
     """
-    return F.size(
-        F.split(col, r"(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])")
-    )
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+
+
+def sql_token_count_bpe(expr: str) -> str:
+    return f"len(regexp_extract_all({expr}, '{BPE_TOKEN_PATTERN}'))"
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -342,3 +351,32 @@ def text_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > 1)
         .orderBy("bag_fp")
     )
+
+
+_BPE_ESTIMATE_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_ws_tokens,
+       CAST({sql_token_count_bpe('text')} AS BIGINT) AS n_bpe_tokens,
+       CAST(ROUND(100.0 * {sql_token_count_bpe('text')}
+                  / len(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
+         AS bpe_per_word_x100
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("text_bpe_token_estimate", oracle=_BPE_ESTIMATE_ORACLE)
+def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-budget estimation: whitespace words vs the BPE-ish
+    regex token count per document (the number that actually sizes a
+    training run). Pure per-row regex work in codegen -- embarrassingly
+    parallel, no shuffle except the presentation sort."""
+    d = load_table(spark, sf_dir, "documents")
+    n_ws = F.size(tokens("text")).cast("long")
+    n_bpe = token_count_bpe_regex("text").cast("long")
+    return d.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(F.lit(100.0) * n_bpe / n_ws).cast("long").alias("bpe_per_word_x100"),
+    ).orderBy("doc_id")
