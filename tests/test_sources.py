@@ -310,6 +310,21 @@ def test_hive_metastore_scan_and_dynamic_partition_insert(tmp_path):
         plan = spark.sql("SELECT v FROM hp WHERE p = 2")._jdf \\
             .queryExecution().executedPlan().toString()
         assert "Scan hive" in plan or "HiveTableRelation" in plan, plan
+        # Hive UDF bridge (reference: sql/hive/.../hiveUDFs.scala:43,124):
+        # register a GenericUDF class from hive-exec and call it from SQL.
+        spark.sql(
+            "CREATE TEMPORARY FUNCTION hive_abs AS "
+            "'org.apache.hadoop.hive.ql.udf.generic.GenericUDFAbs'")
+        assert spark.sql("SELECT hive_abs(-3) AS a").collect()[0][0] == 3
+        # Hive UDAF bridge (hiveUDFs.scala:307): percentile is a classic
+        # Hive-only UDAF class.
+        spark.sql(
+            "CREATE TEMPORARY FUNCTION hive_percentile AS "
+            "'org.apache.hadoop.hive.ql.udf.UDAFPercentile'")
+        got = spark.sql(
+            "SELECT hive_percentile(CAST(k AS BIGINT), 0.5) FROM ht"
+        ).collect()[0][0]
+        assert abs(got - 1.5) < 1e-9, got
         print("HIVE_OK")
         """
     )

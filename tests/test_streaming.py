@@ -298,3 +298,50 @@ def test_checkpoint_restart_resumes_without_reprocessing(
         .collect()
     }
     assert got == expect
+
+
+def test_rocksdb_state_store_provider(spark, sf_dir, tmp_path):
+    """RocksDB state store (Spark 3.2+ upgrade over the reference's
+    HDFS-backed store): run a stateful streaming aggregation with the
+    RocksDB provider and verify the state operator actually used it
+    (customMetrics expose rocksdb* counters) and results are correct."""
+    saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        events = ops.read_events_stream(spark, sf_dir)
+        q = (
+            events.groupBy("event_type")
+            .count()
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("t_rocksdb")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            progress = q.lastProgress
+        finally:
+            q.stop()
+        metrics = progress["stateOperators"][0]["customMetrics"]
+        assert any(k.startswith("rocksdb") for k in metrics), metrics
+        got = {
+            (r.event_type, r["count"])
+            for r in spark.table("t_rocksdb").collect()
+        }
+        expect = {
+            (r.event_type, r["count"])
+            for r in load_table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .count()
+            .collect()
+        }
+        assert got == expect
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
