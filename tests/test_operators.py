@@ -260,3 +260,25 @@ def test_incremental_minhash_equals_full_run_restricted(spark, sf_dir):
     is_new = lambda d: d % _INCR_NEW_MOD >= _INCR_NEW_MIN  # noqa: E731
     expected = {(a, b) for a, b in full if is_new(a) or is_new(b)}
     assert incr == expected
+
+
+def test_numpy_topk_matches_jvm_fold(spark, sf_dir):
+    """The Arrow/numpy matmul top-k must agree with the JVM fold top-k on
+    RANKS exactly (ids per (qid, rnk)) -- the float-order difference may
+    move a similarity by an ulp but must not reorder neighbours on this
+    corpus."""
+    from ushas_spark.registry import QUERIES, load_all
+
+    load_all()
+    jvm = {
+        (r.qid, r.rnk): (r.cand_id, r.sim_x1m)
+        for r in QUERIES["sim_brute_force_topk"](spark, sf_dir).collect()
+    }
+    vec = {
+        (r.qid, r.rnk): (r.cand_id, r.sim_x1m)
+        for r in QUERIES["sim_brute_force_topk_numpy"](spark, sf_dir).collect()
+    }
+    assert jvm.keys() == vec.keys()
+    for key in jvm:
+        assert jvm[key][0] == vec[key][0], (key, jvm[key], vec[key])
+        assert abs(jvm[key][1] - vec[key][1]) <= 1, (key, jvm[key], vec[key])

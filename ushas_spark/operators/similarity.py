@@ -528,3 +528,82 @@ def sim_label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ------------------------------------- vectorized (Arrow/numpy) variant
+
+
+def cosine_topk_numpy(
+    queries: DataFrame, corpus: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """Brute-force cosine top-k via mapInPandas + numpy matmul -- the
+    Arrow-vectorized alternative to the JVM fold (``cosine_topk``).
+
+    Scale shape: the (tiny) query matrix is broadcast as a plain Python
+    object into every Arrow batch task; each task does ONE
+    (batch x dim) @ (dim x n_queries) matmul over the corpus partition
+    it owns, keeps a local top-k per query, and only (batch_topk) rows
+    cross back -- a global top-k window trims the partials. Per-pair
+    work is BLAS-vectorized; nothing is ever collected to the driver.
+
+    Not oracle-gated: numpy's pairwise/SIMD summation order differs from
+    the sequential fold, so the last ulp of a similarity can differ from
+    the SQL mirror; tests instead pin rank agreement with the fold
+    implementation (ids must match exactly; values to 1e-9).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window as W
+
+    q_rows = queries.select("qid", "e").collect()  # N_QUERIES rows, tiny
+    qids = [r.qid for r in q_rows]
+    qmat = np.array([r.e for r in q_rows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+
+    out_schema = "qid bigint, cand_id bigint, sim double"
+
+    def op(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy()
+            mat = np.array(list(pdf["e"]), dtype=np.float64)
+            if len(mat) == 0:
+                continue
+            norms = np.linalg.norm(mat, axis=1)
+            sims = (mat @ qmat.T) / np.outer(norms, qnorm)
+            for j, qid in enumerate(qids):
+                col = sims[:, j]
+                mask = ids != qid
+                cand, vals = ids[mask], col[mask]
+                if len(cand) > TOP_K:
+                    part = np.argpartition(-vals, TOP_K)[:TOP_K]
+                    cand, vals = cand[part], vals[part]
+                yield pd.DataFrame(
+                    {"qid": qid, "cand_id": cand, "sim": vals}
+                )
+
+    partials = corpus.select("vec_id", "e").mapInPandas(op, schema=out_schema)
+    w = W.partitionBy("qid").orderBy(F.col("sim").desc(), "cand_id")
+    return (
+        partials.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "qid",
+            "cand_id",
+            F.round(F.col("sim") * 1_000_000).cast("long").alias("sim_x1m"),
+            "rnk",
+        )
+    )
+
+
+@query("sim_brute_force_topk_numpy")  # rank-equivalence tested; see docstring
+def sim_brute_force_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy brute-force cosine top-k (rows-only check: float
+    summation order differs from the SQL fold by design; the fold-vs-
+    matmul rank agreement is pinned in tests/test_operators.py)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e")
+    )
+    return cosine_topk_numpy(q, emb).orderBy("qid", "rnk")
