@@ -48,6 +48,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_cluster_components",
     "sim_brute_force_topk",
+    "sim_brute_force_topk_numpy",
     "sim_hamming_packed_topk",
     "text_quality_score",
     "text_repetition_score",

@@ -6,6 +6,10 @@ Two tiers:
   baseline. Query set broadcast against the candidate corpus; the
   per-pair dot product is a JVM higher-order fold (zip_with + aggregate),
   so the inner loop stays in whole-stage codegen, no Python.
+  ``cosine_topk_numpy`` is the Arrow/BLAS alternative (matmul per batch,
+  partition-local top-k): measured 1.7x faster at sf0.1 (1.06s vs
+  1.82s best-of-3) and the gap grows with corpus size -- prefer it when
+  bit-for-bit SQL-fold parity is not required.
 - ``ann_lsh_topk``: random-hyperplane LSH -- the scale path. Hyperplane
   weights are derived deterministically from md5 (computed once in Python,
   embedded as literals), vectors hash to sign-pattern buckets, and only
