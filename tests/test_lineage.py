@@ -209,3 +209,25 @@ def test_extraction_under_100ms(spark, sf_dir):
     elapsed = time.perf_counter() - t0
     assert elapsed < 0.1, f"lineage took {elapsed * 1000:.1f}ms"
     assert ("rev", "lineitem", "l_discount") in g.edges()
+
+
+def test_jdbc_relation_leaf_attribution(spark, sf_dir, tmp_path):
+    """Lineage over a JDBC scan must attribute leaf columns to the JDBC
+    relation's table identity (reference attributes Hive tables via
+    catalogTable; JDBC relations carry their table in the relation
+    itself)."""
+    from ushas_spark.io import load_table
+    from ushas_spark.lineage import lineage
+
+    url = f"jdbc:derby:{tmp_path}/ldb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    load_table(spark, sf_dir, "region").write.jdbc(
+        url, "region_t", mode="overwrite", properties=props
+    )
+    back = spark.read.jdbc(url, "region_t", properties=props)
+    df = back.select((F.col("r_regionkey") + 1).alias("rk1"))
+    g = lineage(df)
+    edges = g.edges()
+    assert any(
+        "region_t" in src and col == "r_regionkey" for _, src, col in edges
+    ), edges

@@ -124,7 +124,12 @@ def _leaf_source(jnode) -> str:
                 paths = rel.location().rootPaths()
                 return ",".join(str(p) for p in _seq(paths))
             except Exception:
-                return str(rel.getClass().getSimpleName())
+                rel_cls = str(rel.getClass().getSimpleName())
+                if rel_cls == "JDBCRelation":
+                    # JDBCRelation(tbl) [numPartitions=N] -- keep the
+                    # table identity, drop the partitioning suffix.
+                    return str(rel.toString()).split(" [")[0]
+                return rel_cls
         if cls in ("HiveTableRelation", "UnresolvedCatalogRelation"):
             return str(jnode.tableMeta().identifier().unquotedString())
         if cls == "StreamingRelation":
