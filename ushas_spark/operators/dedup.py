@@ -649,14 +649,19 @@ def connected_components(
     - the convergence probe aggregates a single change count per round
       (a scalar to the driver, not data).
     """
-    # Materialize the (possibly expensive) edge derivation ONCE -- the
-    # iteration re-reads `sym` every round, and without this the entire
-    # upstream pipeline (e.g. the Jaccard inverted-index join) re-executes
-    # per round: measured 8.2s -> 4.1s at sf0.1.
-    sym = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-        .localCheckpoint(eager=True)
+    # Materialize the (possibly expensive) edge derivation ONCE, BEFORE
+    # the symmetrizing union -- the union's two branches would otherwise
+    # each execute the upstream pipeline (the Jaccard inverted-index
+    # join; exchange reuse does not always cover aliased union branches:
+    # measured 4.25s -> 3.44s at sf0.1), and the iteration re-reads the
+    # edge list every round (measured 8.2s -> 4.1s when first
+    # materialized at all). The union itself is a projection over the
+    # cached blocks -- cheap to re-run per round.
+    directed = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).localCheckpoint(eager=True)
+    sym = directed.union(
+        directed.select(F.col("d").alias("s"), F.col("s").alias("d"))
     )
     # Iterate ONLY over nodes that appear in an edge: singletons (the vast
     # majority of a deduped corpus) can never change label, so they join

@@ -986,7 +986,7 @@ JOIN region ON n_regionkey = r_regionkey
 WHERE r_name = 'EUROPE'
 GROUP BY ps_partkey
 HAVING CAST({_Q11_SCALED} AS DOUBLE) >
-  (SELECT CAST({_Q11_SCALED} AS DOUBLE) * 0.001
+  (SELECT CAST({_Q11_SCALED} AS DOUBLE) * 2.0 / COUNT(DISTINCT ps_partkey)
    FROM partsupp
    JOIN supplier ON ps_suppkey = s_suppkey
    JOIN nation ON s_nationkey = n_nationkey
@@ -1008,6 +1008,11 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     billions of parts) and no second scan of the fact table. Value sums
     use exact scaled-integer partials on both sides, so the > threshold
     comparison is bit-portable.
+
+    Threshold: TPC-H scales Q11's FRACTION by 1/SF; a fixed 0.001 goes
+    vacuous as the part count grows (at sf0.1 no part holds 0.1% of
+    total). The portable equivalent is value > 2x the AVERAGE per-part
+    share (2/n_parts), which discriminates identically at every SF.
     """
     eu = _partsupp_europe(spark, sf_dir)
     scaled = F.round(
@@ -1015,11 +1020,14 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     per_part = eu.groupBy("ps_partkey").agg(F.sum(scaled).alias("_s"))
     per_part = per_part.localCheckpoint(eager=True)
-    total = per_part.agg(F.sum("_s").alias("_total"))
+    total = per_part.agg(
+        F.sum("_s").alias("_total"), F.count("*").alias("_nparts")
+    )
     with_total = per_part.join(F.broadcast(total))
     return (
         with_total.filter(
-            F.col("_s").cast("double") > F.col("_total").cast("double") * 0.001
+            F.col("_s").cast("double")
+            > F.col("_total").cast("double") * 2.0 / F.col("_nparts")
         )
         .select(
             "ps_partkey",
