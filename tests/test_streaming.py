@@ -345,3 +345,61 @@ def test_rocksdb_state_store_provider(spark, sf_dir, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
+
+
+def test_update_mode_emits_changed_keys_per_batch(spark, sf_dir, multi_batch_dir):
+    """Update output mode (reference: InternalOutputModes.scala:34-48):
+    each micro-batch emits the CHANGED aggregate rows only; the union of
+    the last emission per key must equal the batch answer."""
+    from pyspark.sql import Window as W
+
+    stream = _stream_from(spark, multi_batch_dir)
+    agg = stream.groupBy("event_type").count()
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_update_mode")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_batches = q.lastProgress["batchId"] + 1
+    finally:
+        q.stop()
+    emitted = spark.table("t_update_mode")
+    # multiple emissions per key (one per batch that changed it) ...
+    assert emitted.count() > emitted.select("event_type").distinct().count()
+    assert n_batches == 4
+    # ... and the LAST emission per key is the final count. The memory
+    # sink has no batch column, but counts grow monotonically per key,
+    # so max(count) per key IS the last emission.
+    final = emitted.groupBy("event_type").agg(F.max("count").alias("count"))
+    got = {(r.event_type, r["count"]) for r in final.collect()}
+    expect = {
+        (r.event_type, r["count"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .count()
+        .collect()
+    }
+    assert got == expect
+
+
+def test_available_now_trigger_drains_and_stops(spark, sf_dir, multi_batch_dir):
+    """Trigger.AvailableNow (Spark 3.3+): process everything available in
+    rate-limited batches, then stop on its own -- the batch-job-over-
+    streaming-source pattern (replaces Trigger.Once)."""
+    stream = _stream_from(spark, multi_batch_dir)
+    q = (
+        stream.groupBy("user_id")
+        .count()
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_available_now")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive, "availableNow query must self-terminate"
+    total = spark.table("t_available_now").agg(F.sum("count")).collect()[0][0]
+    assert total == load_table(spark, sf_dir, "events").count()
