@@ -151,3 +151,53 @@ def test_salted_join_salt_is_deterministic_across_runs(spark):
     b = salted.groupBy("k").agg(F.first("_salt").alias("s2"))
     diff = a.join(b, "k").filter(F.col("s1") != F.col("s2")).count()
     assert diff == 0
+
+
+def test_quota_sample_bounded_under_dominant_source(spark):
+    """Planted source skew: one source holds 96% of a 500k-doc corpus.
+    The quota sampler's hash pre-filter must bound the ranked (window)
+    partition for EVERY source to ~oversample*quota rows -- the naive
+    rank-everything formulation would put 480k rows on one reducer."""
+    from ushas_spark.operators.pipeline import (
+        QUOTA_PER_SOURCE,
+        _QUOTA_MOD,
+        _QUOTA_OVERSAMPLE_X1000,
+        _quota_hash,
+    )
+
+    n_docs = 500_000
+    docs = spark.range(n_docs, numPartitions=32).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 25 == 0, F.concat(F.lit("minor_"), (F.col("id") % 7).cast("string")))
+        .otherwise(F.lit("dominant"))
+        .alias("source"),
+    )
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_src"))
+    pre = (
+        docs.join(F.broadcast(counts), "source")
+        .withColumn("_h", _quota_hash())
+        .filter(
+            F.col("_h") % _QUOTA_MOD
+            < (
+                _QUOTA_OVERSAMPLE_X1000
+                * QUOTA_PER_SOURCE
+                * float(_QUOTA_MOD // 1000)
+            )
+            / F.col("n_src")
+        )
+    )
+    per_source = pre.groupBy("source").agg(F.count("*").alias("n_pre")).collect()
+    assert len(per_source) == 8  # dominant + 7 minor
+    for r in per_source:
+        # each window partition is a few dozen rows, never corpus-scale
+        assert r.n_pre <= QUOTA_PER_SOURCE * 10, (r.source, r.n_pre)
+    # and the sampler still fills its quota from the dominant source
+    w = W.partitionBy("source").orderBy("_h", "doc_id")
+    sampled = (
+        pre.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= QUOTA_PER_SOURCE)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert all(r.n == QUOTA_PER_SOURCE for r in sampled), sampled

@@ -244,6 +244,12 @@ QUOTA_PER_SOURCE = 10
 # exact quota. Both stages are pure hash functions, so the oracle mirrors
 # them exactly.
 _QUOTA_OVERSAMPLE_X1000 = 1500
+# Admission compares hash % M against rate * M. M must be FINE: with
+# M=1000 a source above ~1.5M docs floors the rate to "residue 0 only",
+# which admits n_src/1000 rows -- unbounded (caught by the planted-skew
+# stress test). M=1e9 keeps the admitted count ~= 1.5*quota for any
+# source below ~1e10 docs.
+_QUOTA_MOD = 1_000_000_000
 
 
 def _quota_hash(doc_id: F.Column | str = "doc_id") -> F.Column:
@@ -257,8 +263,8 @@ WITH counts AS (
   SELECT d.doc_id, d.source,
          {sql_hash60("'quota:' || CAST(d.doc_id AS VARCHAR)")} AS h
   FROM documents d JOIN counts c USING (source)
-  WHERE {sql_hash60("'quota:' || CAST(d.doc_id AS VARCHAR)")} % 1000
-        < ({_QUOTA_OVERSAMPLE_X1000} * {QUOTA_PER_SOURCE}) / c.n_src
+  WHERE {sql_hash60("'quota:' || CAST(d.doc_id AS VARCHAR)")} % {_QUOTA_MOD}
+        < ({_QUOTA_OVERSAMPLE_X1000} * {QUOTA_PER_SOURCE} * {_QUOTA_MOD // 1000}.0) / c.n_src
 ), ranked AS (
   SELECT doc_id, source,
          ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rnk
@@ -292,8 +298,13 @@ def pipeline_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.join(F.broadcast(counts), "source")
         .withColumn("_h", h)
         .filter(
-            F.col("_h") % 1000
-            < (_QUOTA_OVERSAMPLE_X1000 * QUOTA_PER_SOURCE) / F.col("n_src")
+            F.col("_h") % _QUOTA_MOD
+            < (
+                _QUOTA_OVERSAMPLE_X1000
+                * QUOTA_PER_SOURCE
+                * float(_QUOTA_MOD // 1000)
+            )
+            / F.col("n_src")
         )
     )
     w = W.partitionBy("source").orderBy("_h", "doc_id")
