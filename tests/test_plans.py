@@ -318,3 +318,13 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_wav_pipeline_prunes_to_doc_id(spark, sf_dir):
+    """The WAV synthesize/decode pipeline must read ONLY doc_id from the
+    documents scan (payloads are generated, not read) with the id filter
+    pushed to parquet -- at 100 TB the difference between scanning a
+    column of ids and scanning the text corpus."""
+    plan = _plan(QUERIES["multimodal_wav_decode"](spark, sf_dir))
+    assert "ReadSchema: struct<doc_id:bigint>" in plan, plan
+    assert "LessThan(doc_id" in plan, plan
