@@ -282,3 +282,63 @@ def test_numpy_topk_matches_jvm_fold(spark, sf_dir):
     for key in jvm:
         assert jvm[key][0] == vec[key][0], (key, jvm[key], vec[key])
         assert abs(jvm[key][1] - vec[key][1]) <= 1, (key, jvm[key], vec[key])
+
+
+def test_png_decoder_handles_all_filter_types():
+    """The PNG reader must invert all five standard scanline filters --
+    the synthesized assets use filter 0 only, so forward-filter a known
+    image with each type and require identical decoded sums."""
+    import struct
+    import zlib
+
+    from ushas_spark.operators.multimodal import (
+        _decode_png,
+        _png_chunk,
+        _png_dims,
+        _png_pixel,
+    )
+
+    aid = 42
+    w, h = _png_dims(aid)
+    rows = [
+        [c for x in range(w) for c in _png_pixel(aid, x, y)] for y in range(h)
+    ]
+    expect = _decode_png(
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + _png_chunk(
+            b"IDAT",
+            zlib.compress(b"".join(bytes([0] + r) for r in rows)),
+        )
+        + _png_chunk(b"IEND", b""),
+    )
+    bpp, stride = 3, 3 * w
+    for ftype in (1, 2, 3, 4):
+        raw = bytearray()
+        prev = [0] * stride
+        for r in rows:
+            raw.append(ftype)
+            for i in range(stride):
+                a = r[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                raw.append((r[i] - pred) & 0xFF)
+            prev = r
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b"")
+        )
+        got = _decode_png(payload)
+        assert got == expect, (ftype, got, expect)
