@@ -15,11 +15,14 @@ Design (BASELINE.json north star; no image/audio libs in this container):
   sample statistics) and genuine PNG files via ``zlib``/``struct`` --
   CRC-checked chunk walk, inflate, all five scanline filters
   (``multimodal_png_decode``, oracle-gated on dimensions AND channel
-  sums). Only PERCEPTUAL ops (resize interpolation, frame extraction
-  from real video containers) remain stubbed behind deterministic fakes
-  (``_decode_stub`` -- no PIL/ffmpeg in this container); their
-  Spark-side plumbing (schema, batching, partitioning) is real and
-  tested.
+  sums). The perceptual tier is real too where the math is exact:
+  ``multimodal_png_resize`` (decode -> nearest-neighbour resample ->
+  re-encode) and ``multimodal_wav_frames`` (PCM frame windows with
+  per-frame amplitude sums), both oracle-gated. What remains stubbed is
+  only the library-kernel family this container cannot host (Lanczos/
+  bicubic interpolation, lossy-codec video frames -- PIL/ffmpeg absent):
+  ``_decode_stub``/``resize_images``/``sample_frames`` keep that
+  plumbing shape testable with deterministic fakes.
 """
 
 from __future__ import annotations
@@ -397,13 +400,13 @@ def _encode_png(asset_id: int) -> bytes:
 
 
 def _decode_png(payload: bytes) -> dict:
-    """Minimal real PNG reader: chunk walk, CRC check, inflate, unfilter
-    (all 5 standard filter types), channel sums. 8-bit RGB only."""
+    """Real PNG reader -> per-channel sums (CRC-verifying; shares the
+    chunk/filter logic with the pixel-grid reader below)."""
     import struct
     import zlib
 
-    assert payload[:8] == b"\x89PNG\r\n\x1a\n", "bad signature"
-    pos, idat, w = 8, b"", None
+    # CRC sweep first (the pixel reader skips it for speed in resize).
+    pos = 8
     while pos < len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]
@@ -412,44 +415,17 @@ def _decode_png(payload: bytes) -> dict:
             ">I", payload[pos + 8 + length : pos + 12 + length]
         )
         assert zlib.crc32(tag + data) & 0xFFFFFFFF == crc, "CRC mismatch"
-        if tag == b"IHDR":
-            w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", data)
-            assert (depth, ctype, interlace) == (8, 2, 0), "unsupported"
-        elif tag == b"IDAT":
-            idat += data
-        elif tag == b"IEND":
+        if tag == b"IEND":
             break
         pos += 12 + length
-    raw = zlib.decompress(idat)
-    stride, bpp = 3 * w, 3
-    out = bytearray()
-    prev = bytearray(stride)
-    for y in range(h):
-        ftype = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
-        for i in range(stride):
-            a = line[i - bpp] if i >= bpp else 0
-            b = prev[i]
-            c = prev[i - bpp] if i >= bpp else 0
-            if ftype == 1:
-                line[i] = (line[i] + a) & 0xFF
-            elif ftype == 2:
-                line[i] = (line[i] + b) & 0xFF
-            elif ftype == 3:
-                line[i] = (line[i] + (a + b) // 2) & 0xFF
-            elif ftype == 4:
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[i] = (line[i] + pred) & 0xFF
-        out.extend(line)
-        prev = line
+    grid = _decode_png_pixels(payload)
+    flat = [c for row in grid["pixels"] for px in row for c in px]
     return {
-        "width": w,
-        "height": h,
-        "sum_r": sum(out[0::3]),
-        "sum_g": sum(out[1::3]),
-        "sum_b": sum(out[2::3]),
+        "width": grid["width"],
+        "height": grid["height"],
+        "sum_r": sum(flat[0::3]),
+        "sum_g": sum(flat[1::3]),
+        "sum_b": sum(flat[2::3]),
     }
 
 
@@ -525,3 +501,216 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     inflate, and unfilter logic are all gated."""
     assets = synthesize_png_assets(spark, sf_dir)
     return decode_png_stats(assets).orderBy("asset_id")
+
+
+# --------------------------------- real perceptual ops over the codecs
+
+_RESIZE_W, _RESIZE_H = 6, 5
+
+
+def resize_png_nearest(assets: DataFrame, tw: int, th: int) -> DataFrame:
+    """REAL image resize: decode the PNG, nearest-neighbour resample,
+    re-encode. Nearest-neighbour is the one resampling kernel that is
+    exactly arithmetic (src = floor(dst * src_dim / dst_dim)), so the
+    result is oracle-able; swap the kernel for PIL's Lanczos in
+    production without touching the Spark plumbing."""
+    import struct
+    import zlib
+
+    out_schema = (
+        "asset_id bigint, width bigint, height bigint, "
+        "sum_r bigint, sum_g bigint, sum_b bigint, payload binary"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                src = _decode_png_pixels(bytes(payload))
+                sw, sh = src["width"], src["height"]
+                px = src["pixels"]  # list of rows of (r,g,b)
+                out = bytearray()
+                sums = [0, 0, 0]
+                for y in range(th):
+                    out.append(0)
+                    sy = y * sh // th
+                    for x in range(tw):
+                        sx = x * sw // tw
+                        r, g, b = px[sy][sx]
+                        out.extend((r, g, b))
+                        sums[0] += r
+                        sums[1] += g
+                        sums[2] += b
+                ihdr = struct.pack(">IIBBBBB", tw, th, 8, 2, 0, 0, 0)
+                resized = (
+                    b"\x89PNG\r\n\x1a\n"
+                    + _png_chunk(b"IHDR", ihdr)
+                    + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+                    + _png_chunk(b"IEND", b"")
+                )
+                rows.append(
+                    {
+                        "asset_id": aid,
+                        "width": tw,
+                        "height": th,
+                        "sum_r": sums[0],
+                        "sum_g": sums[1],
+                        "sum_b": sums[2],
+                        "payload": resized,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height",
+                    "sum_r", "sum_g", "sum_b", "payload",
+                ],
+            )
+
+    return assets.mapInPandas(op, schema=out_schema)
+
+
+def _decode_png_pixels(payload: bytes) -> dict:
+    """_decode_png plus the pixel grid (shared chunk/filter logic)."""
+    import struct
+    import zlib
+
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n", "bad signature"
+    pos, idat, w = 8, b"", None
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", data)
+            assert (depth, ctype, interlace) == (8, 2, 0), "unsupported"
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    stride, bpp = 3 * w, 3
+    pixels = []
+    prev = bytearray(stride)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        for i in range(stride):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ftype == 1:
+                line[i] = (line[i] + a) & 0xFF
+            elif ftype == 2:
+                line[i] = (line[i] + b) & 0xFF
+            elif ftype == 3:
+                line[i] = (line[i] + (a + b) // 2) & 0xFF
+            elif ftype == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        pixels.append([tuple(line[i : i + 3]) for i in range(0, stride, 3)])
+        prev = line
+    return {"width": w, "height": h, "pixels": pixels}
+
+
+_RESIZE_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id AS asset_id,
+         8 + doc_id % 9 AS sw,
+         8 + doc_id % 7 AS sh
+  FROM documents WHERE doc_id < {_PNG_N_ASSETS}
+), px AS (
+  SELECT asset_id,
+         (x.x * sw) // {_RESIZE_W} AS sx,
+         (y.y * sh) // {_RESIZE_H} AS sy
+  FROM p,
+       LATERAL (SELECT unnest(generate_series(0, {_RESIZE_W - 1})) AS x) x,
+       LATERAL (SELECT unnest(generate_series(0, {_RESIZE_H - 1})) AS y) y
+)
+SELECT asset_id,
+       CAST({_RESIZE_W} AS BIGINT) AS width,
+       CAST({_RESIZE_H} AS BIGINT) AS height,
+       CAST(SUM((asset_id * 7 + sx * 3 + sy * 5) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((asset_id * 11 + sx * 2 + sy * 13) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((asset_id * 3 + sx * 17 + sy) % 256) AS BIGINT) AS sum_b
+FROM px
+GROUP BY asset_id
+ORDER BY asset_id
+"""
+
+
+@query("multimodal_png_resize", oracle=_RESIZE_ORACLE)
+def multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize pipeline: synthesize PNGs -> decode -> nearest-
+    neighbour resample to {_RESIZE_W}x{_RESIZE_H} -> re-encode + channel
+    sums. The oracle recomputes the resample arithmetically (src pixel =
+    floor(dst*src/dst)), gating the whole decode-transform-encode loop."""
+    assets = synthesize_png_assets(spark, sf_dir)
+    return (
+        resize_png_nearest(assets, _RESIZE_W, _RESIZE_H)
+        .drop("payload")
+        .orderBy("asset_id")
+    )
+
+
+_FRAME_N = 16  # PCM samples per frame
+
+
+_FRAMES_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id AS asset_id, 64 + doc_id % 64 AS n_frames
+  FROM documents WHERE doc_id < {_WAV_N_ASSETS}
+), f AS (
+  SELECT asset_id, n_frames, fi.fi AS frame_idx
+  FROM p, LATERAL (
+    SELECT unnest(generate_series(0, (n_frames - 1) // {_FRAME_N})) AS fi
+  ) fi
+)
+SELECT asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(list_sum(
+         [abs((asset_id * 31 + i * 7) % 2001 - 1000)
+          FOR i IN generate_series(frame_idx * {_FRAME_N},
+                                   LEAST(n_frames, (frame_idx + 1) * {_FRAME_N}) - 1)]
+       ) AS BIGINT) AS abs_sum
+FROM f
+ORDER BY asset_id, frame_idx
+"""
+
+
+@query("multimodal_wav_frames", oracle=_FRAMES_ORACLE)
+def multimodal_wav_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio frame sampling: decode WAV PCM, window into
+    {_FRAME_N}-sample frames, per-frame absolute-amplitude sum -- the
+    1->N row expansion of a feature-extraction pass (VAD, loudness),
+    with the oracle regenerating every frame arithmetically."""
+    import io
+    import struct
+    import wave
+
+    assets = synthesize_wav_assets(spark, sf_dir)
+    out_schema = "asset_id bigint, frame_idx bigint, abs_sum bigint"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    n = w.getnframes()
+                    samples = struct.unpack(f"<{n}h", w.readframes(n))
+                for fi in range(0, (n + _FRAME_N - 1) // _FRAME_N):
+                    frame = samples[fi * _FRAME_N : (fi + 1) * _FRAME_N]
+                    rows.append(
+                        {
+                            "asset_id": aid,
+                            "frame_idx": fi,
+                            "abs_sum": sum(abs(s) for s in frame),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["asset_id", "frame_idx", "abs_sum"])
+
+    return assets.mapInPandas(op, schema=out_schema).orderBy(
+        "asset_id", "frame_idx"
+    )
