@@ -122,3 +122,20 @@ def test_hints_respected(spark, sf_dir):
     shuffled = o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
     plan2 = shuffled._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in plan2
+
+
+def test_reliable_checkpoint_truncates_lineage(spark, tmp_path):
+    """df.checkpoint() (reliable, HDFS-style dir) vs localCheckpoint:
+    materializes to the checkpoint dir and truncates the logical plan --
+    the cross-job/cluster-restart-safe variant the iterative operators
+    would use on a real cluster."""
+    from pyspark.sql import functions as F
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    df = spark.range(1000).withColumn("v", F.col("id") * 2)
+    cp = df.checkpoint(eager=True)
+    assert cp.count() == 1000
+    # plan is truncated to a scan of the checkpointed RDD
+    plan = cp._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan or "Scan ExistingRDD" in plan, plan
+    assert "Range" not in plan, plan

@@ -403,3 +403,26 @@ def test_available_now_trigger_drains_and_stops(spark, sf_dir, multi_batch_dir):
     assert not q.isActive, "availableNow query must self-terminate"
     total = spark.table("t_available_now").agg(F.sum("count")).collect()[0][0]
     assert total == load_table(spark, sf_dir, "events").count()
+
+
+def test_drop_duplicates_within_watermark(spark, sf_dir, multi_batch_dir):
+    """dropDuplicatesWithinWatermark (Spark 3.5+, beyond the reference):
+    dedup state is EVICTED once the watermark passes, so state stays
+    bounded on infinite streams -- the production replacement for plain
+    streaming dropDuplicates when keys never stop arriving. On this
+    finite replay with a generous watermark nothing is evicted early, so
+    the result must equal the batch distinct."""
+    stream = _stream_from(spark, multi_batch_dir)
+    deduped = stream.withWatermark("ts", "10 days").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    out = ops.run_to_memory(deduped, "t_dedup_wm", output_mode="append")
+    got = {(r.user_id, r.event_type) for r in out.select("user_id", "event_type").collect()}
+    expect = {
+        (r.user_id, r.event_type)
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert got == expect

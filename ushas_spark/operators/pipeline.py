@@ -426,3 +426,63 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(s_tok.cast("bigint")).alias("n_after_tok"),
         F.sum(s_rep.cast("bigint")).alias("n_after_rep"),
     )
+
+
+# ---------------------------------------------- end-to-end curation run
+
+_E2E_ORACLE = f"""
+WITH deduped AS (
+  SELECT doc_id, text, lang, source, n_chars
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn = 1
+), gated AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tok
+  FROM deduped
+  WHERE n_chars >= 100
+    AND lang IN ('en', 'de', 'fr', 'es')
+    AND len(regexp_split_to_array(text, '\\s+')) >= 20
+), labelled AS (
+  SELECT {_SPLIT_CASE_SQL.format(h=sql_hash60("CAST(doc_id AS VARCHAR)"))} AS split,
+         n_tok
+  FROM gated
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       SUM(n_tok) AS n_tokens
+FROM labelled
+GROUP BY split
+ORDER BY split
+"""
+
+
+@query("pipeline_end_to_end", oracle=_E2E_ORACLE)
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation run as ONE composed lazy plan: exact dedup
+    (keep-first by content digest) -> quality gates (length, language,
+    token count) -> deterministic train/val/test assignment -> per-split
+    doc/token accounting. Because every stage is a DataFrame transform,
+    Catalyst optimizes ACROSS stages (the gate predicates push below the
+    dedup window's partition where legal, one scan feeds everything) --
+    the reason to express a pipeline as composed queries instead of
+    materialized hops. At 100 TB the only wide stages are the digest
+    window and the final 3-group aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        d.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    )
+    toks = F.size(F.split(F.col("text"), r"\s+")).cast("long")
+    gated = deduped.filter(
+        (F.col("n_chars") >= 100)
+        & F.col("lang").isin("en", "de", "fr", "es")
+        & (toks >= 20)
+    ).select("doc_id", toks.alias("n_tok"))
+    labelled = gated.select(split_column().alias("split"), "n_tok")
+    return (
+        labelled.groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+        .orderBy("split")
+    )
