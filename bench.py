@@ -54,6 +54,7 @@ HEADLINE = [
     "text_repetition_score",
     "pipeline_decontaminate",
     "pipeline_quota_sample",
+    "pipeline_end_to_end",
     "sim_label_centroid_stats",
     "multimodal_wav_decode",
 ]
