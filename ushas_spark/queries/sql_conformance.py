@@ -209,3 +209,37 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY ALL (infer grouping keys from the select list) -- Spark
     3.4+ / DuckDB shared surface; same SQL text runs on both engines."""
     return _sql(spark, sf_dir, _GROUP_BY_ALL)
+
+
+_RECURSIVE_CALENDAR = """
+WITH RECURSIVE cal(d) AS (
+  SELECT CAST('1996-01-01' AS DATE)
+  UNION ALL
+  SELECT CAST(d + INTERVAL 1 DAY AS DATE) FROM cal
+  WHERE d < CAST('1996-03-31' AS DATE)
+),
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT CAST(EXTRACT(MONTH FROM cal.d) AS BIGINT) AS month,
+       COUNT(*) AS n_days,
+       CAST(SUM(CASE WHEN daily.n_orders IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_order_days,
+       CAST(COALESCE(SUM(daily.n_orders), 0) AS BIGINT) AS n_orders
+FROM cal LEFT JOIN daily ON cal.d = daily.d
+GROUP BY 1
+ORDER BY month
+"""
+
+
+@query("sql_recursive_cte_calendar", oracle=_RECURSIVE_CALENDAR)
+def sql_recursive_cte_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4.0 -- absent in the reference's 2.4
+    parser): generate a 91-day calendar spine recursively, left join
+    per-day order counts, report zero-order gaps per month -- the
+    canonical gap-filling-with-a-generated-calendar analytics pattern.
+    The SAME SQL text runs on Spark and DuckDB (UnionLoopExec executes
+    the iteration in Spark; recursion depth is bounded by the date
+    predicate, so no runaway)."""
+    return _sql(spark, sf_dir, _RECURSIVE_CALENDAR)
