@@ -163,11 +163,40 @@ def streaming_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.agg(F.count("*").alias("n_rows"))
 
 
-@query("streaming_sessionize_state")  # custom stateful: rows-only check
+_SESSIONIZE_STATE_ORACLE = """
+WITH t AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN epoch(CAST(ts AS TIMESTAMP))
+                   - epoch(lag(CAST(ts AS TIMESTAMP))
+                           OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM t
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events
+FROM s
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+@query("streaming_sessionize_state", oracle=_SESSIONIZE_STATE_ORACLE)
 def streaming_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """applyInPandasWithState sessionization (arbitrary stateful op --
-    non-SQL-expressible in general; tests assert agreement with the SQL
-    sessionization on this finite replay)."""
+    """applyInPandasWithState sessionization (arbitrary stateful op). In
+    general arbitrary state is non-SQL-expressible, but THIS operator's
+    finite-replay output is deterministic and equals gap sessionization
+    (session_end = last event, no gap padding -- unlike the native
+    session_window query), so it gets a full oracle rather than the
+    weaker rows-only check."""
     events = ops.read_events_stream(spark, sf_dir)
     out = ops.run_to_memory(
         ops.sessionize_with_state(events), "t_sessstate", output_mode="append"
