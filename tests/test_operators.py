@@ -239,14 +239,7 @@ def test_incremental_minhash_equals_full_run_restricted(spark, sf_dir):
     """The incremental run must emit EXACTLY the full run's pairs that
     touch the increment (no duplicates vs history, no missed pairs) --
     the invariant that makes daily incremental dedup composable."""
-    from ushas_spark.operators.dedup import (
-        _INCR_NEW_MIN,
-        _INCR_NEW_MOD,
-        JACCARD_THRESHOLD,
-        lsh_candidates,
-        minhash_signatures,
-    )
-    from ushas_spark.io import load_table
+    from ushas_spark.operators.dedup import _INCR_NEW_MIN, _INCR_NEW_MOD
     from ushas_spark.registry import QUERIES
 
     incr = {

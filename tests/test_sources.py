@@ -9,7 +9,6 @@ so this coverage lives here.
 
 from __future__ import annotations
 
-import tempfile
 
 import pytest
 from pyspark.sql import functions as F
