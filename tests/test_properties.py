@@ -123,3 +123,55 @@ def test_source_mix_kept_bounded_by_total(spark, sf_dir):
     total = sum(r.n_total for r in rows)
     kept = sum(r.n_kept for r in rows)
     assert 0.1 * total < kept < 0.9 * total, (kept, total)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=200),
+    st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_any_pcm(samples, rate):
+    """WAV encode->decode is the identity on arbitrary 16-bit PCM."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    with wave.open(io.BytesIO(buf.getvalue()), "rb") as r:
+        assert r.getframerate() == rate
+        n = r.getnframes()
+        got = list(struct.unpack(f"<{n}h", r.readframes(n)))
+    assert got == samples
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(min_value=1, max_value=12), st.integers(min_value=1, max_value=12), st.randoms())
+def test_png_roundtrip_any_pixels(w, h, rnd):
+    """PNG encode->decode preserves arbitrary RGB pixel grids (container
+    write, zlib, filter-0 scanlines, CRC, unfilter)."""
+    import struct
+    import zlib
+
+    from ushas_spark.operators.multimodal import _decode_png_pixels, _png_chunk
+
+    pixels = [
+        [(rnd.randrange(256), rnd.randrange(256), rnd.randrange(256)) for _ in range(w)]
+        for _ in range(h)
+    ]
+    raw = b"".join(
+        bytes([0] + [c for px in row for c in px]) for row in pixels
+    )
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    got = _decode_png_pixels(payload)
+    assert got["width"] == w and got["height"] == h
+    assert got["pixels"] == pixels
