@@ -17,7 +17,15 @@ only where DataFrame ops genuinely cannot express the semantics, and then as
 Arrow-batched pandas UDFs.
 """
 
+from ushas_spark.io import load_table, load_tables, register_views
+from ushas_spark.lineage import lineage
 from ushas_spark.session import get_spark
 
-__all__ = ["get_spark"]
-__version__ = "0.1.0"
+__all__ = [
+    "get_spark",
+    "lineage",
+    "load_table",
+    "load_tables",
+    "register_views",
+]
+__version__ = "0.2.0"
