@@ -335,3 +335,25 @@ def test_png_decoder_handles_all_filter_types():
         )
         got = _decode_png(payload)
         assert got == expect, (ftype, got, expect)
+
+
+def test_asof_forward_equal_timestamp_and_none(spark):
+    """Forward as-of: a right row exactly AT the left timestamp matches
+    (>= semantics); a left row after every right row gets NULL."""
+    from pyspark.sql import functions as SF
+
+    from ushas_spark.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 25, 101), (1, 99, 102)], "k long, t long, lid long"
+    ).select("k", SF.timestamp_micros(SF.col("t") * 1_000_000).alias("t"), "lid")
+    right = spark.createDataFrame(
+        [(1, 10, 7), (1, 30, 8)], "k long, t long, rv long"
+    ).select("k", SF.timestamp_micros(SF.col("t") * 1_000_000).alias("rt"), "rv")
+    out = {
+        r.lid: r.asof_rv
+        for r in asof_join_forward(
+            left, right, by="k", left_ts="t", right_ts="rt", right_values=["rv"]
+        ).collect()
+    }
+    assert out == {100: 7, 101: 8, 102: None}

@@ -116,3 +116,103 @@ def asof_latest_order_before_event(spark: SparkSession, sf_dir: str) -> DataFram
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
         "asof_o_orderkey",
     ).orderBy("event_id")
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    right_values: list[str],
+) -> DataFrame:
+    """Forward as-of: for each left row, the right row with the SMALLEST
+    ``right_ts`` >= ``left_ts`` within the key -- the "next action after
+    event" attribution shape (conversion tracking, next-order latency).
+    Same union+window formulation as backward, mirrored: first_value
+    ignore-nulls over the FOLLOWING frame, right rows sorting after left
+    rows at equal timestamps so an equal-time right row still matches.
+    ONE shuffle on the key, no quadratic blowup."""
+    lcols = left.columns
+    l_tagged = left.select(
+        F.col(by).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_values],
+    )
+    r_tagged = right.select(
+        F.col(by).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_r_{c}") for c in right_values],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    # Left rows (_side=0) sort before right rows at equal timestamps, so a
+    # right row AT the left timestamp is in the following frame (>=).
+    w = (
+        W.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.first(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
+            for c in right_values
+        ],
+    )
+    return filled.filter(F.col("_side") == 0).select(
+        *lcols, *[F.col(f"_m_{c}").alias(f"asof_{c}") for c in right_values]
+    )
+
+
+_ASOF_FWD_ORACLE = """
+WITH o AS (
+  SELECT o_custkey AS k, o_orderdate, MIN(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+       (SELECT o.o_orderkey FROM o
+        WHERE o.k = e.user_id AND o.o_orderdate >= e.ts
+        ORDER BY o.o_orderdate, o.o_orderkey LIMIT 1) AS asof_o_orderkey
+FROM events e
+ORDER BY e.event_id
+"""
+
+
+@query("asof_next_order_after_event", oracle=_ASOF_FWD_ORACLE)
+def asof_next_order_after_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each event: the user's NEXT order at-or-after event time
+    (forward as-of -- conversion attribution). Oracle is a correlated
+    min-subquery; ours is the union+window formulation with one shuffle.
+
+    Ties: the right side is pre-reduced to min(o_orderkey) per
+    (custkey, orderdate) so "first next order" is well-defined; with
+    multiple orders at the matched date, the earliest key wins on both
+    engines.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").alias("k"), "ts"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"), "o_orderdate")
+        .agg(F.min("o_orderkey").alias("o_orderkey"))
+    )
+    out = asof_join_forward(
+        events,
+        orders,
+        by="k",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_values=["o_orderkey"],
+    )
+    return out.select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+        "asof_o_orderkey",
+    ).orderBy("event_id")
