@@ -216,3 +216,52 @@ def asof_next_order_after_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
         "asof_o_orderkey",
     ).orderBy("event_id")
+
+
+_ASOF_TOL_ORACLE = """
+SELECT event_id, user_id, event_ts,
+       CASE WHEN order_date IS NOT NULL
+                 AND order_date >= CAST(event_ts AS TIMESTAMP) - INTERVAL 90 DAY
+            THEN asof_key END AS asof_o_orderkey
+FROM (
+  SELECT e.event_id, e.user_id,
+         strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+         o.o_orderkey AS asof_key, o.o_orderdate AS order_date
+  FROM events e
+  ASOF LEFT JOIN orders o
+    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+)
+ORDER BY event_id
+"""
+
+
+@query("asof_order_within_tolerance", oracle=_ASOF_TOL_ORACLE)
+def asof_order_within_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of with a 90-day TOLERANCE (the pd.merge_asof
+    ``tolerance`` knob): a preceding order older than the window does
+    not count as attribution. Implemented by carrying the matched
+    timestamp through the window fill and nulling matches outside the
+    tolerance -- zero extra shuffles over the plain as-of."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").alias("k"), "ts"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = asof_join_backward(
+        events,
+        orders,
+        by="k",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_values=["o_orderkey", "o_orderdate"],
+    )
+    within = F.col("asof_o_orderdate") >= F.col("ts") - F.expr("INTERVAL 90 DAY")
+    return out.select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+        F.when(within, F.col("asof_o_orderkey")).alias("asof_o_orderkey"),
+    ).orderBy("event_id")
