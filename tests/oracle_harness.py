@@ -74,6 +74,19 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
     if s_cols != o_cols:
         problems.append(f"column mismatch: spark={s_cols} oracle={o_cols}")
         return problems
+    # The driver's value-hash renders cells, so an int column on one side vs
+    # a float column on the other (DuckDB SUM(int) -> HUGEINT -> float64)
+    # hash-mismatches even when every value compares equal (3 == 3.0). Flag
+    # dtype-kind disagreement between integer and float columns here so the
+    # defect fails locally instead of only at the driver gate.
+    for c in s_cols:
+        sk, ok = spark_pdf[c].dtype.kind, oracle_pdf[c].dtype.kind
+        if {sk, ok} in ({"i", "f"}, {"u", "f"}):
+            problems.append(
+                f"dtype kind mismatch on '{c}': spark={spark_pdf[c].dtype} "
+                f"oracle={oracle_pdf[c].dtype} (driver value-hash would differ; "
+                "CAST the oracle output to BIGINT)"
+            )
     if len(spark_pdf) != len(oracle_pdf):
         problems.append(f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
     s_rows, o_rows = canonical_rows(spark_pdf), canonical_rows(oracle_pdf)

@@ -206,6 +206,35 @@ def test_connected_components_chain_triangle_singleton(spark):
     assert got == {(0, 0), (1, 0), (2, 0), (3, 0), (4, 4), (5, 4), (6, 4), (7, 7)}
 
 
+def test_connected_components_reliable_checkpoint_mode(spark):
+    """durability.set_reliable(True) routes every iterative truncation
+    point through a RELIABLE checkpoint (executor-loss tolerant, the
+    100 TB / preemptible-fleet setting) -- results must be identical and
+    checkpoint files must actually land in the checkpoint dir."""
+    import os
+
+    from ushas_spark import durability
+    from ushas_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], ["id"])
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5), (5, 6), (4, 6)], ["src", "dst"]
+    )
+    durability.set_reliable(True)
+    try:
+        got = {
+            (r.id, r.label)
+            for r in connected_components(nodes, edges, id_col="id").collect()
+        }
+        ckpt_dir = spark.sparkContext._jsc.sc().getCheckpointDir()
+        assert not ckpt_dir.isEmpty()
+        path = ckpt_dir.get()
+        assert any(os.scandir(path.removeprefix("file:"))), "no checkpoint files written"
+    finally:
+        durability.set_reliable(False)
+    assert got == {(0, 0), (1, 0), (2, 0), (3, 0), (4, 4), (5, 4), (6, 4), (7, 7)}
+
+
 def test_banded_join_matches_naive_theta(spark, sf_dir):
     """The bucketed band join must return exactly the naive inequality
     join's pairs (the formulation the reference would BNLJ)."""

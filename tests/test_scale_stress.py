@@ -141,16 +141,45 @@ def test_salted_join_salt_is_deterministic_across_runs(spark):
     """The salt must be identical on re-execution (task retry /
     speculation safety): two independent evaluations of the salted big
     side must assign every row the same salt."""
-    from pyspark.sql import functions as SF
+    from ushas_spark.operators.skew import _row_salt
 
     big = spark.range(10_000, numPartitions=16).select(
         F.col("id").alias("k"), (F.col("id") % 7).alias("v")
     )
-    salted = big.withColumn("_salt", SF.pmod(SF.xxhash64(*big.columns), SF.lit(8)))
+    salted = big.withColumn("_salt", _row_salt(big, 8, None))
     a = salted.groupBy("k").agg(F.first("_salt").alias("s1"))
     b = salted.groupBy("k").agg(F.first("_salt").alias("s2"))
     diff = a.join(b, "k").filter(F.col("s1") != F.col("s2")).count()
     assert diff == 0
+
+
+def test_salt_spreads_duplicate_rows(spark):
+    """A hot key made of IDENTICAL rows (the count-aggregation workload
+    salting targets) must still fan out: a pure content hash would give
+    every copy the same salt, making the mitigation a silent no-op. With
+    the partition-id mix, copies in different input partitions draw
+    different salts; with a stable id column, the spread is per-row."""
+    from ushas_spark.operators.skew import _row_salt
+
+    # 32 partitions of the SAME row content (k='hot', v=1).
+    dup = spark.range(32_000, numPartitions=32).select(
+        F.lit("hot").alias("k"), F.lit(1).alias("v")
+    )
+    n_content = (
+        dup.withColumn("_salt", _row_salt(dup, 8, None))
+        .select("_salt").distinct().count()
+    )
+    assert n_content > 1, "content+partition salt collapsed duplicate rows"
+
+    # With a unique id column the spread is uniform regardless of content.
+    with_id = spark.range(32_000, numPartitions=32).select(
+        F.col("id").alias("rid"), F.lit("hot").alias("k")
+    )
+    n_id = (
+        with_id.withColumn("_salt", _row_salt(with_id, 8, "rid"))
+        .select("_salt").distinct().count()
+    )
+    assert n_id == 8
 
 
 def test_quota_sample_bounded_under_dominant_source(spark):

@@ -17,6 +17,7 @@ only where DataFrame ops genuinely cannot express the semantics, and then as
 Arrow-batched pandas UDFs.
 """
 
+from ushas_spark.durability import materialize, set_reliable
 from ushas_spark.io import load_table, load_tables, register_views
 from ushas_spark.lineage import lineage
 from ushas_spark.session import get_spark
@@ -26,6 +27,8 @@ __all__ = [
     "lineage",
     "load_table",
     "load_tables",
+    "materialize",
     "register_views",
+    "set_reliable",
 ]
-__version__ = "0.2.0"
+__version__ = "0.3.0"

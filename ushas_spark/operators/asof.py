@@ -74,12 +74,19 @@ def asof_join_backward(
 
 
 _ASOF_ORACLE = """
+WITH o AS (
+  -- Pre-reduce ties exactly as the Spark side does: DuckDB's ASOF
+  -- tie-break among equal o_orderdate rows is unspecified, so the gate
+  -- would flake whenever a matched (user, date) has multiple orders.
+  SELECT o_custkey AS k, o_orderdate, MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1, 2
+)
 SELECT e.event_id, e.user_id,
        strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
        o.o_orderkey AS asof_o_orderkey
 FROM events e
-ASOF LEFT JOIN orders o
-  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+ASOF LEFT JOIN o
+  ON e.user_id = o.k AND o.o_orderdate <= e.ts
 ORDER BY e.event_id
 """
 
@@ -219,6 +226,11 @@ def asof_next_order_after_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ASOF_TOL_ORACLE = """
+WITH o AS (
+  -- Tie pre-reduction mirrors the Spark side (see _ASOF_ORACLE).
+  SELECT o_custkey AS k, o_orderdate, MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1, 2
+)
 SELECT event_id, user_id, event_ts,
        CASE WHEN order_date IS NOT NULL
                  AND order_date >= CAST(event_ts AS TIMESTAMP) - INTERVAL 90 DAY
@@ -228,8 +240,8 @@ FROM (
          strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
          o.o_orderkey AS asof_key, o.o_orderdate AS order_date
   FROM events e
-  ASOF LEFT JOIN orders o
-    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+  ASOF LEFT JOIN o
+    ON e.user_id = o.k AND o.o_orderdate <= e.ts
 )
 ORDER BY event_id
 """

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ushas_spark.durability import materialize
 from ushas_spark.io import load_table
 from ushas_spark.registry import query
 
@@ -115,7 +116,7 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The shingle explode is referenced FOUR times downstream (hot-shingle
     scan, join side a, join side b, the per-doc size aggregate) --
-    materialize it once with localCheckpoint or the md5-per-shingle
+    materialize it once (durability.materialize) or the md5-per-shingle
     hashing re-runs; and repartition first because the documents table is
     a single parquet file (one partition) at small SFs.
     """
@@ -124,8 +125,8 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_all = (
         d.repartition(n)
         .select("doc_id", F.explode(shingles()).alias("shingle"))
-        .localCheckpoint(eager=True)
     )
+    sh_all = materialize(sh_all)
     # Document-frequency cap: shingles() is per-doc distinct, so count(*)
     # IS document frequency. The over-cap list is broadcast to an anti
     # join -- no extra wide shuffle on the big side beyond the groupBy.
@@ -273,7 +274,7 @@ def lsh_candidates(sigs: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAN
     # materialized footprint is tiny relative to the corpus. On a real
     # cluster persist(DISK_ONLY) or a signatures table serves the same
     # role.
-    sigs = sigs.localCheckpoint(eager=True)
+    sigs = materialize(sigs)
     exploded = band_keys(sigs, bands, rows)
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -303,7 +304,7 @@ def incremental_lsh_candidates(
     emitted by past runs) are structurally excluded. Pairs are
     normalized to doc_a < doc_b.
     """
-    sigs = sigs.localCheckpoint(eager=True)
+    sigs = materialize(sigs)
     bk = band_keys(sigs)
     bk_new = bk.join(F.broadcast(new_ids), "doc_id")
     a = bk.alias("a")
@@ -642,7 +643,10 @@ def connected_components(
     - each round is one shuffle join (edges x labels) + one groupBy min
       on the node id -- hash-partitioned on the same key, so AQE keeps
       the exchanges aligned;
-    - ``localCheckpoint(eager=True)`` after every round truncates the
+    - :func:`ushas_spark.durability.materialize` after every round
+      (localCheckpoint by default; reliable checkpoint via
+      ``durability.set_reliable(True)`` for executor-loss tolerance on
+      preemptible fleets) truncates the
       logical plan -- without it the plan doubles per iteration and the
       driver dies re-optimizing before the data is ever the bottleneck
       (the classic iterative-Spark failure mode);
@@ -657,9 +661,9 @@ def connected_components(
     # edge list every round (measured 8.2s -> 4.1s when first
     # materialized at all). The union itself is a projection over the
     # cached blocks -- cheap to re-run per round.
-    directed = edges.select(
-        F.col(src).alias("s"), F.col(dst).alias("d")
-    ).localCheckpoint(eager=True)
+    directed = materialize(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    )
     sym = directed.union(
         directed.select(F.col("d").alias("s"), F.col("s").alias("d"))
     )
@@ -669,11 +673,10 @@ def connected_components(
     # At 100 TB this shrinks the iterated relation to the candidate-pair
     # minority; at sf0.1 it is 477 of 5000 docs (10x less per-round
     # shuffle; whole query 5.2s -> 4.8s isolated, best-of-3).
-    labels = (
+    labels = materialize(
         sym.select(F.col("s").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -695,8 +698,8 @@ def connected_components(
                     "_chg"
                 ),
             )
-            .localCheckpoint(eager=True)
         )
+        new_labels = materialize(new_labels)
         changed = new_labels.filter(F.col("_chg")).limit(1).count()
         labels = new_labels.drop("_chg")
         if changed == 0:
@@ -790,9 +793,9 @@ inter AS (
   SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id
 )
 SELECT COUNT(*) AS n_docs,
-       SUM(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END) AS n_kept,
-       SUM(CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END) AS n_removed,
-       SUM(CASE WHEN doc_id <> cluster_id THEN n_chars ELSE 0 END)
+       CAST(SUM(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN doc_id <> cluster_id THEN n_chars ELSE 0 END) AS BIGINT)
          AS chars_removed
 FROM clusters JOIN documents USING (doc_id)
 """

@@ -318,7 +318,7 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ASSET_STATS_ORACLE = """
 SELECT CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
        COUNT(*) AS n_assets,
-       SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes,
+       CAST(SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS BIGINT) AS total_bytes,
        MAX(CAST(octet_length(encode(text)) AS BIGINT)) AS max_bytes
 FROM documents
 GROUP BY 1

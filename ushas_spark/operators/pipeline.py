@@ -53,8 +53,8 @@ def split_column(doc_id: F.Column | str = "doc_id") -> F.Column:
 _SPLIT_ORACLE = f"""
 SELECT {_SPLIT_CASE_SQL.format(h=sql_hash60("CAST(doc_id AS VARCHAR)"))} AS split,
        COUNT(*) AS n_docs,
-       SUM(CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)) AS tok_sum,
-       SUM(n_chars) AS char_sum
+       CAST(SUM(CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)) AS BIGINT) AS tok_sum,
+       CAST(SUM(n_chars) AS BIGINT) AS char_sum
 FROM documents
 GROUP BY 1
 ORDER BY split
@@ -91,9 +91,9 @@ packed AS (
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
   FROM toks)
 SELECT bucket,
-       (cum - tok) // {SHARD_TOKEN_BUDGET} AS shard,
+       CAST((cum - tok) // {SHARD_TOKEN_BUDGET} AS BIGINT) AS shard,
        COUNT(*) AS n_docs,
-       SUM(tok) AS shard_tokens
+       CAST(SUM(tok) AS BIGINT) AS shard_tokens
 FROM packed
 GROUP BY 1, 2
 ORDER BY bucket, shard
@@ -332,12 +332,12 @@ WITH w AS (
 SELECT d.source,
        MIN(w.weight_pct) AS weight_pct,
        COUNT(*) AS n_total,
-       SUM(CASE WHEN {sql_hash60("'mix:' || CAST(d.doc_id AS VARCHAR)")} % 100
-                     < w.weight_pct THEN 1 ELSE 0 END) AS n_kept,
-       SUM(CASE WHEN {sql_hash60("'mix:' || CAST(d.doc_id AS VARCHAR)")} % 100
+       CAST(SUM(CASE WHEN {sql_hash60("'mix:' || CAST(d.doc_id AS VARCHAR)")} % 100
+                     < w.weight_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN {sql_hash60("'mix:' || CAST(d.doc_id AS VARCHAR)")} % 100
                      < w.weight_pct
                 THEN CAST(len(regexp_split_to_array(d.text, '\\s+')) AS BIGINT)
-                ELSE 0 END) AS tok_kept
+                ELSE 0 END) AS BIGINT) AS tok_kept
 FROM documents d JOIN w USING (source)
 GROUP BY d.source
 ORDER BY d.source
@@ -388,14 +388,14 @@ WITH t AS (
   FROM documents
 )
 SELECT COUNT(*) AS n_total,
-       SUM(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) AS n_after_len,
-       SUM(CASE WHEN n_chars >= 100 AND lang IN ('en','de','fr','es')
-                THEN 1 ELSE 0 END) AS n_after_lang,
-       SUM(CASE WHEN n_chars >= 100 AND lang IN ('en','de','fr','es')
-                     AND n_tok >= 20 THEN 1 ELSE 0 END) AS n_after_tok,
-       SUM(CASE WHEN n_chars >= 100 AND lang IN ('en','de','fr','es')
+       CAST(SUM(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_len,
+       CAST(SUM(CASE WHEN n_chars >= 100 AND lang IN ('en','de','fr','es')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_after_lang,
+       CAST(SUM(CASE WHEN n_chars >= 100 AND lang IN ('en','de','fr','es')
+                     AND n_tok >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_tok,
+       CAST(SUM(CASE WHEN n_chars >= 100 AND lang IN ('en','de','fr','es')
                      AND n_tok >= 20 AND n_distinct_tok * 2 >= n_tok
-                THEN 1 ELSE 0 END) AS n_after_rep
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_after_rep
 FROM t
 """
 
@@ -451,7 +451,7 @@ WITH deduped AS (
 )
 SELECT split,
        COUNT(*) AS n_docs,
-       SUM(n_tok) AS n_tokens
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
 FROM labelled
 GROUP BY split
 ORDER BY split

@@ -578,8 +578,8 @@ def cosine_topk_numpy(
                 col = sims[:, j]
                 mask = ids != qid
                 cand, vals = ids[mask], col[mask]
-                if len(cand) > TOP_K:
-                    part = np.argpartition(-vals, TOP_K)[:TOP_K]
+                if len(cand) > k:
+                    part = np.argpartition(-vals, k)[:k]
                     cand, vals = cand[part], vals[part]
                 yield pd.DataFrame(
                     {"qid": qid, "cand_id": cand, "sim": vals}

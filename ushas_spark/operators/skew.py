@@ -25,6 +25,29 @@ from ushas_spark.io import load_table
 from ushas_spark.registry import query
 
 
+def _row_salt(df: DataFrame, n_salts: int, id_col: str | None) -> F.Column:
+    """Retry-deterministic salt in [0, n_salts).
+
+    With ``id_col`` (a stable unique row id): salt = hash(id) -- uniform
+    even when row *contents* repeat. Without one: hash of all row columns
+    MIXED WITH ``spark_partition_id()``. A pure content hash would give
+    every copy of a duplicated row the same salt, silently un-salting the
+    exact hot-key-of-identical-rows workload salting targets; the
+    partition id separates copies living in different input partitions
+    (copies within one partition still share a salt, so per-reducer load
+    from any single hot key is bounded by the largest input partition,
+    not the key's global count). Both variants re-derive the SAME salt on
+    task retry/speculation -- a retried task re-reads the same split, so
+    its partition id is stable; ``monotonically_increasing_id`` would
+    re-salt rows differently mid-query and break exactness.
+    """
+    if id_col is not None:
+        return F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)).cast("int")
+    return F.pmod(
+        F.xxhash64(*df.columns, F.spark_partition_id()), F.lit(n_salts)
+    ).cast("int")
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -32,18 +55,17 @@ def salted_join(
     small_key: str,
     n_salts: int = 8,
     how: str = "inner",
+    id_col: str | None = None,
 ) -> DataFrame:
     """Equi-join with the big side salted and the small side replicated.
 
-    The big side's salt is ``pmod(xxhash64(<all row cols>), S)`` --
-    deterministic under task retry/speculation (a retried task re-derives
-    the SAME salt; monotonically_increasing_id would re-salt rows
-    differently mid-query). The small side explodes to all salts, so
-    every big row finds its partner in exactly one (key, salt) bucket.
+    The big side's salt comes from :func:`_row_salt` (stable-id hash when
+    ``id_col`` is given, else content+partition hash -- see its docstring
+    for the duplicate-row rationale). The small side explodes to all
+    salts, so every big row finds its partner in exactly one (key, salt)
+    bucket.
     """
-    salted_big = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(*big.columns), F.lit(n_salts)).cast("int")
-    )
+    salted_big = big.withColumn("_salt", _row_salt(big, n_salts, id_col))
     salted_small = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
     )
@@ -57,17 +79,17 @@ def salted_join(
 
 
 def salted_aggregate_counts(
-    df: DataFrame, key: str, n_salts: int = 8
+    df: DataFrame, key: str, n_salts: int = 8, id_col: str | None = None
 ) -> DataFrame:
     """Two-phase aggregation through a salted key: partial counts per
     (key, salt), then final per key. For COUNT/SUM-class aggregates this
     is exact; the first shuffle spreads a hot key over n_salts reducers.
-    Salt is retry-deterministic (xxhash64 of the row, not a partition-
-    indexed id)."""
+    Salt is retry-deterministic (see :func:`_row_salt`); note the hash
+    aggregate's map-side combine already collapses identical rows before
+    the shuffle, so duplicates are far less dangerous here than in the
+    join case."""
     partial = (
-        df.withColumn(
-            "_salt", F.pmod(F.xxhash64(*df.columns), F.lit(n_salts))
-        )
+        df.withColumn("_salt", _row_salt(df, n_salts, id_col))
         .groupBy(key, "_salt")
         .agg(F.count("*").alias("_partial_n"))
     )

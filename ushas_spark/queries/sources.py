@@ -22,7 +22,7 @@ from ushas_spark.registry import query
     "source_range",
     oracle="""
 SELECT COUNT(*) AS n,
-       SUM(x) AS total,
+       CAST(SUM(x) AS BIGINT) AS total,
        MIN(x) AS lo,
        MAX(x) AS hi
 FROM (SELECT range * 7 AS x FROM range(0, 1000))
@@ -218,9 +218,17 @@ def source_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_sources.py::test_jdbc_partitioned_read_and_pushdown);
     an unpartitioned read is a single task.
     """
+    import hashlib
+    import os
     import tempfile
 
-    url = f"jdbc:derby:{tempfile.mkdtemp(prefix='ushas_derby_')}/db;create=true"
+    # ONE stable Derby path per sf_dir (not mkdtemp per call): repeated
+    # bench/verify invocations reuse the same database -- overwrite mode
+    # resets the table -- instead of accumulating temp dirs and booted
+    # embedded-Derby instances in the driver JVM.
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    db_dir = os.path.join(tempfile.gettempdir(), f"ushas_derby_{tag}")
+    url = f"jdbc:derby:{db_dir}/db;create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
     nation = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"

@@ -800,10 +800,10 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q12_ORACLE = """
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders
 JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -1019,7 +1019,8 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ps_supplycost") * F.col("ps_availqty") * 10000
     ).cast("long")
     per_part = eu.groupBy("ps_partkey").agg(F.sum(scaled).alias("_s"))
-    per_part = per_part.localCheckpoint(eager=True)
+    from ushas_spark.durability import materialize
+    per_part = materialize(per_part)
     total = per_part.agg(
         F.sum("_s").alias("_total"), F.count("*").alias("_nparts")
     )

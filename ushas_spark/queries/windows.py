@@ -252,7 +252,7 @@ WITH marked AS (
          SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS session_idx
   FROM marked)
-SELECT user_id, session_idx,
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
        COUNT(*) AS n_events,
        strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS t_start,
        (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS duration_s
