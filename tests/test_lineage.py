@@ -211,6 +211,36 @@ def test_extraction_under_100ms(spark, sf_dir):
     assert ("rev", "lineitem", "l_discount") in g.edges()
 
 
+def test_extraction_under_100ms_on_heaviest_tpch_plans(spark, sf_dir):
+    """The per-node py4j plan walk must stay under the 100ms budget on
+    the largest real plans we build -- the correlated/multi-join TPC-H
+    shapes (q21 four-way + anti/semi, q17 correlated scalar agg, q20
+    nested subqueries, q8 eight-relation join). Records the actual
+    timings in the assertion message so a regression shows the numbers.
+    """
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in (
+        "q21_suppliers_who_kept_waiting",
+        "q17_small_quantity_revenue",
+        "q20_excess_stock_suppliers",
+        "q8_market_share",
+    ):
+        df = qs[name](spark, sf_dir)
+        lineage(df)  # warm py4j + analysis for this plan
+        best = float("inf")
+        for _ in range(3):  # best-of-3: measure the path, not machine load
+            t0 = time.perf_counter()
+            g = lineage(df)
+            best = min(best, (time.perf_counter() - t0) * 1000)
+        timings[name] = best
+        assert g.edges(), name
+    worst = max(timings.values())
+    assert worst < 100, f"lineage walk over budget: { {k: f'{v:.1f}ms' for k, v in timings.items()} }"
+
+
 def test_jdbc_relation_leaf_attribution(spark, sf_dir, tmp_path):
     """Lineage over a JDBC scan must attribute leaf columns to the JDBC
     relation's table identity (reference attributes Hive tables via
@@ -231,3 +261,50 @@ def test_jdbc_relation_leaf_attribution(spark, sf_dir, tmp_path):
     assert any(
         "region_t" in src and col == "r_regionkey" for _, src, col in edges
     ), edges
+
+
+def test_json_fast_path_matches_py4j_walk(spark, sf_dir):
+    """The JSON fast path and the py4j walk must produce structurally
+    identical lineage (names, exprIds, kinds, sources, edges) across the
+    plan-shape battery: multi-join+agg, window, union, generate, CTE,
+    subquery. Expression display strings may differ (renderer vs .sql())
+    -- provenance must not."""
+    from ushas_spark.lineage import extract as ex
+
+    def strip(col):
+        return (
+            col.kind,
+            col.name,
+            col.expr_id,
+            getattr(col, "source", None),
+            tuple(strip(c) for c in col.children),
+        )
+
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    plans = [
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n"), F.max("n_name").alias("top")),
+        o.select(
+            "o_custkey",
+            F.row_number()
+            .over(W.partitionBy("o_custkey").orderBy("o_orderdate"))
+            .alias("rn"),
+        ),
+        n.select(F.col("n_name").alias("x")).union(n.select(F.col("n_name").alias("x"))),
+        n.select("n_nationkey", F.explode(F.split(F.col("n_name"), " ")).alias("w")),
+        spark.sql(
+            "WITH t AS (SELECT n_regionkey, COUNT(*) AS c FROM {n} GROUP BY 1) "
+            "SELECT a.c FROM t a JOIN t b ON a.n_regionkey = b.n_regionkey",
+            n=n,
+        ),
+    ]
+    for df in plans:
+        jplan = df._jdf.queryExecution().analyzed()
+        fast = [strip(c) for c in ex._resolve_json_plan(jplan)]
+        slow = [strip(c) for c in ex._resolve(jplan)]
+        assert fast == slow

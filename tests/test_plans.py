@@ -328,3 +328,28 @@ def test_wav_pipeline_prunes_to_doc_id(spark, sf_dir):
     plan = _plan(QUERIES["multimodal_wav_decode"](spark, sf_dir))
     assert "ReadSchema: struct<doc_id:bigint>" in plan, plan
     assert "LessThan(doc_id" in plan, plan
+
+
+def test_funnel_single_exchange_three_windows(spark, sf_dir):
+    """The ordered funnel's three stage-min windows all partition on
+    user_id, so Catalyst must plan ONE hash exchange feeding all three
+    Window operators -- the whole per-user sequencing costs a single
+    shuffle of events."""
+    import re
+
+    plan = _plan(QUERIES["events_funnel_conversion"](spark, sf_dir))
+    n_hash_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash_exchanges == 1, plan
+    assert plan.count("Window") >= 3, plan
+
+
+def test_retention_distinct_reuses_user_shuffle(spark, sf_dir):
+    """Cohort retention: the window-min (user_id) and the (user, cohort,
+    week) DISTINCT must not multiply shuffles of the events table -- at
+    most the user_id window exchange plus the distinct/group exchanges
+    over already-reduced rows."""
+    import re
+
+    plan = _plan(QUERIES["events_retention_cohorts"](spark, sf_dir))
+    n_hash_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash_exchanges <= 3, plan

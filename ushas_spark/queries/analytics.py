@@ -1,0 +1,189 @@
+"""Product-analytics operators over the events table.
+
+The funnel / cohort-retention / transition-matrix family every
+clickstream warehouse runs daily. None of these exist as dedicated
+operators in the reference (they fall out of its generic SQL surface --
+reference: sql/core window + aggregate exec; SURVEY.md section 2.4/2.5);
+here each is expressed as the SCALABLE Spark shape: all per-user
+sequencing rides ONE hash shuffle on user_id (window functions over the
+same partition key share a single Exchange), and the final rollups are
+tiny aggregates over per-user rows.
+
+Exactness: every output is an integer count or an epoch-derived integer
+(week offsets), so the DuckDB oracles compare bit-for-bit; all final
+counts are COUNT(...)/COUNT(DISTINCT ...) which both engines type BIGINT
+(no un-cast integer SUMs -- see tests/oracle_harness.py dtype gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ushas_spark.io import load_table
+from ushas_spark.registry import query
+
+_FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM events GROUP BY user_id
+), c AS (
+  SELECT v.user_id, v.t_view,
+         MIN(CASE WHEN e.event_type = 'click' AND e.ts > v.t_view
+                  THEN e.ts END) AS t_click
+  FROM v JOIN events e USING (user_id)
+  GROUP BY 1, 2
+), p AS (
+  SELECT c.user_id, c.t_view, c.t_click,
+         MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > c.t_click
+                  THEN e.ts END) AS t_purchase
+  FROM c JOIN events e USING (user_id)
+  GROUP BY 1, 2, 3
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(t_view) AS n_view,
+       COUNT(t_click) AS n_view_click,
+       COUNT(t_purchase) AS n_view_click_purchase
+FROM p
+"""
+
+
+@query("events_funnel_conversion", oracle=_FUNNEL_ORACLE)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED funnel view -> click -> purchase: a user converts a stage
+    only with an event strictly after their previous stage's first event
+    (the sequencing that separates a real funnel from three independent
+    COUNT(DISTINCT)s).
+
+    Scale shape: three stacked window-mins over the SAME user_id
+    partition -- Catalyst plans one Exchange feeding all three Window
+    operators, so the whole per-user sequencing costs a single shuffle
+    of the events table; the final count is a scalar aggregate.
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = W.partitionBy("user_id")
+    staged = (
+        e.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.first("t_view").alias("t_view"),
+        F.first("t_click").alias("t_click"),
+        F.first("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_view_click"),
+        F.count("t_purchase").alias("n_view_click_purchase"),
+    )
+
+
+_RETENTION_ORACLE = """
+WITH cohorts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT e.user_id, c.cohort_week,
+         date_trunc('week', e.ts) AS active_week
+  FROM events e JOIN cohorts c USING (user_id)
+)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST((epoch(active_week) - epoch(cohort_week)) // 604800 AS BIGINT)
+         AS week_offset,
+       COUNT(*) AS n_users
+FROM active
+GROUP BY 1, 2
+ORDER BY cohort_week, week_offset
+"""
+
+
+@query("events_retention_cohorts", oracle=_RETENTION_ORACLE)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-seen week, then
+    counted once per (cohort, active-week-offset) -- the triangle matrix
+    behind every retention chart.
+
+    Scale shape: the cohort assignment is a window-min over user_id (one
+    shuffle), the (user, week) de-dup is map-side-combinable DISTINCT on
+    the same key prefix, and the output is |weeks|^2 rows -- tiny.
+    Week offsets are integer epoch arithmetic, exact on both engines.
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    w = W.partitionBy("user_id")
+    tagged = e.withColumn(
+        "cohort_week", F.date_trunc("week", F.min("ts").over(w))
+    ).withColumn("active_week", F.date_trunc("week", F.col("ts")))
+    active = tagged.select("user_id", "cohort_week", "active_week").distinct()
+    offset = (
+        (F.unix_timestamp("active_week") - F.unix_timestamp("cohort_week"))
+        / F.lit(604800)
+    ).cast("long")
+    return (
+        active.groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            offset.alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+FROM seq
+WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+ORDER BY prev_type, next_type
+"""
+
+
+@query("events_type_transitions", oracle=_TRANSITIONS_ORACLE)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition counts (the Markov matrix of
+    the clickstream): lag over each user's (ts, event_id)-ordered
+    sequence, then a 25-cell rollup. The event_id tiebreak makes the
+    sequence -- and therefore the oracle comparison -- deterministic.
+
+    Scale shape: one shuffle on user_id for the lag window; the
+    transition rollup aggregates to |types|^2 rows with map-side
+    combine.
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.withColumn("prev_type", F.lag("event_type").over(w))
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("prev_type", "next_type")
+    )

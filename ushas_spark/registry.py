@@ -67,6 +67,7 @@ _MODULE_ORDER = [
     "ushas_spark.queries.setops",
     "ushas_spark.queries.subqueries",
     "ushas_spark.queries.udfs",
+    "ushas_spark.queries.analytics",
     "ushas_spark.queries.sources",
     "ushas_spark.queries.sql_conformance",
     "ushas_spark.streaming.queries",
@@ -157,6 +158,7 @@ def load_all() -> None:
     # and there is exactly one place that defines the coverage surface.
     from ushas_spark.queries import (  # noqa: F401
         aggregates,
+        analytics,
         collections,
         coverage_fill,
         expressions,
