@@ -57,6 +57,9 @@ HEADLINE = [
     "pipeline_end_to_end",
     "sim_label_centroid_stats",
     "multimodal_wav_decode",
+    # analytics extensions (round 3)
+    "events_funnel_conversion",
+    "events_retention_cohorts",
 ]
 
 ITERATIONS = 3  # best-of-N, after one untimed warm-up

@@ -380,3 +380,91 @@ def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bpe.alias("n_bpe_tokens"),
         F.round(F.lit(100.0) * n_bpe / n_ws).cast("long").alias("bpe_per_word_x100"),
     ).orderBy("doc_id")
+
+
+# ------------------------------------------------------------- PII scrub
+
+# Lookaround-free patterns that behave identically under Java regex
+# (Spark) and RE2 (DuckDB). Deliberately simple shapes -- production PII
+# scrubbing layers more patterns; the pipeline shape (single projection,
+# chained regexp_replace, count accounting) is what scales.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-[0-9]{3,4}"
+
+
+def _pii_text() -> tuple[str, str]:
+    """(Spark SQL expr, DuckDB SQL expr) for the PII-bearing corpus.
+
+    The synthetic documents table contains no real PII, so a scrub query
+    over it would vacuously match 0 rows everywhere. Instead PII is
+    INJECTED deterministically (doc_id-derived emails/IPs/phones appended
+    to every third/fourth/fifth document) with the SAME expression on
+    both engines -- the multimodal tier's synthesize-then-process
+    pattern -- so the scrubber is gated on text with real matches.
+    """
+    spark_expr = (
+        "concat(text,"
+        " CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', CAST(doc_id AS STRING), '@example.com') ELSE '' END,"
+        " CASE WHEN doc_id % 4 = 0 THEN concat(' from 10.', CAST(doc_id % 256 AS STRING), '.0.1') ELSE '' END,"
+        " CASE WHEN doc_id % 5 = 0 THEN concat(' call +1-555-', CAST(1000 + doc_id % 9000 AS STRING), '-0199') ELSE '' END)"
+    )
+    duck_expr = (
+        "text ||"
+        " CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||"
+        " CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END ||"
+        " CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' || CAST(1000 + doc_id % 9000 AS VARCHAR) || '-0199' ELSE '' END"
+    )
+    return spark_expr, duck_expr
+
+
+_PII_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, {_pii_text()[1]} AS t FROM documents
+), scrubbed AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS BIGINT) AS n_email,
+         CAST(len(regexp_extract_all(t, '{PII_IPV4}')) AS BIGINT) AS n_ip,
+         CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS BIGINT) AS n_phone,
+         regexp_replace(regexp_replace(regexp_replace(t,
+             '{PII_EMAIL}', '<EMAIL>', 'g'),
+             '{PII_IPV4}', '<IP>', 'g'),
+             '{PII_PHONE}', '<PHONE>', 'g') AS clean
+  FROM corpus
+)
+SELECT doc_id, n_email, n_ip, n_phone,
+       CAST(length(clean) AS BIGINT) AS clean_chars
+FROM scrubbed
+WHERE n_email + n_ip + n_phone > 0
+ORDER BY doc_id
+"""
+
+
+@query("text_pii_scrub", oracle=_PII_ORACLE)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction with per-document accounting: emails, IPv4s and
+    phone numbers replaced by typed placeholder tokens, match counts
+    kept for the curation report. One projection -- counts and the
+    triple regexp_replace fuse into a single codegen'd pass over the
+    corpus (no joins, no shuffle until the final ORDER BY, which a real
+    run would drop). Patterns are lookaround-free so Spark (Java regex)
+    and the DuckDB oracle (RE2) match identically."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.expr(_pii_text()[0])
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    out = d.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(PII_EMAIL)).cast("long").alias("n_email"),
+        F.regexp_count(t, F.lit(PII_IPV4)).cast("long").alias("n_ip"),
+        F.regexp_count(t, F.lit(PII_PHONE)).cast("long").alias("n_phone"),
+        F.length(clean).cast("long").alias("clean_chars"),
+    )
+    return out.filter(
+        F.col("n_email") + F.col("n_ip") + F.col("n_phone") > 0
+    ).orderBy("doc_id")
