@@ -386,3 +386,73 @@ def test_asof_forward_equal_timestamp_and_none(spark):
         ).collect()
     }
     assert out == {100: 7, 101: 8, 102: None}
+
+
+def test_kmeans_objective_nonincreasing(spark, sf_dir):
+    """Lloyd guarantee: total within-cluster distance never increases
+    with more iterations (checked on the scaled-int objective, which
+    the oracle also pins)."""
+    from ushas_spark.operators.clustering import kmeans_assign
+
+    totals = []
+    for iters in (0, 1, 3):
+        a = kmeans_assign(spark, sf_dir, iters=iters)
+        totals.append(a.agg(F.sum("dist_x1m").alias("s")).collect()[0].s)
+    assert totals[1] <= totals[0], totals
+    assert totals[2] <= totals[1], totals
+
+
+def test_kmeans_all_clusters_populated(spark, sf_dir):
+    from ushas_spark.operators.clustering import K, kmeans_assign
+
+    sizes = (
+        kmeans_assign(spark, sf_dir)
+        .groupBy("cluster")
+        .count()
+        .collect()
+    )
+    assert len(sizes) == K
+    assert all(r["count"] > 0 for r in sizes)
+
+
+def test_pagerank_mass_conserved(spark, sf_dir):
+    """Ranks stay a probability distribution: scaled ranks sum to
+    ~RANK_SCALE (teleport + contributions conserve mass; tolerance
+    covers the per-node rounding)."""
+    from ushas_spark.operators.graph import ITERS, RANK_SCALE, _edges, pagerank
+
+    pr = pagerank(spark, sf_dir)
+    row = pr.agg(
+        F.sum("rank_x1e9").alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    # Each edge contribution rounds to +-0.5 scaled units per iteration,
+    # so conservation holds to |E| * iters / 2 (ppm-level at this scale).
+    n_edges = _edges(spark, sf_dir).count()
+    tol = n_edges * ITERS / 2 + row.n
+    assert abs(row.s - RANK_SCALE) <= tol, (row.s, RANK_SCALE, tol)
+    assert pr.filter(F.col("rank_x1e9") <= 0).count() == 0
+
+
+def test_scd2_merge_invariants(spark, sf_dir):
+    """Every changed key contributes exactly one closed row + one new
+    open row, the close date equals the new row's start date, and
+    untouched keys keep their single open row."""
+    from ushas_spark.operators.mergeop import scd2_merge
+
+    merged = scd2_merge(spark, sf_dir)
+    n_customers = load_table(spark, sf_dir, "customer").count()
+    per_key = merged.groupBy("c_custkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_current").cast("int")).alias("n_open"),
+        F.max("valid_to").alias("closed_at"),
+        F.max(F.when(~F.col("is_current"), F.col("valid_to"))).alias("vt"),
+        F.max(
+            F.when(F.col("is_current") & (F.col("valid_from") != F.lit("1992-01-01")), F.col("valid_from"))
+        ).alias("vf"),
+    )
+    assert per_key.count() == n_customers
+    assert per_key.filter(F.col("n_open") != 1).count() == 0
+    assert per_key.filter(~F.col("n").isin(1, 2)).count() == 0
+    changed = per_key.filter(F.col("n") == 2)
+    assert changed.count() > 0
+    assert changed.filter(F.col("vt") != F.col("vf")).count() == 0

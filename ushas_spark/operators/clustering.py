@@ -1,0 +1,215 @@
+"""Deterministic Lloyd k-means over the ``embeddings`` table.
+
+The missing piece between the one-shot coarse quantiser (``ivf.py``) and
+a production vector pipeline is the iterative *training* of the
+quantiser itself. This module runs k-means as a pure DataFrame loop:
+
+- **assign**: corpus crossJoin broadcast(centroids) -> squared-L2 fold
+  (``zip_with`` + ``aggregate``, whole-stage codegen'd) -> per-vector
+  argmin via one window. The centroid table is K rows, so the "cross
+  join" is a broadcast nested loop over a K-row build side -- at 100 TB
+  this is exactly one corpus scan per iteration, no shuffle on the big
+  side (the only exchange is the per-vector window, partitioned by
+  vec_id, and even that collapses into the argmin via min_by in the
+  stats variant).
+- **update**: posexplode assigned vectors -> (cluster, dim) partial sums
+  -- a map-side-combinable shuffle whose key space is K x DIM rows, so
+  no reducer ever holds a whole cluster -- then rebuild the centroid
+  arrays with an ordered collect_list (K rows total).
+- each new centroid table is :func:`~ushas_spark.durability.materialize`
+  d (K rows), truncating the iterative plan exactly like the
+  connected-components loop in ``dedup.py``.
+
+Determinism (the full loop is oracle-gated in DuckDB): init centroids
+are corpus vectors picked by id stride (no RNG); distances are
+sequential left folds rounded to scaled integers before comparison, ties
+broken by cluster id; centroid updates accumulate exact scaled-integer
+sums per (cluster, dimension) and perform one double division -- the
+``oracle_exact`` pattern, so every iteration produces bit-identical
+centroids on both engines. Reference analog: the fork has no clustering
+operator (queries like this run as handwritten joins,
+sql/core/src/main/scala/org/apache/spark/sql/Dataset.scala:77); MLlib's
+KMeans is RDD-based and RNG-seeded -- this is the DataFrame-native,
+reproducible reformulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ushas_spark.durability import materialize
+from ushas_spark.io import load_table
+from ushas_spark.operators.similarity import _dvec
+from ushas_spark.registry import query
+
+K = 8
+ITERS = 3
+INIT_STRIDE = 61  # centroid c initialised from the vector with vec_id == c*61
+DIST_SCALE = 1_000_000
+
+
+def sqdist(a: Column, b: Column) -> Column:
+    """Sequential left-fold squared L2 distance (JVM lambda, codegen'd)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def sql_sqdist(a: str, b: str) -> str:
+    """DuckDB mirror: identical left fold (init 0.0, same op order)."""
+    return (
+        f"list_reduce(list_prepend(0.0, "
+        f"list_transform(list_zip({a}, {b}), p -> (p[1]-p[2])*(p[1]-p[2]))), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def _init_centroids(emb: DataFrame, k: int = K) -> DataFrame:
+    ids = [c * INIT_STRIDE for c in range(k)]
+    return emb.filter(F.col("vec_id").isin(ids)).select(
+        (F.col("vec_id") / INIT_STRIDE).cast("int").alias("cid"),
+        F.col("e").alias("ce"),
+    )
+
+
+def _assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest centroid per vector; scaled distance, ties -> smallest cid."""
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "e",
+        "cid",
+        F.round(sqdist(F.col("e"), F.col("ce")) * DIST_SCALE)
+        .cast("long")
+        .alias("ds"),
+    )
+    w = W.partitionBy("vec_id").orderBy("ds", "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """Exact per-(cluster, dimension) means -> new centroid arrays.
+
+    The shuffle key is (cid, pos): K*DIM cells regardless of corpus
+    size, with map-side partial aggregation doing the heavy lifting.
+    """
+    ex = assigned.select("cid", F.posexplode("e").alias("pos", "val"))
+    per_dim = ex.groupBy("cid", "pos").agg(
+        (
+            F.sum(F.round(F.col("val") * DIST_SCALE).cast("long")).cast("double")
+            / F.lit(float(DIST_SCALE))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("cval")
+    )
+    return per_dim.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+            lambda s: s["cval"],
+        ).alias("ce")
+    )
+
+
+def kmeans_assign(
+    spark: SparkSession, sf_dir: str, k: int = K, iters: int = ITERS
+) -> DataFrame:
+    """Final (vector -> cluster, scaled distance) after ``iters`` Lloyd
+    rounds from the stride init."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("e")
+    )
+    cents = _init_centroids(emb, k)
+    for _ in range(iters):
+        cents = materialize(_update(_assign(emb, cents)))
+    return _assign(emb, cents).select(
+        "vec_id", F.col("cid").alias("cluster"), F.col("ds").alias("dist_x1m")
+    )
+
+
+def _sql_assign(src: str, cents: str) -> str:
+    d = f"CAST(ROUND({sql_sqdist('t.e', 'c.ce')} * {DIST_SCALE}) AS BIGINT)"
+    return (
+        "SELECT vec_id, e, cid, ds FROM ("
+        "  SELECT vec_id, e, cid, ds,"
+        "         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ds, cid) AS rn"
+        f"  FROM (SELECT t.vec_id, t.e, c.cid, {d} AS ds"
+        f"        FROM {src} t CROSS JOIN {cents} c)"
+        ") WHERE rn = 1"
+    )
+
+
+def _sql_update(assigned: str) -> str:
+    cval = (
+        f"CAST(SUM(CAST(ROUND(u.val * {DIST_SCALE}) AS BIGINT)) AS DOUBLE)"
+        f" / {float(DIST_SCALE)} / CAST(COUNT(*) AS DOUBLE)"
+    )
+    return (
+        "SELECT cid, list(cval ORDER BY pos) AS ce FROM ("
+        f"  SELECT cid, u.pos, {cval} AS cval"
+        f"  FROM {assigned} t, LATERAL (SELECT unnest(t.e) AS val,"
+        "        generate_subscripts(t.e, 1) AS pos) u"
+        "  GROUP BY cid, u.pos) GROUP BY cid"
+    )
+
+
+def _kmeans_oracle_ctes(k: int = K, iters: int = ITERS) -> str:
+    ids = ", ".join(str(c * INIT_STRIDE) for c in range(k))
+    parts = [
+        "emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        f"c0 AS (SELECT CAST(vec_id / {INIT_STRIDE} AS INT) AS cid, e AS ce"
+        f"       FROM emb WHERE vec_id IN ({ids}))",
+    ]
+    for i in range(iters):
+        parts.append(f"a{i} AS ({_sql_assign('emb', f'c{i}')})")
+        parts.append(f"c{i + 1} AS ({_sql_update(f'a{i}')})")
+    parts.append(f"afinal AS ({_sql_assign('emb', f'c{iters}')})")
+    return "WITH " + ",\n".join(parts)
+
+
+_ASSIGN_ORACLE = f"""
+{_kmeans_oracle_ctes()}
+SELECT vec_id, cid AS cluster, ds AS dist_x1m
+FROM afinal ORDER BY vec_id
+"""
+
+
+@query("cluster_kmeans_assign", oracle=_ASSIGN_ORACLE)
+def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means cluster assignment after 3 deterministic Lloyd rounds."""
+    return kmeans_assign(spark, sf_dir)
+
+
+_STATS_ORACLE = f"""
+{_kmeans_oracle_ctes()}
+SELECT cid AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(ds) AS BIGINT) AS sum_dist_x1m,
+       CAST(MIN(vec_id) AS BIGINT) AS exemplar_id
+FROM afinal GROUP BY cid ORDER BY cid
+"""
+
+
+@query("cluster_kmeans_stats", oracle=_STATS_ORACLE)
+def cluster_kmeans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster sizes + exact total within-cluster scaled distance.
+
+    Same pipeline as :func:`cluster_kmeans_assign`, reduced to K rows --
+    the shape a 100 TB run reports (assignments stay distributed; only
+    the K-row summary ever reaches the driver).
+    """
+    a = kmeans_assign(spark, sf_dir)
+    return (
+        a.groupBy(F.col("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("dist_x1m").alias("sum_dist_x1m"),
+            F.min("vec_id").alias("exemplar_id"),
+        )
+        .orderBy("cluster")
+    )

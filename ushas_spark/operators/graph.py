@@ -1,0 +1,160 @@
+"""PageRank over the customer–supplier purchase graph.
+
+Complements the label-propagation connected components in ``dedup.py``
+with the other canonical iterative graph workload. Nodes are customers
+and suppliers; an (undirected) edge exists where a customer's order
+contains a lineitem from that supplier — the natural bipartite trade
+graph of the star schema.
+
+Spark shape (design for 100 TB):
+
+- The edge list is built once from orders ⋈ lineitem (both shuffled on
+  orderkey — the join Catalyst already picks) then de-duplicated on the
+  (customer, supplier) pair and :func:`materialize` d, so iterations
+  never re-run the join.
+- Each PageRank round is ONE shuffle: contributions = ranks ⋈ edges on
+  the source node (ranks is |V| rows — broadcast-able for dimension-
+  sized V, shuffled otherwise; we leave the choice to Catalyst/AQE), then
+  a groupBy on the destination node with map-side combine. No
+  driver-side state: the dangling-mass/teleport term is a constant
+  because every node in an edge list built from an inner join has
+  degree ≥ 1.
+- Ranks are doubles but every cross-row sum is an exact scaled-integer
+  sum (ROUND(contrib * 1e9) -> BIGINT), so the result is independent of
+  partitioning and identical in the DuckDB oracle, which replays the
+  same rounds as a generated CTE chain.
+
+Reference analog: no graph operator exists in the fork — iterative
+queries there are driver-side loops over DataFrames exactly like this
+(sql/core/src/main/scala/org/apache/spark/sql/Dataset.scala:77);
+GraphX is RDD-based and out of its SQL surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ushas_spark.durability import materialize
+from ushas_spark.io import load_table
+from ushas_spark.registry import query
+
+DAMPING = 0.85
+ITERS = 3
+RANK_SCALE = 1_000_000_000  # 1e-9 rank resolution; sums < 2^63 for |V| ≤ ~9e9
+TOP_N = 25
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected customer–supplier edges, both directions.
+
+    Node ids are disambiguated by type prefix: customers keep their key,
+    suppliers get key + 1_000_000_000 (the driver schema's keys are far
+    below that at any SF).
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + 1_000_000_000).alias("supp"),
+        )
+        .distinct()
+    )
+    fwd = pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
+    rev = pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    return fwd.unionAll(rev)
+
+
+def pagerank(
+    spark: SparkSession, sf_dir: str, iters: int = ITERS, damping: float = DAMPING
+) -> DataFrame:
+    """Ranks after ``iters`` synchronous rounds from the uniform start."""
+    edges = materialize(_edges(spark, sf_dir))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # Every node appears as a src (edges are symmetric), so deg covers V.
+    nodes = deg.select(F.col("src").alias("node"))
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", (F.lit(1.0) / F.col("n").cast("double")).alias("rank"), "n"
+    )
+    for _ in range(iters):
+        contrib = (
+            ranks.join(deg, ranks.node == deg.src)
+            .join(edges, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.round(
+                    (F.col("rank") / F.col("deg").cast("double")) * RANK_SCALE
+                )
+                .cast("long")
+                .alias("c"),
+            )
+        )
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("sc"))
+        ranks = summed.crossJoin(F.broadcast(n_nodes)).select(
+            "node",
+            (
+                F.lit(1.0 - damping) / F.col("n").cast("double")
+                + F.lit(damping)
+                * (F.col("sc").cast("double") / F.lit(float(RANK_SCALE)))
+            ).alias("rank"),
+            "n",
+        )
+    return ranks.select(
+        "node", F.round(F.col("rank") * RANK_SCALE).cast("long").alias("rank_x1e9")
+    )
+
+
+def _pagerank_oracle(iters: int = ITERS, damping: float = DAMPING) -> str:
+    parts = [
+        "pairs AS (SELECT DISTINCT o_custkey AS cust,"
+        "                 l_suppkey + 1000000000 AS supp"
+        "          FROM orders JOIN lineitem ON o_orderkey = l_orderkey)",
+        "edges AS (SELECT cust AS src, supp AS dst FROM pairs"
+        "          UNION ALL SELECT supp, cust FROM pairs)",
+        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg"
+        "        FROM edges GROUP BY src)",
+        "nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg)",
+        "r0 AS (SELECT src AS node, 1.0 / n AS rank FROM deg, nv)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"s{i} AS (SELECT e.dst AS node,"
+            f"  SUM(CAST(ROUND((r.rank / CAST(d.deg AS DOUBLE)) * {RANK_SCALE})"
+            f"      AS BIGINT)) AS sc"
+            f"  FROM r{i} r JOIN deg d ON r.node = d.src"
+            f"  JOIN edges e ON e.src = r.node GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{i + 1} AS (SELECT node,"
+            f"  {1.0 - damping} / n + {damping} *"
+            f"  (CAST(sc AS DOUBLE) / {float(RANK_SCALE)}) AS rank"
+            f"  FROM s{i}, nv)"
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT node, CAST(ROUND(rank * {RANK_SCALE}) AS BIGINT) AS rank_x1e9 FROM r{iters}"
+
+
+_TOP_ORACLE = f"""
+WITH pr AS ({_pagerank_oracle()})
+SELECT node, rank_x1e9,
+       CASE WHEN node >= 1000000000 THEN 'supplier' ELSE 'customer' END
+         AS node_type
+FROM pr
+ORDER BY rank_x1e9 DESC, node
+LIMIT {TOP_N}
+"""
+
+
+@query("graph_pagerank_top", oracle=_TOP_ORACLE)
+def graph_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_N} nodes by PageRank on the trade graph (3 rounds)."""
+    pr = pagerank(spark, sf_dir)
+    return pr.select(
+        "node",
+        "rank_x1e9",
+        F.when(F.col("node") >= 1_000_000_000, F.lit("supplier"))
+        .otherwise(F.lit("customer"))
+        .alias("node_type"),
+    ).orderBy(F.col("rank_x1e9").desc(), "node").limit(TOP_N)

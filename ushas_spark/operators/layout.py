@@ -1,0 +1,167 @@
+"""Z-order (Morton-curve) data layout for multi-dimensional data skipping.
+
+At 100 TB the cheapest query is the one that never reads the file: a
+table sorted on ONE key prunes row groups only for predicates on that
+key, while sorting by the interleaved bits of TWO keys (the Morton /
+Z-order curve) keeps both dimensions locally clustered, so a 2-D box
+predicate overlaps a small fraction of row groups (the technique behind
+Delta/Iceberg ``OPTIMIZE ZORDER BY``). This module implements the curve
+as pure JVM bit arithmetic — shiftleft/AND/OR inside whole-stage
+codegen, no UDF — plus a writer helper; the pruning win is demonstrated
+with real parquet row-group statistics in
+``tests/test_layout.py``.
+
+The bit-spread is the classic magic-number interleave (public domain,
+e.g. "Bit Twiddling Hacks"): 16-bit x,y -> 32-bit z with
+x-bits in even positions. Everything is BIGINT so the DuckDB oracle
+mirrors the exact expression tree. Reference analog: the fork has no
+layout optimizer — files are written in insert order
+(sql/core/src/main/scala/org/apache/spark/sql/execution/datasources/
+FileFormatWriter.scala); Z-ordering is the extension a 100 TB
+deployment adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ushas_spark.io import load_table
+from ushas_spark.registry import query
+
+_SPREAD = [
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+]
+
+
+def _part1by1(col: Column) -> Column:
+    """Spread the low 16 bits of ``col`` into the even bit positions."""
+    x = col.bitwiseAND(F.lit(0xFFFF))
+    for shift, mask in _SPREAD:
+        x = (x.bitwiseOR(F.shiftleft(x, shift))).bitwiseAND(F.lit(mask))
+    return x
+
+
+def _sql_part1by1(expr: str) -> str:
+    x = f"({expr} & 65535)"
+    for shift, mask in _SPREAD:
+        x = f"(({x} | ({x} << {shift})) & {mask})"
+    return x
+
+
+def zvalue(x: Column, y: Column) -> Column:
+    """Morton code: interleave(x even bits, y odd bits), 32-bit range."""
+    return _part1by1(x).bitwiseOR(F.shiftleft(_part1by1(y), 1))
+
+
+def sql_zvalue(x: str, y: str) -> str:
+    return f"({_sql_part1by1(x)} | ({_sql_part1by1(y)} << 1))"
+
+
+def _normalized(col: Column, lo: Column, hi: Column) -> Column:
+    """Scale ``col`` linearly into the full 16-bit range.
+
+    Interleaving RAW values is the classic Z-order mistake: if one key
+    uses 16 bits and the other 11, the top interleaved bits are
+    constant-zero for the narrow key and the curve degenerates to a
+    single-key sort (measured: zero partkey pruning on lineitem before
+    this fix). Production optimizers normalize per column first —
+    Delta/Iceberg use range-partition ranks; a min/max linear map is the
+    shuffle-free equivalent (one broadcast 1-row aggregate) and is what
+    we use, with the usual caveat that heavy skew wants rank-based
+    scaling instead.
+    """
+    denom = F.greatest(hi - lo, F.lit(1)).cast("double")
+    return F.floor((col - lo).cast("double") * F.lit(65535.0) / denom).cast("long")
+
+
+def zorder_by(df: DataFrame, x: str, y: str) -> DataFrame:
+    """Range-repartition + sort ``df`` along the Z-curve of (x, y).
+
+    Both dimensions are min/max-normalized to 16 bits (see
+    :func:`_normalized`), then ``repartitionByRange`` on the z-value
+    gives each output file a disjoint z-range (globally sorted layout),
+    which is what turns row-group min/max stats into 2-D pruning.
+    Writer-side usage::
+
+        zorder_by(df, "l_partkey", "l_orderkey").write.parquet(path)
+    """
+    stats = df.agg(
+        F.min(x).alias("__xlo"),
+        F.max(x).alias("__xhi"),
+        F.min(y).alias("__ylo"),
+        F.max(y).alias("__yhi"),
+    )
+    z = zvalue(
+        _normalized(F.col(x), F.col("__xlo"), F.col("__xhi")),
+        _normalized(F.col(y), F.col("__ylo"), F.col("__yhi")),
+    ).alias("__z")
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("__z", z)
+        .repartitionByRange("__z")
+        .sortWithinPartitions("__z")
+        .drop("__z", "__xlo", "__xhi", "__ylo", "__yhi")
+    )
+
+
+# Gate query: the z-curve histogram of lineitem over normalized
+# (partkey, orderkey). 4096 coarse buckets (top 12 of 32 bits);
+# per-bucket counts and z extrema pin every bit of the normalize +
+# interleave pipeline on both engines.
+_Z_X = "l_partkey"
+_Z_Y = "l_orderkey"
+
+
+def _sql_norm(col: str, lo: str, hi: str) -> str:
+    return (
+        f"CAST(FLOOR(CAST({col} - {lo} AS DOUBLE) * 65535.0"
+        f" / CAST(GREATEST({hi} - {lo}, 1) AS DOUBLE)) AS BIGINT)"
+    )
+
+
+_Z_ORACLE = f"""
+WITH stats AS (
+  SELECT MIN({_Z_X}) AS xlo, MAX({_Z_X}) AS xhi,
+         MIN({_Z_Y}) AS ylo, MAX({_Z_Y}) AS yhi
+  FROM lineitem),
+z AS (
+  SELECT {sql_zvalue(_sql_norm(_Z_X, "xlo", "xhi"),
+                     _sql_norm(_Z_Y, "ylo", "yhi"))} AS zval
+  FROM lineitem, stats)
+SELECT zval >> 20 AS z_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(zval) AS BIGINT) AS z_min,
+       CAST(MAX(zval) AS BIGINT) AS z_max
+FROM z GROUP BY z_bucket ORDER BY z_bucket
+"""
+
+
+@query("layout_zorder_histogram", oracle=_Z_ORACLE)
+def layout_zorder_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-curve bucket histogram of lineitem (pins normalize+interleave)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.min(_Z_X).alias("xlo"),
+        F.max(_Z_X).alias("xhi"),
+        F.min(_Z_Y).alias("ylo"),
+        F.max(_Z_Y).alias("yhi"),
+    )
+    z = zvalue(
+        _normalized(F.col(_Z_X), F.col("xlo"), F.col("xhi")),
+        _normalized(F.col(_Z_Y), F.col("ylo"), F.col("yhi")),
+    ).alias("zval")
+    return (
+        li.crossJoin(F.broadcast(stats))
+        .select(z)
+        .groupBy(F.shiftright(F.col("zval"), 20).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("zval").alias("z_min"),
+            F.max("zval").alias("z_max"),
+        )
+        .orderBy("z_bucket")
+    )

@@ -72,6 +72,11 @@ _MODULE_ORDER = [
     "ushas_spark.queries.sql_conformance",
     "ushas_spark.streaming.queries",
     "ushas_spark.queries.misc",
+    # New this round -- never driver-checked yet.
+    "ushas_spark.operators.clustering",
+    "ushas_spark.operators.graph",
+    "ushas_spark.operators.mergeop",
+    "ushas_spark.operators.layout",
     # Operators tier: driver-certified in r02 (greens demoted by name).
     "ushas_spark.operators.dedup",
     "ushas_spark.operators.similarity",
@@ -175,8 +180,12 @@ def load_all() -> None:
     )
     from ushas_spark.operators import (  # noqa: F401
         asof,
+        clustering,
         dedup,
+        graph,
         ivf,
+        layout,
+        mergeop,
         multimodal,
         pipeline,
         rangejoin,
