@@ -60,6 +60,12 @@ HEADLINE = [
     # analytics extensions (round 3)
     "events_funnel_conversion",
     "events_retention_cohorts",
+    # iterative / layout / merge operators (round 3)
+    "cluster_kmeans_stats",
+    "graph_pagerank_top",
+    "merge_scd2_stats",
+    "layout_zorder_histogram",
+    "sim_sq8_topk",
 ]
 
 ITERATIONS = 3  # best-of-N, after one untimed warm-up

@@ -456,3 +456,32 @@ def test_scd2_merge_invariants(spark, sf_dir):
     changed = per_key.filter(F.col("n") == 2)
     assert changed.count() > 0
     assert changed.filter(F.col("vt") != F.col("vf")).count() == 0
+
+
+def test_sq8_recall_vs_float_dot(spark, sf_dir):
+    """Int8 quantization at scale 192 must preserve nearly all of the
+    float-dot top-k (it quantizes to ~0.5% resolution; floor pinned
+    high so quantizer regressions show)."""
+    from ushas_spark.operators.similarity import N_QUERIES, TOP_K, dot, sim_sq8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    from pyspark.sql import Window as W
+
+    scored = emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid", F.col("vec_id").alias("cand_id"),
+        dot(F.col("qe"), F.col("e")).alias("d"),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("d").desc(), "cand_id")
+    exact = {
+        (r.qid, r.cand_id)
+        for r in scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K).collect()
+    }
+    sq8 = {(r.qid, r.cand_id) for r in sim_sq8_topk(spark, sf_dir).collect()}
+    recall = len(exact & sq8) / len(exact)
+    assert recall >= 0.9, f"SQ8 recall too low: {recall:.2f}"
