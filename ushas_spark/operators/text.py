@@ -468,3 +468,92 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(
         F.col("n_email") + F.col("n_ip") + F.col("n_phone") > 0
     ).orderBy("doc_id")
+
+
+# --- cross-corpus chunk (pseudo-paragraph) dedup ---------------------------
+CHUNK_TOKENS = 12
+
+
+_CHUNK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(
+             tk[(g.i * {CHUNK_TOKENS} + 1):((g.i + 1) * {CHUNK_TOKENS})], ' '))
+           AS ch
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(
+        0, CAST(CEIL(len(tk) / {CHUNK_TOKENS}.0) AS INT) - 1)) AS i) g),
+freq AS (
+  SELECT ch, CAST(COUNT(*) AS BIGINT) AS n_global
+  FROM chunks GROUP BY ch)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN f.n_global > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       CAST(ROUND(SUM(CASE WHEN f.n_global > 1 THEN 1 ELSE 0 END)
+                  * 1000000.0 / COUNT(*)) AS BIGINT) AS dup_frac_x1m
+FROM chunks c JOIN freq f ON c.ch = f.ch
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+"""
+
+
+@query("text_chunk_dedup", oracle=_CHUNK_SQL)
+def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus duplicated-span accounting at fixed chunk granularity.
+
+    The C4/RefinedWeb "remove duplicated paragraphs" pass, reshaped for
+    a corpus whose documents are single-line: tokens are windowed into
+    {CHUNK_TOKENS}-token chunks, each chunk is md5-fingerprinted, and a
+    corpus-wide frequency table marks spans appearing more than once.
+    Per-document output: chunk count, duplicated-chunk count, and the
+    duplicated fraction (scaled int).
+
+    Scale shape: explode to ~n_tokens/{CHUNK_TOKENS} chunk rows, ONE
+    map-side-combinable groupBy on the 128-bit fingerprint, one join
+    back on the same key (the exchange is reused), one groupBy doc_id.
+    No windows, no driver state; the frequency table is the only
+    intermediate and it shrinks with dedup cardinality. A removal
+    variant would filter chunks with n_global > 1 and re-assemble --
+    same plan shape.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tk")
+    )
+    n_chunks = (F.ceil(F.size("tk") / F.lit(float(CHUNK_TOKENS)))).cast("int")
+    chunks = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i"),
+        "tk",
+    ).select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.slice(
+                    F.col("tk"), F.col("i") * CHUNK_TOKENS + 1, CHUNK_TOKENS
+                ),
+                " ",
+            )
+        ).alias("ch"),
+    )
+    freq = chunks.groupBy("ch").agg(F.count(F.lit(1)).alias("n_global"))
+    return (
+        chunks.join(freq, "ch")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("n_global") > 1, 1).otherwise(0)).alias(
+                "n_dup_chunks"
+            ),
+            F.round(
+                F.sum(F.when(F.col("n_global") > 1, 1).otherwise(0))
+                * 1_000_000.0
+                / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("dup_frac_x1m"),
+        )
+        .orderBy("doc_id")
+    )
