@@ -37,7 +37,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
 from ushas_spark.durability import materialize
 from ushas_spark.io import load_table
@@ -77,21 +76,39 @@ def _init_centroids(emb: DataFrame, k: int = K) -> DataFrame:
 
 
 def _assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest centroid per vector; scaled distance, ties -> smallest cid."""
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "e",
-        "cid",
-        F.round(sqdist(F.col("e"), F.col("ce")) * DIST_SCALE)
-        .cast("long")
-        .alias("ds"),
+    """Nearest centroid per vector; scaled distance, ties -> smallest cid.
+
+    Shuffle-free: the K centroids are folded into ONE row holding an
+    array of (cid, vector) structs, broadcast, and the argmin is an
+    ``array_min`` over (distance, cid) structs -- a pure projection, so
+    each Lloyd round reads the corpus exactly once with no exchange on
+    the big side. (A first cut exploded K rows per vector and took a
+    per-vector window; the fold form removes that corpus-sized shuffle
+    entirely.)
+    """
+    carr = cents.agg(F.collect_list(F.struct("cid", "ce")).alias("cs"))
+    m = F.array_min(
+        F.transform(
+            "cs",
+            lambda c: F.struct(
+                F.round(sqdist(F.col("e"), c["ce"]) * DIST_SCALE)
+                .cast("long")
+                .alias("ds"),
+                c["cid"].alias("cid"),
+            ),
+        )
     )
-    w = W.partitionBy("vec_id").orderBy("ds", "cid")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        emb.crossJoin(F.broadcast(carr))
+        .withColumn("m", m)
+        .select(
+            "vec_id",
+            "e",
+            F.col("m.cid").alias("cid"),
+            F.col("m.ds").alias("ds"),
+        )
     )
+
 
 
 def _update(assigned: DataFrame) -> DataFrame:
