@@ -308,3 +308,20 @@ def test_json_fast_path_matches_py4j_walk(spark, sf_dir):
         fast = [strip(c) for c in ex._resolve_json_plan(jplan)]
         slow = [strip(c) for c in ex._resolve(jplan)]
         assert fast == slow
+
+
+def test_lineage_through_checkpointed_iterative_plan(spark, sf_dir):
+    """Iterative operators truncate their plans via localCheckpoint /
+    checkpoint (LogicalRDD leaves). Lineage extraction must still walk
+    the post-checkpoint expression chain instead of erroring on the
+    unnamed leaf."""
+    from ushas_spark import lineage
+    from ushas_spark.operators.clustering import kmeans_assign
+
+    df = kmeans_assign(spark, sf_dir, iters=1)
+    g = lineage(df)
+    names = [c.name for c in g.columns]
+    assert names == ["vec_id", "cluster", "dist_x1m"]
+    tree = g.tree_string()
+    # The argmin expression chain survives the checkpoint boundary.
+    assert "arraymin" in tree or "array_min" in tree

@@ -353,3 +353,45 @@ def test_retention_distinct_reuses_user_shuffle(spark, sf_dir):
     plan = _plan(QUERIES["events_retention_cohorts"](spark, sf_dir))
     n_hash_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_hash_exchanges <= 3, plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
+    """Spark's runtime bloom-filter join pruning (the 100 TB shuffle
+    reducer: the selective side's keys become a bloom filter applied at
+    the big side's scan) injects once the application side crosses the
+    scan-size threshold. Defaults are cluster-scale (10 GB application
+    side), so the test lowers the threshold to local-data size and pins
+    that injection actually happens -- i.e. nothing in our session or
+    query shapes disables it at real scale."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        import os
+
+        o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).filter(
+            F.col("o_totalprice") > 400000
+        )
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), plan
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
