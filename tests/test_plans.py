@@ -395,3 +395,44 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_kmeans_final_assignment_is_shuffle_free(spark, sf_dir):
+    """The k-means assign step must be a pure projection over a
+    broadcast centroid row -- zero exchanges on the corpus side (the
+    iterative updates run pre-checkpoint and don't appear here)."""
+    import re
+
+    plan = _plan(QUERIES["cluster_kmeans_assign"](spark, sf_dir))
+    assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) == 0, plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_pagerank_two_exchanges_per_round(spark, sf_dir):
+    """Each PageRank round costs one ranks-side exchange + one
+    groupBy(dst) exchange; the materialized edge table must NOT be
+    re-shuffled per round (its checkpoint keeps hash partitioning on
+    src)."""
+    import re
+
+    from ushas_spark.operators.graph import ITERS
+
+    plan = _plan(QUERIES["graph_pagerank_top"](spark, sf_dir))
+    n = len(re.findall(r"Exchange hashpartitioning", plan))
+    # 2 per round + 1 for the initial rank build; 3+/round would mean
+    # the edge side re-shuffles every iteration (the regression this
+    # pins: the first cut re-derived deg/nodes from the un-materialized
+    # join and cost 21 exchanges).
+    assert n <= 2 * ITERS + 1, plan
+
+
+def test_chunk_dedup_single_scan_two_aggregates(spark, sf_dir):
+    """Chunk dedup: explode once, one fingerprint groupBy, one join
+    back, one doc groupBy -- at most 3 hash exchanges and exactly one
+    documents scan feeding both sides (Spark reuses the exploded
+    subplan via exchange reuse when SMJ is chosen; under broadcast the
+    scan runs twice but the plan stays 3 exchanges)."""
+    import re
+
+    plan = _plan(QUERIES["text_chunk_dedup"](spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3, plan
