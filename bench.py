@@ -66,6 +66,8 @@ HEADLINE = [
     "merge_scd2_stats",
     "layout_zorder_histogram",
     "sim_sq8_topk",
+    "text_bpe_train_merges",
+    "text_chunk_dedup",
 ]
 
 ITERATIONS = 3  # best-of-N, after one untimed warm-up

@@ -485,3 +485,38 @@ def test_sq8_recall_vs_float_dot(spark, sf_dir):
     sq8 = {(r.qid, r.cand_id) for r in sim_sq8_topk(spark, sf_dir).collect()}
     recall = len(exact & sq8) / len(exact)
     assert recall >= 0.9, f"SQ8 recall too low: {recall:.2f}"
+
+
+def test_bpe_merge_fold_is_greedy_nonoverlapping(spark):
+    """'aaab' with pair (a,a) must merge left-to-right without overlap:
+    [aa, a, b], not [aa, ab] or [a, aa, b]."""
+    from ushas_spark.operators import bpe
+
+    df = spark.createDataFrame([("aaab", 1), ("a", 1)], "word string, n long")
+    syms = bpe._char_symbols(df)
+    best = spark.createDataFrame(
+        [("a", "a", 9)], "ba string, bb string, bcnt long"
+    )
+    rows = {r.word: r.s for r in bpe._apply_merge(syms, best).collect()}
+    assert rows["aaab"] == ["aa", "a", "b"]
+    assert rows["a"] == ["a"]  # single-symbol words untouched
+
+
+def test_bpe_training_shrinks_symbol_count_each_merge(spark, sf_dir):
+    """Each applied merge strictly reduces the corpus-weighted symbol
+    count by exactly the winning pair's count."""
+    from ushas_spark.operators import bpe
+    from ushas_spark.durability import materialize
+
+    syms = bpe._char_symbols(materialize(bpe._word_histogram(spark, sf_dir)))
+    for _ in range(2):
+        before = syms.select(
+            F.sum(F.size("s") * F.col("n")).alias("t")
+        ).collect()[0].t
+        best_df = bpe._best_pair(bpe._pair_counts(syms))
+        bcnt = best_df.collect()[0].bcnt
+        syms = bpe._apply_merge(syms, best_df)
+        after = syms.select(
+            F.sum(F.size("s") * F.col("n")).alias("t")
+        ).collect()[0].t
+        assert after == before - bcnt, (before, after, bcnt)

@@ -77,6 +77,7 @@ _MODULE_ORDER = [
     "ushas_spark.operators.graph",
     "ushas_spark.operators.mergeop",
     "ushas_spark.operators.layout",
+    "ushas_spark.operators.bpe",
     # Operators tier: driver-certified in r02 (greens demoted by name).
     "ushas_spark.operators.dedup",
     "ushas_spark.operators.similarity",
@@ -180,6 +181,7 @@ def load_all() -> None:
     )
     from ushas_spark.operators import (  # noqa: F401
         asof,
+        bpe,
         clustering,
         dedup,
         graph,
