@@ -230,3 +230,86 @@ def test_quota_sample_bounded_under_dominant_source(spark):
         .collect()
     )
     assert all(r.n == QUOTA_PER_SOURCE for r in sampled), sampled
+
+
+def test_kmeans_loop_200k_vectors(spark):
+    """200k synthetic 16-dim vectors through 2 Lloyd rounds using the
+    production assign/update path: the assignment stage must stay
+    shuffle-free (broadcast centroid row) and every cluster must stay
+    populated -- the shape that holds at 100 TB where only the K x DIM
+    update cells ever shuffle."""
+    from ushas_spark.durability import materialize
+    from ushas_spark.operators import clustering as C
+
+    n, dim, k = 200_000, 16, 8
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: F.sin(F.col("id") * (d + 1) * 0.7).cast("double"),
+        ).alias("e"),
+    )
+    cents = emb.filter(
+        F.col("vec_id").isin([c * C.INIT_STRIDE for c in range(k)])
+    ).select(
+        (F.col("vec_id") / C.INIT_STRIDE).cast("int").alias("cid"),
+        F.col("e").alias("ce"),
+    )
+    for _ in range(2):
+        cents = materialize(C._update(C._assign(emb, cents)))
+    final = C._assign(emb, cents)
+    plan = final._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) == 0
+    sizes = final.groupBy("cid").count().collect()
+    assert len(sizes) == k
+    assert sum(r["count"] for r in sizes) == n
+
+
+def test_pagerank_rounds_500k_edges(spark):
+    """~500k-edge synthetic power-law-ish graph, 3 synchronous rounds
+    with the exact-scaled contribution sums: mass stays conserved to
+    rounding tolerance and no rank goes nonpositive. Proves the
+    iterative path at ~200x the oracle's edge count."""
+    from ushas_spark.durability import materialize
+    from ushas_spark.operators.graph import RANK_SCALE
+
+    # hub-heavy bipartite-ish edges: dst = id % 701 (hot), src uniform
+    edges_one = spark.range(500_000).select(
+        (F.col("id") % 9973).alias("src"), (F.col("id") % 701 + 100_000).alias("dst")
+    ).distinct()
+    edges = edges_one.unionAll(
+        edges_one.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ewd = materialize(edges.join(deg, "src").repartition("src"))
+    nodes = ewd.groupBy("src").agg(F.first("deg")).select(F.col("src").alias("node"))
+    n_nodes = materialize(nodes.agg(F.count(F.lit(1)).alias("n")))
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", (F.lit(1.0) / F.col("n").cast("double")).alias("rank"), "n"
+    )
+    for _ in range(3):
+        contrib = ranks.join(ewd, ranks.node == ewd.src).select(
+            F.col("dst").alias("node"),
+            F.round((F.col("rank") / F.col("deg").cast("double")) * RANK_SCALE)
+            .cast("long")
+            .alias("c"),
+        )
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("sc"))
+        ranks = summed.crossJoin(F.broadcast(n_nodes)).select(
+            "node",
+            (
+                F.lit(0.15) / F.col("n").cast("double")
+                + F.lit(0.85) * (F.col("sc").cast("double") / F.lit(float(RANK_SCALE)))
+            ).alias("rank"),
+            "n",
+        )
+    row = ranks.agg(
+        F.sum(F.round(F.col("rank") * RANK_SCALE).cast("long")).alias("s"),
+        F.count(F.lit(1)).alias("nn"),
+        F.min("rank").alias("mn"),
+    ).collect()[0]
+    n_edges = ewd.count()
+    assert row.mn > 0
+    assert abs(row.s - RANK_SCALE) <= n_edges * 3 / 2 + row.nn, (row.s, n_edges)
