@@ -139,3 +139,81 @@ def agg_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day", "event_type")
     )
     return daily
+
+
+# --- incremental aggregate maintenance (materialized-view merge) ----------
+_CUTOVER = "1999-01-01"
+
+_INCR_ORACLE = f"""
+WITH state AS (
+  SELECT date_trunc('month', o_orderdate) AS mon, o_orderpriority AS prio,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS tot_x100
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_CUTOVER}'
+  GROUP BY 1, 2
+), delta AS (
+  SELECT date_trunc('month', o_orderdate) AS mon, o_orderpriority AS prio,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS tot_x100
+  FROM orders WHERE o_orderdate >= TIMESTAMP '{_CUTOVER}'
+  GROUP BY 1, 2
+), merged AS (
+  SELECT mon, prio, CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(tot_x100) AS BIGINT) AS tot_x100
+  FROM (SELECT * FROM state UNION ALL SELECT * FROM delta)
+  GROUP BY mon, prio
+)
+SELECT mon, prio, n, tot_x100,
+       CAST(tot_x100 AS DOUBLE) / 100.0 / CAST(n AS DOUBLE) AS avg_price
+FROM merged ORDER BY mon, prio
+"""
+
+
+def _partials(orders: DataFrame) -> DataFrame:
+    return orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("mon"),
+        F.col("o_orderpriority").alias("prio"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "tot_x100"
+        ),
+    )
+
+
+@query("agg_incremental_merge", oracle=_INCR_ORACLE)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view incremental maintenance: merge stored partial
+    aggregates with a new-data delta WITHOUT rescanning history.
+
+    The mergeable-state pattern behind every incremental rollup
+    (reference analog: the partial->final two-phase aggregation in
+    execution/aggregate/AggUtils.scala, lifted to the storage layer):
+    state rows carry (count, exact scaled sum) per (month, priority);
+    the delta batch aggregates the same partials; the merge is an
+    addition, and finals (avg) are derived only at read time. Both
+    scans push their date predicate down; at 100 TB the "state" side is
+    a tiny stored table, not a scan, and the plan shape is identical.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit(_CUTOVER).cast("timestamp")
+    state = _partials(orders.where(F.col("o_orderdate") < cut))
+    delta = _partials(orders.where(F.col("o_orderdate") >= cut))
+    merged = (
+        state.unionByName(delta)
+        .groupBy("mon", "prio")
+        .agg(F.sum("n").alias("n"), F.sum("tot_x100").alias("tot_x100"))
+    )
+    return merged.select(
+        "mon",
+        "prio",
+        "n",
+        "tot_x100",
+        (
+            F.col("tot_x100").cast("double")
+            / F.lit(100.0)
+            / F.col("n").cast("double")
+        ).alias("avg_price"),
+    ).orderBy("mon", "prio")

@@ -187,3 +187,81 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("prev_type", "next_type")
     )
+
+
+_ANOMALY_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, hr, n,
+         CAST(SUM(n)   OVER w AS BIGINT) AS s1,
+         CAST(SUM(n*n) OVER w AS BIGINT) AS s2,
+         CAST(COUNT(*) OVER w AS BIGINT) AS c
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hr, n,
+       CASE WHEN c >= 12 AND (c*s2 - s1*s1) > 0 THEN
+         CAST(ROUND(
+           (CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(c AS DOUBLE))
+           / SQRT((CAST(c AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                  / (CAST(c AS DOUBLE) * (CAST(c AS DOUBLE) - 1.0)))
+           * 10000) AS BIGINT)
+       END AS z_x1e4
+FROM stats
+ORDER BY event_type, hr
+"""
+
+
+@query("events_anomaly_zscore", oracle=_ANOMALY_ORACLE)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-volume anomaly score: each (event_type, hour)
+    bucket's count against the trailing 24 observed buckets' mean/std
+    (sample), z-scores reported as scaled ints, NULL until 12 buckets of
+    history exist.
+
+    Exactness: the window accumulates integer count and count-squared
+    sums (exact, order-independent), then mean/std/z are derived
+    per-row with one closed-form double evaluation -- the same
+    ``oracle_exact`` pattern as the moment aggregates, applied over a
+    window frame. Scale shape: one groupBy to hourly buckets (map-side
+    combinable), then ONE window partitioned by event_type over the
+    bucket table (which is |types| x |hours|, tiny relative to raw
+    events regardless of corpus size).
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    )
+    hourly = e.groupBy("event_type", "hr").agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-24, -1)
+    )
+    stats = hourly.select(
+        "event_type",
+        "hr",
+        "n",
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+        F.count(F.lit(1)).over(w).alias("c"),
+    )
+    cd = F.col("c").cast("double")
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    z = (F.col("n").cast("double") - s1d / cd) / F.sqrt(
+        (cd * s2d - s1d * s1d) / (cd * (cd - F.lit(1.0)))
+    )
+    return stats.select(
+        "event_type",
+        "hr",
+        "n",
+        F.when(
+            (F.col("c") >= 12)
+            & ((F.col("c") * F.col("s2") - F.col("s1") * F.col("s1")) > 0),
+            F.round(z * 10000).cast("long"),
+        ).alias("z_x1e4"),
+    ).orderBy("event_type", "hr")
