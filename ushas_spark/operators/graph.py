@@ -166,3 +166,83 @@ def graph_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("customer"))
         .alias("node_type"),
     ).orderBy(F.col("rank_x1e9").desc(), "node").limit(TOP_N)
+
+
+# --- deterministic random walks (node2vec-style corpus sampling) ----------
+WALK_LEN = 3
+START_MOD = 10  # walkers start from customers with custkey % 10 == 0
+
+
+def random_walks(spark: SparkSession, sf_dir: str, length: int = WALK_LEN) -> DataFrame:
+    """Hash-seeded uniform random walks over the trade graph.
+
+    The sampling pass that turns a graph into sequence training data
+    (DeepWalk / node2vec): from each start node, repeatedly hop to the
+    neighbor minimizing md5(walker || step || neighbor) -- a
+    deterministic stand-in for a seeded RNG that both engines compute
+    identically, so whole walks are oracle-gated. Each hop is one join
+    on the current node against the materialized edge table plus one
+    per-walker argmin (min over (hash, dst) structs, map-side
+    combinable); the walk table stays |walkers| rows end to end.
+    """
+    edges = materialize(_edges(spark, sf_dir).distinct())
+    starts = (
+        edges.select(F.col("src").alias("n0"))
+        .where((F.col("n0") < 1_000_000_000) & (F.col("n0") % START_MOD == 0))
+        .distinct()
+    )
+    walks = starts.withColumn("walker", F.col("n0"))
+    cur = "n0"
+    for t in range(1, length + 1):
+        hop = walks.join(edges, walks[cur] == edges.src).withColumn(
+            "h",
+            F.md5(
+                F.concat_ws(
+                    "|", F.col("walker"), F.lit(t), F.col("dst")
+                )
+            ),
+        )
+        keep = [F.first(c).alias(c) for c in walks.columns if c != "walker"]
+        walks = (
+            hop.groupBy("walker")
+            .agg(*keep, F.min(F.struct("h", "dst")).alias("m"))
+            .select(*[c for c in walks.columns], F.col("m.dst").alias(f"n{t}"))
+        )
+        cur = f"n{t}"
+    return walks.drop("walker").orderBy("n0")
+
+
+def _walk_oracle(length: int = WALK_LEN) -> str:
+    parts = [
+        "pairs AS (SELECT DISTINCT o_custkey AS cust,"
+        "                 l_suppkey + 1000000000 AS supp"
+        "          FROM orders JOIN lineitem ON o_orderkey = l_orderkey)",
+        "edges AS (SELECT cust AS src, supp AS dst FROM pairs"
+        "          UNION ALL SELECT supp, cust FROM pairs)",
+        f"w0 AS (SELECT DISTINCT src AS n0 FROM edges"
+        f"       WHERE src < 1000000000 AND src % {START_MOD} = 0)",
+    ]
+    cols = ["n0"]
+    for t in range(1, length + 1):
+        prev = f"w{t - 1}"
+        cur = cols[-1]
+        col_list = ", ".join(cols)
+        parts.append(
+            f"w{t} AS (SELECT {col_list}, dst AS n{t} FROM ("
+            f"  SELECT {col_list}, e.dst,"
+            f"    ROW_NUMBER() OVER (PARTITION BY n0 ORDER BY"
+            f"      md5(n0 || '|' || {t} || '|' || e.dst), e.dst) AS rn"
+            f"  FROM {prev} JOIN edges e ON {prev}.{cur} = e.src"
+            f") WHERE rn = 1)"
+        )
+        cols.append(f"n{t}")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT {', '.join(cols)} FROM w{length} ORDER BY n0"
+    )
+
+
+@query("graph_random_walks", oracle=_walk_oracle())
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-{WALK_LEN} deterministic walks from every 10th customer."""
+    return random_walks(spark, sf_dir)
