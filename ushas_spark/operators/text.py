@@ -557,3 +557,102 @@ def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- lexical retrieval: TF-IDF top-k over an inverted index ----------------
+IDF_SCALE = 1000  # rational IDF: w(term) = (N * IDF_SCALE) / df  (integer)
+TFIDF_QUERIES = 3  # doc_id < 3 are the query documents
+TFIDF_TOPK = 10
+
+
+_TFIDF_ORACLE = f"""
+WITH tf AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents) WHERE word <> ''
+  GROUP BY doc_id, word
+), n_docs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+idf AS (
+  SELECT word, (n * {IDF_SCALE}) // CAST(COUNT(*) AS BIGINT) AS w
+  FROM (SELECT DISTINCT doc_id, word FROM tf), n_docs
+  GROUP BY word, n
+), q AS (
+  SELECT doc_id AS qid, word, tf AS qtf FROM tf
+  WHERE doc_id < {TFIDF_QUERIES}
+), scored AS (
+  SELECT q.qid, tf.doc_id AS did,
+         CAST(SUM(q.qtf * tf.tf * idf.w * idf.w) AS BIGINT) AS score
+  FROM q JOIN idf USING (word)
+         JOIN tf ON tf.word = q.word AND tf.doc_id <> q.qid
+  GROUP BY q.qid, tf.doc_id
+)
+SELECT qid, did, score, rnk FROM (
+  SELECT qid, did, score,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY score DESC, did) AS rnk
+  FROM scored)
+WHERE rnk <= {TFIDF_TOPK} ORDER BY qid, rnk
+"""
+
+
+@query("text_tfidf_topk", oracle=_TFIDF_ORACLE)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval: TF-IDF top-k similar documents per query doc.
+
+    The inverted-index retrieval shape: term frequencies once over the
+    corpus (one map-side-combinable groupBy), document frequencies from
+    the same table, query-term postings joined on the term -- the join
+    fans out only over shared terms, never all document pairs. IDF is
+    the RATIONAL weight (N * {IDF_SCALE}) // df instead of ln(N/df):
+    monotonically equivalent ranking signal with pure-integer scoring,
+    chosen because cross-engine ln() differs in the last ulp while
+    integer division is exact everywhere (same reasoning as
+    oracle_exact.py). Score = sum(tf_q * tf_d * w^2) -- the unnormalized
+    TF-IDF dot product; magnitudes bounded so 64-bit sums cannot
+    overflow below ~1e5x this corpus density.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n"))
+    idf = (
+        tf.select("doc_id", "word")
+        .distinct()
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "word",
+            # true integer division (SQL `div`), mirroring DuckDB's `//`
+            # -- double-divide-then-cast could flip on representation
+            # boundaries.
+            F.expr(f"(n * {IDF_SCALE}) div df").alias("w"),
+        )
+    )
+    q = tf.where(F.col("doc_id") < TFIDF_QUERIES).select(
+        F.col("doc_id").alias("qid"), "word", F.col("tf").alias("qtf")
+    )
+    scored = (
+        q.join(idf, "word")
+        .join(
+            tf.select(F.col("doc_id").alias("did"), "word", "tf"),
+            "word",
+        )
+        .where(F.col("did") != F.col("qid"))
+        .groupBy("qid", "did")
+        .agg(
+            F.sum(
+                F.col("qtf") * F.col("tf") * F.col("w") * F.col("w")
+            ).alias("score")
+        )
+    )
+    from pyspark.sql import Window as W
+
+    wnd = W.partitionBy("qid").orderBy(F.col("score").desc(), "did")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wnd))
+        .where(F.col("rnk") <= TFIDF_TOPK)
+        .orderBy("qid", "rnk")
+    )
