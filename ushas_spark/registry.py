@@ -78,6 +78,7 @@ _MODULE_ORDER = [
     "ushas_spark.operators.mergeop",
     "ushas_spark.operators.layout",
     "ushas_spark.operators.bpe",
+    "ushas_spark.operators.profiling",
     # Operators tier: driver-certified in r02 (greens demoted by name).
     "ushas_spark.operators.dedup",
     "ushas_spark.operators.similarity",
@@ -190,6 +191,7 @@ def load_all() -> None:
         mergeop,
         multimodal,
         pipeline,
+        profiling,
         rangejoin,
         similarity,
         skew,
