@@ -73,19 +73,26 @@ _SKEW_ORACLE = f"""
 WITH freq AS (
   SELECT {_SKEW_KEY} AS key, CAST(COUNT(*) AS BIGINT) AS n
   FROM lineitem GROUP BY 1
-), ranked AS (
-  SELECT key, n,
-         ROW_NUMBER() OVER (ORDER BY n DESC, key) AS hot_rank,
-         ROW_NUMBER() OVER (ORDER BY n, key) AS asc_rank,
-         CAST(COUNT(*) OVER () AS BIGINT) AS nk
-  FROM freq
+), hot AS (
+  SELECT 'hot' AS kind,
+         CAST(ROW_NUMBER() OVER (ORDER BY n DESC, key) AS BIGINT) AS rank,
+         key, n
+  FROM freq ORDER BY n DESC, key LIMIT {_TOP_HOT}
+), ff AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS cnt FROM freq GROUP BY n
+), cum AS (
+  SELECT n, SUM(cnt) OVER (ORDER BY n
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+         SUM(cnt) OVER () AS nk
+  FROM ff
+), quant AS (
+  SELECT 'p' || p AS kind, CAST(p AS BIGINT) AS rank,
+         CAST(NULL AS BIGINT) AS key, CAST(MIN(n) AS BIGINT) AS n
+  FROM cum JOIN (VALUES (50), (90), (99)) q(p)
+    ON c >= GREATEST(1, CAST(CEIL(nk * p / 100.0) AS BIGINT))
+  GROUP BY p
 )
-SELECT 'hot' AS kind, hot_rank AS rank, key, n FROM ranked
-WHERE hot_rank <= {_TOP_HOT}
-UNION ALL
-SELECT 'p' || p AS kind, p AS rank, key, n FROM ranked
-JOIN (VALUES (50), (90), (99)) q(p)
-  ON asc_rank = GREATEST(1, CAST(CEIL(nk * p / 100.0) AS BIGINT))
+SELECT * FROM hot UNION ALL SELECT * FROM quant
 ORDER BY kind, rank
 """
 
@@ -94,39 +101,56 @@ ORDER BY kind, rank
 def profile_join_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew profile of lineitem.{_SKEW_KEY}: the {_TOP_HOT}
     hottest keys plus exact p50/p90/p99 key frequencies -- the inputs
-    to the broadcast-vs-salt decision."""
+    to the broadcast-vs-salt decision.
+
+    Scale shape: hot keys are an orderBy+limit (TakeOrderedAndProject,
+    per-partition heaps, no global sort); frequency quantiles come from
+    the frequency-OF-frequencies table -- |distinct frequency values|
+    rows, typically a few hundred regardless of key cardinality -- so
+    the only window runs over that tiny table, never over the
+    billion-key frequency table itself.
+    """
     freq = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy(F.col(_SKEW_KEY).alias("key"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    ranked = freq.select(
-        "key",
-        "n",
-        F.row_number().over(W.orderBy(F.col("n").desc(), "key")).alias("hot_rank"),
-        F.row_number().over(W.orderBy("n", "key")).alias("asc_rank"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("nk"),
+    hot = (
+        freq.orderBy(F.col("n").desc(), "key")
+        .limit(_TOP_HOT)
+        .select(
+            F.lit("hot").alias("kind"),
+            F.row_number()
+            .over(W.orderBy(F.col("n").desc(), "key"))
+            .cast("long")
+            .alias("rank"),
+            "key",
+            "n",
+        )
     )
-    hot = ranked.where(F.col("hot_rank") <= _TOP_HOT).select(
-        F.lit("hot").alias("kind"),
-        F.col("hot_rank").cast("long").alias("rank"),
-        "key",
+    ff = freq.groupBy("n").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = W.orderBy("n").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = ff.select(
         "n",
+        F.sum("cnt").over(wcum).alias("c"),
+        F.sum("cnt").over(W.partitionBy()).alias("nk"),
     )
     pcts = spark.createDataFrame([(50,), (90,), (99,)], "p long")
     quant = (
-        ranked.crossJoin(F.broadcast(pcts))
+        cum.crossJoin(F.broadcast(pcts))
         .where(
-            F.col("asc_rank")
-            == F.greatest(
+            F.col("c")
+            >= F.greatest(
                 F.lit(1),
                 F.ceil(F.col("nk") * F.col("p") / F.lit(100.0)).cast("long"),
             )
         )
+        .groupBy("p")
+        .agg(F.min("n").alias("n"))
         .select(
             F.concat(F.lit("p"), F.col("p")).alias("kind"),
             F.col("p").alias("rank"),
-            "key",
+            F.lit(None).cast("long").alias("key"),
             "n",
         )
     )
