@@ -68,6 +68,9 @@ HEADLINE = [
     "sim_sq8_topk",
     "text_bpe_train_merges",
     "text_chunk_dedup",
+    "text_tfidf_topk",
+    "graph_random_walks",
+    "events_anomaly_zscore",
 ]
 
 ITERATIONS = 3  # best-of-N, after one untimed warm-up
