@@ -265,3 +265,61 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z * 10000).cast("long"),
         ).alias("z_x1e4"),
     ).orderBy("event_type", "hr")
+
+
+_PATH_LEN = 8
+_PATH_TOP = 20
+
+_PATHS_ORACLE = f"""
+WITH ranked AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), paths AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM ranked WHERE rn <= {_PATH_LEN}
+  GROUP BY user_id
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users FROM paths
+GROUP BY path ORDER BY n_users DESC, path LIMIT {_PATH_TOP}
+"""
+
+
+@query("events_user_paths", oracle=_PATHS_ORACLE)
+def events_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_PATH_TOP} user journey paths: each user's first
+    {_PATH_LEN} events as an ordered type sequence, counted across
+    users.
+
+    Scale shape: ONE shuffle on user_id builds the per-user ordered
+    array (collect_list + array_sort -- object-hash aggregate, order
+    restored deterministically by (ts, event_id) inside the array, so
+    collect order never matters); the path histogram then aggregates
+    |users| short strings and the top-k is a TakeOrderedAndProject.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    1,
+                    _PATH_LEN,
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        per_user.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(_PATH_TOP)
+    )
