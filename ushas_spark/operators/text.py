@@ -656,3 +656,107 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= TFIDF_TOPK)
         .orderBy("qid", "rnk")
     )
+
+
+# --- BM25 retrieval (exact rational arithmetic) ----------------------------
+# k1 = 6/5, b = 3/4 folded symbolically: per-term score =
+#   w * (22 * tf * L) div (10*tf*L + 3*L + 9*dl*N)      [x BM25_SCALE]
+# where L = total corpus token count, N = doc count, dl = doc length --
+# the classic formula with numerator/denominator multiplied through by
+# 10*L so everything is 64-bit integer (exact, oracle-gated). Bounded:
+# w*22*tf*L*SCALE < 2^63 for corpora up to ~1e4x this density; a 100 TB
+# deployment would switch to double scoring (ranking tolerates ulp
+# noise) -- the integer form is what makes the gate bit-exact.
+BM25_SCALE = 100
+
+
+_BM25_ORACLE = f"""
+WITH tf AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents) WHERE word <> ''
+  GROUP BY doc_id, word
+), dl AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+), corpus AS (
+  SELECT CAST(SUM(dl) AS BIGINT) AS L, CAST(COUNT(*) AS BIGINT) AS N
+  FROM dl
+), idf AS (
+  SELECT word, (N * {IDF_SCALE}) // CAST(COUNT(*) AS BIGINT) AS w
+  FROM (SELECT DISTINCT doc_id, word FROM tf), corpus
+  GROUP BY word, N
+), q AS (
+  SELECT doc_id AS qid, word FROM tf WHERE doc_id < {TFIDF_QUERIES}
+), scored AS (
+  SELECT q.qid, t.doc_id AS did,
+         CAST(SUM((idf.w * 22 * t.tf * c.L * {BM25_SCALE})
+              // (10 * t.tf * c.L + 3 * c.L + 9 * d.dl * c.N))
+           AS BIGINT) AS score
+  FROM q JOIN idf USING (word)
+         JOIN tf t ON t.word = q.word AND t.doc_id <> q.qid
+         JOIN dl d ON d.doc_id = t.doc_id
+         CROSS JOIN corpus c
+  GROUP BY q.qid, t.doc_id
+)
+SELECT qid, did, score, rnk FROM (
+  SELECT qid, did, score,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY score DESC, did) AS rnk
+  FROM scored)
+WHERE rnk <= {TFIDF_TOPK} ORDER BY qid, rnk
+"""
+
+
+@query("text_bm25_topk", oracle=_BM25_ORACLE)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (k1=1.2, b=0.75) in exact integer form.
+
+    Same inverted-index join shape as :func:`text_tfidf_topk` plus the
+    document-length normalization BM25 adds; the rational folding above
+    keeps all scoring in 64-bit integers so the DuckDB oracle matches
+    bit-for-bit.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    corpus = dl.agg(
+        F.sum("dl").alias("L"), F.count(F.lit(1)).alias("N")
+    )
+    idf = (
+        tf.select("doc_id", "word")
+        .distinct()
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(corpus.select("N")))
+        .select("word", F.expr(f"(N * {IDF_SCALE}) div df").alias("w"))
+    )
+    q = tf.where(F.col("doc_id") < TFIDF_QUERIES).select(
+        F.col("doc_id").alias("qid"), "word"
+    )
+    scored = (
+        q.join(idf, "word")
+        .join(tf.select(F.col("doc_id").alias("did"), "word", "tf"), "word")
+        .where(F.col("did") != F.col("qid"))
+        .join(dl.select(F.col("doc_id").alias("did"), "dl"), "did")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("qid", "did")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"(w * 22 * tf * L * {BM25_SCALE})"
+                    " div (10 * tf * L + 3 * L + 9 * dl * N)"
+                )
+            ).alias("score")
+        )
+    )
+    from pyspark.sql import Window as W
+
+    wnd = W.partitionBy("qid").orderBy(F.col("score").desc(), "did")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wnd))
+        .where(F.col("rnk") <= TFIDF_TOPK)
+        .orderBy("qid", "rnk")
+    )
