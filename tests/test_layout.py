@@ -104,3 +104,24 @@ def test_zorder_prunes_more_rowgroups_than_single_key_sort(spark, tmp_path):
     assert max(z_ok, z_pk) < max(s_ok, s_pk), (
         f"zorder ok={z_ok} pk={z_pk} vs single ok={s_ok} pk={s_pk}"
     )
+
+
+def test_compact_small_files(spark, tmp_path):
+    """64 tiny files compact into the size-targeted count with no row
+    loss."""
+    from ushas_spark.operators.layout import compact_files
+
+    src = str(tmp_path / "small")
+    dst = str(tmp_path / "compacted")
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    li.repartition(64).write.parquet(src)
+    n_src = len(glob.glob(src + "/*.parquet"))
+    assert n_src == 64
+    total = sum(
+        os.path.getsize(f) for f in glob.glob(src + "/*.parquet")
+    )
+    target = total // 4  # aim for ~4-5 files
+    n = compact_files(spark, src, dst, target_bytes=target)
+    n_dst = len(glob.glob(dst + "/*.parquet"))
+    assert n_dst == n <= 6
+    assert spark.read.parquet(dst).count() == li.count()

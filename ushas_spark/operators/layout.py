@@ -165,3 +165,36 @@ def layout_zorder_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("z_bucket")
     )
+
+
+def compact_files(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a parquet directory into ~``target_bytes`` files.
+
+    The small-files fix (Delta OPTIMIZE / Iceberg rewrite_data_files
+    analog): size the output file count from the INPUT's on-disk bytes,
+    then one round-robin repartition + write. Returns the file count
+    used. Metadata-only sizing -- the data itself is read once, written
+    once; no collect. Compression ratios carry over because input and
+    output are both parquet.
+
+    At 100 TB this is the compaction job run after streaming ingest or
+    fine-grained partitioned writes; a sorted/z-ordered layout should
+    instead compact with :func:`zorder_by` to preserve clustering
+    (round-robin destroys order).
+    """
+    import os
+
+    total = 0
+    for root, _, files in os.walk(src_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, -(-total // target_bytes))
+    df = spark.read.parquet(src_dir)
+    df.repartition(n_files).write.mode("overwrite").parquet(dst_dir)
+    return n_files
