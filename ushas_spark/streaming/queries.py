@@ -202,3 +202,47 @@ def streaming_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         ops.sessionize_with_state(events), "t_sessstate", output_mode="append"
     )
     return out.orderBy("user_id", "session_start")
+
+
+_QUALITY_FILTER_ORACLE = """
+WITH f AS (
+  SELECT source,
+         len(regexp_split_to_array(text, '\\s+')) AS n_tok,
+         length(text) AS n_chr
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_tok BETWEEN 20 AND 1000 AND n_chr >= 100
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM f GROUP BY source ORDER BY source
+"""
+
+
+@query("streaming_quality_filter", oracle=_QUALITY_FILTER_ORACLE)
+def streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus quality gate as a STREAMING job: documents arrive as a
+    file stream, the stateless length/token gates evaluate per batch
+    (pure projection -- no state store), and per-source keep-rates
+    aggregate in complete mode. The shape of continuous ingest curation:
+    the same JVM expressions as the batch `text_quality_score`, applied
+    incrementally."""
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    n_tok = F.size(F.split("text", r"\s+"))
+    kept = (
+        (n_tok >= 20) & (n_tok <= 1000) & (F.length("text") >= 100)
+    ).cast("int")
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept).cast("long").alias("n_kept"),
+    )
+    out = ops.run_to_memory(agg, "t_quality_filter", output_mode="complete")
+    return out.orderBy("source")
