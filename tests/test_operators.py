@@ -520,3 +520,19 @@ def test_bpe_training_shrinks_symbol_count_each_merge(spark, sf_dir):
             F.sum(F.size("s") * F.col("n")).alias("t")
         ).collect()[0].t
         assert after == before - bcnt, (before, after, bcnt)
+
+
+def test_kmeans_reliable_checkpoint_mode(spark, sf_dir):
+    """The new iterative operators route plan truncation through
+    durability.materialize; the reliable (checkpoint-dir) mode must
+    produce the identical assignment."""
+    from ushas_spark import durability
+    from ushas_spark.operators.clustering import kmeans_assign
+
+    base = {(r.vec_id, r.cluster) for r in kmeans_assign(spark, sf_dir, iters=1).collect()}
+    durability.set_reliable(True)
+    try:
+        rel = {(r.vec_id, r.cluster) for r in kmeans_assign(spark, sf_dir, iters=1).collect()}
+    finally:
+        durability.set_reliable(False)
+    assert base == rel
