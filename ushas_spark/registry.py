@@ -50,6 +50,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # rendering breaks the driver's value-hash on equal values) -- fixed this
 # round, need driver proof. Then the never-checked modules: TPC-H (18 of
 # 22), windows (9), setops (7), subqueries (6), udfs (8), ...
+# ROUND-4 TODO: fold CORRECTNESS_r03 greens into _DRIVER_GREEN; the
+# prefix then advances to analytics/sources/sql_conformance/streaming/
+# misc plus the round-3 operator modules (clustering, graph, mergeop,
+# layout, bpe, profiling and the new text/similarity names).
 _PRIORITY_NAMES = [
     "dedup_survivor_stats",
     "pipeline_train_test_split",
