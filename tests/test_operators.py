@@ -536,3 +536,34 @@ def test_kmeans_reliable_checkpoint_mode(spark, sf_dir):
     finally:
         durability.set_reliable(False)
     assert base == rel
+
+
+def test_pq_adc_recall_floor(spark, sf_dir):
+    """PQ with the data-independent md5 codebook is the lossiest tier;
+    pin a modest recall floor vs the float-dot top-k so plumbing
+    regressions (wrong subspace slicing, code/codeword mix-ups) show
+    as recall collapse."""
+    from ushas_spark.operators.similarity import (
+        N_QUERIES, TOP_K, dot, sim_pq_adc_topk,
+    )
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    scored = emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid", F.col("vec_id").alias("cand_id"),
+        dot(F.col("qe"), F.col("e")).alias("d"),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("d").desc(), "cand_id")
+    exact = {
+        (r.qid, r.cand_id)
+        for r in scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K).collect()
+    }
+    pq = {(r.qid, r.cand_id) for r in sim_pq_adc_topk(spark, sf_dir).collect()}
+    recall = len(exact & pq) / len(exact)
+    assert recall >= 0.1, f"PQ recall collapsed: {recall:.2f}"

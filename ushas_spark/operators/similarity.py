@@ -700,3 +700,143 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .orderBy("qid", "rnk")
     )
+
+
+# --- product quantization (PQ) with ADC scoring ----------------------------
+# The FAISS-style memory tier below SQ8: each int8-quantized vector is
+# encoded as M=8 subspace codes (16 codewords each, so 8x4 bits per
+# vector) and queries score candidates against the candidate's codeword
+# RECONSTRUCTION -- asymmetric distance computation -- in pure 64-bit
+# integer arithmetic. The codebook is sampled from the corpus itself by
+# id stride (the k-means-init step of PQ training; both engines derive
+# the identical codebook from the same rows, so encode + ADC are
+# oracle-gated bit-for-bit). A fully trained codebook would run the
+# Lloyd loop from operators/clustering.py per subspace.
+PQ_M = 8           # subspaces
+PQ_SUB = DIM // PQ_M
+PQ_K = 16          # codewords per subspace
+PQ_STRIDE = 29     # codeword k derives from the vector with id k*29
+
+
+def _pq_sqdist_int(a: str, b: str, dialect: str) -> str:
+    if dialect == "spark":
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+            f" 0L, (acc, v) -> acc + v)"
+        )
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" list_transform(list_zip({a}, {b}),"
+        f" p -> (p[1] - p[2]) * (p[1] - p[2]))), (acc, v) -> acc + v)"
+    )
+
+
+def _pq_recon_expr(vec: str, cs: str, dialect: str) -> str:
+    """Reconstruction of ``vec``: per subspace, the codeword (from the
+    struct array ``cs`` of {{m, k, sub}}) minimizing the integer squared
+    distance; ties -> smaller k. Concatenated back to a full vector."""
+    if dialect == "spark":
+        sub = f"slice({vec}, m * {PQ_SUB} + 1, {PQ_SUB})"
+        cand = (
+            f"transform(filter({cs}, c -> c.m = m), c -> "
+            f"struct({_pq_sqdist_int(sub, 'c.sub', 'spark')} AS ds,"
+            f" c.k AS k, c.sub AS sub))"
+        )
+        return (
+            f"flatten(transform(sequence(0, {PQ_M - 1}), m -> "
+            f"array_min({cand}).sub))"
+        )
+    sub = f"{vec}[(m * {PQ_SUB} + 1):((m + 1) * {PQ_SUB})]"
+    cand = (
+        f"list_transform(list_filter({cs}, c -> c.m = m), c -> "
+        f"{{'ds': {_pq_sqdist_int(sub, 'c.sub', 'duck')}, 'k': c.k, 'sub': c.sub}})"
+    )
+    return (
+        f"flatten(list_transform(generate_series(0, {PQ_M - 1}), m -> "
+        f"list_min({cand}).sub))"
+    )
+
+
+def _pq_codebook_sql() -> str:
+    """DuckDB CTEs producing the 1-row codebook struct array ``cs``."""
+    ids = ", ".join(str(k * PQ_STRIDE) for k in range(PQ_K))
+    return f"""
+cwsrc AS (
+  SELECT CAST(vec_id / {PQ_STRIDE} AS INT) AS k, qe FROM v
+  WHERE vec_id IN ({ids})),
+cw AS (
+  SELECT m, k, qe[(m * {PQ_SUB} + 1):((m + 1) * {PQ_SUB})] AS sub
+  FROM cwsrc, LATERAL (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m)),
+cb AS (SELECT list({{'m': m, 'k': k, 'sub': sub}}) AS cs FROM cw)
+"""
+
+
+_PQ_ORACLE = f"""
+WITH v AS (SELECT vec_id, {sql_quantize_sq8('embedding')} AS qe FROM embeddings),
+{_pq_codebook_sql().strip().rstrip()}
+,
+recon AS (
+  SELECT vec_id, {_pq_recon_expr('qe', 'cs', 'duck')} AS re
+  FROM v, cb),
+q AS (SELECT vec_id AS qid, qe AS qq FROM v WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.qid, r.vec_id AS cand_id,
+         CAST({_pq_sqdist_int('qq', 're', 'duck')} AS BIGINT) AS adc_dist
+  FROM q JOIN recon r ON r.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, cand_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY adc_dist, cand_id) AS rnk
+  FROM scored
+)
+SELECT qid, cand_id, adc_dist, rnk
+FROM ranked WHERE rnk <= {TOP_K}
+ORDER BY qid, rnk
+"""
+
+
+@query("sim_pq_adc_topk", oracle=_PQ_ORACLE)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-encoded corpus scored by asymmetric distance (ADC) top-k.
+
+    The corpus is reduced to per-subspace nearest-codeword
+    reconstructions (the stored form is the 4-bit codes; at 100 TB
+    that's ~1/64 the float32 footprint, encoded in one scan against a
+    broadcast codebook folded into a single struct-array row -- zero
+    shuffles, same shape as the k-means assign). Queries then rank
+    candidates by integer squared distance to the reconstruction.
+    Candidate generation here is the brute-force broadcast (the gate
+    shape); production puts the IVF coarse quantiser from ivf.py in
+    front, which is exactly FAISS IVF-PQ.
+    """
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", quantize_sq8(F.col("embedding")).alias("qe")
+    )
+    ids = [k * PQ_STRIDE for k in range(PQ_K)]
+    cwsrc = emb.filter(F.col("vec_id").isin(ids)).select(
+        (F.col("vec_id") / PQ_STRIDE).cast("int").alias("k"), "qe"
+    )
+    cw = cwsrc.select(
+        "k", F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"), "qe"
+    ).selectExpr("m", "k", f"slice(qe, m * {PQ_SUB} + 1, {PQ_SUB}) AS sub")
+    cb = cw.agg(F.collect_list(F.struct("m", "k", "sub")).alias("cs"))
+    recon = emb.crossJoin(F.broadcast(cb)).selectExpr(
+        "vec_id", f"{_pq_recon_expr('qe', 'cs', 'spark')} AS re"
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("qe").alias("qq")
+    )
+    scored = recon.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).selectExpr(
+        "qid",
+        "vec_id AS cand_id",
+        f"CAST({_pq_sqdist_int('qq', 're', 'spark')} AS BIGINT) AS adc_dist",
+    )
+    w = W.partitionBy("qid").orderBy("adc_dist", "cand_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .orderBy("qid", "rnk")
+    )
