@@ -154,3 +154,98 @@ def merge_scd2_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("is_current")
     )
+
+
+# --- CDC apply: log of I/U/D operations -> final snapshot ------------------
+# The Hudi/Delta CDC-merge primitive, derived deterministically from
+# orders: each order becomes an op row; the op type comes from a
+# portable integer modulo (NOT an engine hash function -- DuckDB's
+# hash() and Spark's differ) so ~10% deletes / 10% inserts / 80%
+# updates occur; latest sequence wins, delete removes the key.
+_CDC_ORACLE = """
+WITH log AS (
+  SELECT o_custkey AS key,
+         o_orderkey AS seq,
+         CASE o_orderkey % 10
+           WHEN 0 THEN 'D' WHEN 1 THEN 'I' ELSE 'U' END AS op,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS val_x100
+  FROM orders
+), latest AS (
+  SELECT key, seq, op, val_x100 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+    FROM log) WHERE rn = 1
+)
+SELECT key, CAST(seq AS BIGINT) AS last_seq, val_x100
+FROM latest WHERE op <> 'D'
+ORDER BY key
+"""
+
+
+@query("merge_cdc_apply", oracle=_CDC_ORACLE)
+def merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC operation log (insert/update/delete, sequenced) to
+    produce the latest snapshot: one shuffle on the key, latest-wins by
+    sequence, deletes drop the key.
+
+    Latest-wins argmax via window row_number (deterministic: sequence
+    numbers are unique per key). Op type derives from a portable
+    integer modulo, not an engine hash -- see the module comment.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    log = orders.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 10 == 0, "D")
+        .when(F.col("o_orderkey") % 10 == 1, "I")
+        .otherwise("U")
+        .alias("op"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("val_x100"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("key").orderBy(F.col("seq").desc())
+    latest = (
+        log.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        latest.where(F.col("op") != "D")
+        .select("key", F.col("seq").alias("last_seq"), "val_x100")
+        .orderBy("key")
+    )
+
+
+# --- point-in-time query over the SCD2 history -----------------------------
+_ASOF_DATE = "1999-06-01"
+
+_SNAPSHOT_ORACLE = f"""
+WITH {_MERGE_CTES}
+SELECT c_custkey, bal_x100
+FROM merged
+WHERE valid_from <= TIMESTAMP '{_ASOF_DATE}'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '{_ASOF_DATE}')
+  AND c_custkey <= {KEY_CAP}
+ORDER BY c_custkey
+"""
+
+
+@query("merge_scd2_asof_snapshot", oracle=_SNAPSHOT_ORACLE)
+def merge_scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (time-travel) read of the SCD2 history: the one
+    row per key whose [valid_from, valid_to) interval covers the as-of
+    instant. The query every temporal dimension exists to answer; a
+    pure filter over the history table, so at 100 TB it rides the
+    valid_from/valid_to parquet min-max stats (and partition pruning if
+    the history is partitioned by valid_from month)."""
+    cut = F.lit(_ASOF_DATE).cast("timestamp")
+    m = scd2_merge(spark, sf_dir)
+    return (
+        m.where(
+            (F.col("valid_from").cast("timestamp") <= cut)
+            & (F.col("valid_to").isNull() | (F.col("valid_to").cast("timestamp") > cut))
+            & (F.col("c_custkey") <= KEY_CAP)
+        )
+        .select("c_custkey", "bal_x100")
+        .orderBy("c_custkey")
+    )
