@@ -323,3 +323,118 @@ def events_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_users").desc(), "path")
         .limit(_PATH_TOP)
     )
+
+
+_INTERP_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT event_type, MIN(hr) AS h0, MAX(hr) AS h1 FROM hourly GROUP BY 1
+), grid AS (
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+  FROM spans
+), joined AS (
+  SELECT g.event_type, g.hr, h.v AS actual
+  FROM grid g LEFT JOIN hourly h
+    ON h.event_type = g.event_type AND h.hr = g.hr
+), ctx AS (
+  SELECT event_type, hr, actual,
+    LAST_VALUE(actual IGNORE NULLS) OVER w_prev AS pv,
+    LAST_VALUE(CASE WHEN actual IS NOT NULL THEN hr END IGNORE NULLS)
+      OVER w_prev AS pt,
+    FIRST_VALUE(actual IGNORE NULLS) OVER w_next AS nv,
+    FIRST_VALUE(CASE WHEN actual IS NOT NULL THEN hr END IGNORE NULLS)
+      OVER w_next AS nt
+  FROM joined
+  WINDOW
+    w_prev AS (PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+    w_next AS (PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, hr,
+  CASE WHEN actual IS NOT NULL THEN actual
+       WHEN pv IS NULL OR nv IS NULL THEN NULL
+       ELSE CAST(ROUND(CAST(pv AS DOUBLE)
+            + CAST(nv - pv AS DOUBLE)
+              * (CAST(epoch(hr) - epoch(pt) AS DOUBLE)
+                 / CAST(epoch(nt) - epoch(pt) AS DOUBLE))) AS BIGINT)
+  END AS val_x100,
+  CASE WHEN actual IS NOT NULL THEN 'actual'
+       WHEN pv IS NULL OR nv IS NULL THEN 'edge'
+       ELSE 'interp' END AS src
+FROM ctx ORDER BY event_type, hr
+"""
+
+
+@query("ts_interpolate_linear", oracle=_INTERP_ORACLE)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series with LINEAR interpolation across gaps -- the
+    numeric sibling of the LOCF gap-fill (`window_gap_fill_locf`): each
+    missing bucket gets prev + (next-prev) * elapsed-fraction, computed
+    from exact scaled-int neighbors with a single deterministic double
+    expression per row (no cross-row float accumulation).
+
+    Scale shape: one groupBy to hourly buckets, a per-type sequence
+    explode for the dense grid (|types| x |hours| rows), one window
+    partitioned by event_type providing both the previous and next
+    known points (two frames over the SAME exchange).
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        F.round(F.col("value") * 100).cast("long").alias("v100"),
+    )
+    hourly = e.groupBy("event_type", "hr").agg(F.sum("v100").alias("v"))
+    spans = hourly.groupBy("event_type").agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1")
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hr"),
+    )
+    joined = grid.join(hourly, ["event_type", "hr"], "left").select(
+        "event_type", "hr", F.col("v").alias("actual")
+    )
+    wp = (
+        W.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    wn = (
+        W.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    known_hr = F.when(F.col("actual").isNotNull(), F.col("hr"))
+    ctx = joined.select(
+        "event_type",
+        "hr",
+        "actual",
+        F.last("actual", ignorenulls=True).over(wp).alias("pv"),
+        F.last(known_hr, ignorenulls=True).over(wp).alias("pt"),
+        F.first("actual", ignorenulls=True).over(wn).alias("nv"),
+        F.first(known_hr, ignorenulls=True).over(wn).alias("nt"),
+    )
+    frac = (
+        (F.unix_timestamp("hr") - F.unix_timestamp("pt")).cast("double")
+        / (F.unix_timestamp("nt") - F.unix_timestamp("pt")).cast("double")
+    )
+    interp = F.round(
+        F.col("pv").cast("double")
+        + (F.col("nv") - F.col("pv")).cast("double") * frac
+    ).cast("long")
+    return ctx.select(
+        "event_type",
+        "hr",
+        F.when(F.col("actual").isNotNull(), F.col("actual"))
+        .when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit(None))
+        .otherwise(interp)
+        .alias("val_x100"),
+        F.when(F.col("actual").isNotNull(), F.lit("actual"))
+        .when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit("edge"))
+        .otherwise(F.lit("interp"))
+        .alias("src"),
+    ).orderBy("event_type", "hr")
