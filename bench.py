@@ -71,6 +71,9 @@ HEADLINE = [
     "text_tfidf_topk",
     "graph_random_walks",
     "events_anomaly_zscore",
+    "sim_pq_adc_topk",
+    "text_bm25_topk",
+    "merge_cdc_apply",
 ]
 
 ITERATIONS = 3  # best-of-N, after one untimed warm-up
