@@ -426,3 +426,64 @@ def test_drop_duplicates_within_watermark(spark, sf_dir, multi_batch_dir):
         .collect()
     }
     assert got == expect
+
+
+def test_stream_stream_left_outer_join(spark, sf_dir):
+    """LEFT OUTER stream-stream join (StreamingSymmetricHashJoin with
+    null emission on state eviction): matched rows must equal the batch
+    inner join exactly; null-extended rows appear only for views whose
+    join window closed before the final watermark (so they are a subset
+    of the batch anti-join). The exact set of emitted nulls depends on
+    watermark-advance timing, which is why this is a test with set
+    inequalities rather than a value-hash gate."""
+    events = ops.read_events_stream(spark, sf_dir)
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("v_id"),
+        )
+        .withWatermark("v_ts", "10 minutes")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select("v_id", "p_id")
+    out = ops.run_to_memory(joined, "t_ss_left", output_mode="append")
+    got_matched = {(r.v_id, r.p_id) for r in out.collect() if r.p_id is not None}
+    got_nulls = {r.v_id for r in out.collect() if r.p_id is None}
+
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("v_id"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    batch = v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    want_matched = {(r.v_id, r.p_id) for r in batch.select("v_id", "p_id").collect()}
+    matched_vids = {t[0] for t in want_matched}
+    all_vids = {r.v_id for r in v.select("v_id").collect()}
+    assert got_matched == want_matched
+    assert got_nulls <= (all_vids - matched_vids)
+    assert got_nulls, "no null-extended rows emitted at all"
