@@ -246,3 +246,43 @@ def streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ops.run_to_memory(agg, "t_quality_filter", output_mode="complete")
     return out.orderBy("source")
+
+
+_STATIC_ENRICH_ORACLE = """
+SELECT c.c_mktsegment AS segment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(e.value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0
+         AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("streaming_static_enrich", oracle=_STATIC_ENRICH_ORACLE)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins a STATIC
+    dimension (customer) per micro-batch -- stateless, no watermark, the
+    standard broadcast-enrichment shape (the static side re-plans each
+    batch; at 100 TB you broadcast or bucket it) -- then aggregates per
+    segment in complete mode with the exact scaled-int value sum.
+    (Exact COUNT(DISTINCT) is unsupported on streams -- the engine
+    offers approx_count_distinct instead, covered rows-only elsewhere.)
+    """
+    from pyspark.sql import functions as F
+
+    from ushas_spark.io import load_table
+
+    events = ops.read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    joined = events.join(F.broadcast(dim), events.user_id == dim.c_custkey)
+    agg = joined.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(F.round(F.col("value") * 10000).cast("long")).cast("double")
+            / 10000.0
+        ).alias("sum_value"),
+    )
+    out = ops.run_to_memory(agg, "t_static_enrich", output_mode="complete")
+    return out.orderBy("segment")
