@@ -438,3 +438,49 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("interp"))
         .alias("src"),
     ).orderBy("event_type", "hr")
+
+
+_EWMA_ORACLE = """
+WITH seq AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(vals) AS BIGINT) AS n_events,
+       CAST(ROUND(list_reduce(list_prepend(0.0, vals),
+            (acc, x) -> acc * 0.5 + x * 0.5) * 1000000) AS BIGINT)
+         AS ewma_x1m
+FROM seq ORDER BY user_id
+"""
+
+
+@query("events_value_ewma", oracle=_EWMA_ORACLE)
+def events_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values
+    (alpha = 0.5, zero-seeded), as a deterministic sequential fold over
+    the (ts, event_id)-ordered value sequence.
+
+    EWMA is a recurrence, not a commutative aggregate -- the one shape
+    partial aggregation CANNOT compute -- so the scalable form is one
+    shuffle on user_id, an ordered collect (order restored inside the
+    array, so collect order never matters), then a JVM fold. Both
+    engines run the identical left fold, and halving is exact in binary
+    floating point, so the gate compares whole trajectories bit-for-bit.
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    seq = e.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda s: s["value"],
+        ).alias("vals")
+    )
+    ewma = F.aggregate(
+        F.col("vals"),
+        F.lit(0.0),
+        lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5),
+    )
+    return seq.select(
+        "user_id",
+        F.size("vals").cast("long").alias("n_events"),
+        F.round(ewma * 1_000_000).cast("long").alias("ewma_x1m"),
+    ).orderBy("user_id")
