@@ -325,3 +325,20 @@ def test_lineage_through_checkpointed_iterative_plan(spark, sf_dir):
     tree = g.tree_string()
     # The argmin expression chain survives the checkpoint boundary.
     assert "arraymin" in tree or "array_min" in tree
+
+
+def test_lineage_nary_union_through_scd2_merge(spark, sf_dir):
+    """The SCD2 merge is a 3-leg unionByName (untouched ∪ closed ∪ new)
+    over two source tables; lineage must attribute bal_x100 to BOTH
+    possible sources (customer.c_acctbal for carried rows,
+    orders.o_totalprice for new versions) through the n-ary union."""
+    from ushas_spark import lineage
+    from ushas_spark.operators.mergeop import scd2_merge
+
+    g = lineage(scd2_merge(spark, sf_dir))
+    names = [c.name for c in g.columns]
+    assert names[:2] == ["c_custkey", "bal_x100"]
+    edges = {(col, leaf_col) for col, _tbl, leaf_col in g.edges()}
+    assert ("bal_x100", "c_acctbal") in edges, sorted(edges)
+    assert ("bal_x100", "o_totalprice") in edges, sorted(edges)
+    assert ("valid_to", "o_orderdate") in edges, sorted(edges)

@@ -436,3 +436,34 @@ def test_chunk_dedup_single_scan_two_aggregates(spark, sf_dir):
 
     plan = _plan(QUERIES["text_chunk_dedup"](spark, sf_dir))
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3, plan
+
+
+def test_ewma_single_exchange(spark, sf_dir):
+    """The EWMA recurrence costs exactly one shuffle (user_id) -- the
+    ordered collect + fold never add an exchange."""
+    import re
+
+    plan = _plan(QUERIES["events_value_ewma"](spark, sf_dir))
+    n = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n == 1, plan
+
+
+def test_interpolate_windows_share_one_exchange(spark, sf_dir):
+    """Linear interpolation: the prev-frame and next-frame windows are
+    both partitioned by event_type and must share one exchange on the
+    grid table (plus the hourly groupBy and the grid join)."""
+    import re
+
+    plan = _plan(QUERIES["ts_interpolate_linear"](spark, sf_dir))
+    n = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n <= 4, plan
+    assert plan.count("Window") >= 1, plan
+
+
+def test_retrieval_joins_broadcast_query_side(spark, sf_dir):
+    """TF-IDF/BM25: the query-term and stats sides broadcast; the only
+    shuffles are the tf/idf aggregations and the per-query ranking."""
+    for name in ("text_tfidf_topk", "text_bm25_topk"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "BroadcastExchange" in plan, name
+        assert "CartesianProduct" not in plan, name
