@@ -826,3 +826,85 @@ def dedup_survivor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------------- asymmetric containment
+CONTAINMENT_THRESHOLD_X1M = 700_000  # keep pairs where >=70% of A is in B
+
+_CONTAIN_ORACLE = f"""
+WITH sh_all AS (
+  SELECT doc_id, unnest({sql_shingles()}) AS shingle FROM documents
+), hot AS (
+  SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) > {NGRAM_DF_CAP}
+), sh AS (
+  SELECT * FROM sh_all WHERE shingle NOT IN (SELECT shingle FROM hot)
+), sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(ROUND(inter * 1000000.0 / sa.n_sh) AS BIGINT) AS cont_x1m
+FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+WHERE inter * 1000000 >= {CONTAINMENT_THRESHOLD_X1M} * sa.n_sh
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("dedup_containment", oracle=_CONTAIN_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment: pairs where >= 70% of document
+    A's trigrams appear in document B -- catches near-SUBSET duplication
+    (quotes, wrappers, partial copies) that symmetric Jaccard misses
+    (containment >= jaccard always, and a short doc inside a long one
+    scores high here while its Jaccard stays low).
+
+    Same DF-capped inverted-index join as the Jaccard pass -- one index
+    materialization serves both directions (a<>b instead of a<b) -- and
+    the threshold compare is pure integer arithmetic
+    (inter * 1e6 >= thresh * |A|), so no float boundary can disagree
+    between engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    sh_all = (
+        d.repartition(n)
+        .select("doc_id", F.explode(shingles()).alias("shingle"))
+    )
+    sh_all = materialize(sh_all)
+    hot = (
+        sh_all.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > NGRAM_DF_CAP)
+        .select("shingle")
+    )
+    sh = sh_all.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .where(
+            F.col("inter") * 1_000_000
+            >= F.lit(CONTAINMENT_THRESHOLD_X1M) * F.col("sa.n_sh")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter") * 1_000_000.0 / F.col("sa.n_sh"))
+            .cast("long")
+            .alias("cont_x1m"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
