@@ -175,3 +175,49 @@ def test_png_roundtrip_any_pixels(w, h, rnd):
     got = _decode_png_pixels(payload)
     assert got["width"] == w and got["height"] == h
     assert got["pixels"] == pixels
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(0, 65535), st.integers(0, 65535))
+def test_zvalue_interleave_bijective(x, y):
+    """Morton interleave is a bijection on 16-bit pairs: the Python
+    reference de-interleave recovers (x, y) from the operator's bit
+    formula (evaluated in pure Python -- same arithmetic as the JVM
+    expression, which test_layout pins against Spark)."""
+    from ushas_spark.operators.layout import _SPREAD
+
+    def part1by1(v):
+        v &= 0xFFFF
+        for shift, mask in _SPREAD:
+            v = (v | (v << shift)) & mask
+        return v
+
+    z = part1by1(x) | (part1by1(y) << 1)
+    rx = ry = 0
+    for i in range(16):
+        rx |= ((z >> (2 * i)) & 1) << i
+        ry |= ((z >> (2 * i + 1)) & 1) << i
+    assert (rx, ry) == (x, y)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=12),
+       st.sampled_from([("a", "b"), ("a", "a"), ("b", "c")]))
+def test_bpe_merge_fold_engine_portable(spark, syms, pair):
+    """The string-encoded greedy merge fold gives identical results in
+    Spark and DuckDB for arbitrary symbol sequences and pairs,
+    including overlapping self-pairs (aa in aaa)."""
+    import duckdb as _duck
+
+    from ushas_spark.operators import bpe
+
+    a, b = pair
+    df = spark.createDataFrame([("w", 1)], "word string, n long").select(
+        "word", "n", F.array(*[F.lit(s) for s in syms]).alias("s")
+    )
+    best = spark.createDataFrame([(a, b, 1)], "ba string, bb string, bcnt long")
+    got_spark = bpe._apply_merge(df, best).collect()[0].s
+    lst = "[" + ", ".join(f"'{s}'" for s in syms) + "]"
+    sql = "SELECT " + bpe._sql_fold(lst, f"'{a}'", f"'{b}'")
+    got_duck = _duck.sql(sql).fetchone()[0]
+    assert got_spark == got_duck
