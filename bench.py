@@ -102,7 +102,11 @@ def _release_storage(spark) -> None:
     three checkpointing queries preceded it). Unpersisting between
     queries keeps each timing independent -- the cross-query hygiene a
     long-lived cluster session would apply too. Non-blocking: the drop
-    happens off the timed path."""
+    happens off the timed path.
+
+    (Measured and rejected: a forced System.gc() between queries --
+    per-query numbers still swing with ambient machine load, and the
+    full GCs add minutes of wall time to a 42-query sweep.)"""
     for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
         rdd.unpersist(False)
 
