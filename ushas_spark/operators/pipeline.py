@@ -486,3 +486,109 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
         .orderBy("split")
     )
+
+
+# ------------------------------------------- contrastive training pairs
+from ushas_spark.operators.dedup import NGRAM_DF_CAP, sql_shingles  # noqa: E402
+
+_CONTRASTIVE_ORACLE = f"""
+WITH sh_all AS (
+  SELECT doc_id, unnest({sql_shingles()}) AS shingle FROM documents
+), hot AS (
+  SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) > {NGRAM_DF_CAP}
+), sh AS (
+  SELECT * FROM sh_all WHERE shingle NOT IN (SELECT shingle FROM hot)
+), sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pos AS (
+  SELECT doc_a AS anchor, doc_b AS positive,
+         CAST(ROUND(inter * 1000.0 / (sa.n_sh + sb.n_sh - inter)) AS BIGINT)
+           AS jac_x1000
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.2
+), cand AS (
+  SELECT p.anchor, p.positive, p.jac_x1000, d.doc_id AS neg,
+         md5(CAST(p.anchor AS VARCHAR) || '|' || CAST(d.doc_id AS VARCHAR))
+           AS h
+  FROM pos p CROSS JOIN documents d
+  WHERE d.doc_id <> p.anchor AND d.doc_id <> p.positive
+    AND NOT EXISTS (SELECT 1 FROM pos p2
+                    WHERE (p2.anchor = p.anchor AND p2.positive = d.doc_id)
+                       OR (p2.positive = p.anchor AND p2.anchor = d.doc_id))
+)
+SELECT anchor, positive, jac_x1000, neg AS negative FROM (
+  SELECT anchor, positive, jac_x1000, neg,
+         ROW_NUMBER() OVER (PARTITION BY anchor, positive
+                            ORDER BY h, neg) AS rn
+  FROM cand) WHERE rn = 1
+ORDER BY anchor, positive
+"""
+
+
+@query("pipeline_contrastive_pairs", oracle=_CONTRASTIVE_ORACLE)
+def pipeline_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, negative) triplets for contrastive training:
+    positives are the near-dup Jaccard pairs, negatives are hash-picked
+    uniformly from the corpus EXCLUDING anything the anchor is near-dup
+    with (the standard random-negative protocol, made deterministic via
+    md5 argmin so the triplet set is oracle-gated).
+
+    Scale shape: the positive set is pair-scale (small); it broadcasts
+    over one corpus scan to score negative candidates, an anti-join
+    against the positive set removes false negatives, and a per-pair
+    argmin (map-side combinable) picks the winner -- no corpus x corpus
+    product at any point.
+    """
+    from ushas_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _jaccard_pairs,
+    )
+
+    pos = (
+        _jaccard_pairs(spark, sf_dir)
+        .filter(F.col("jac") >= JACCARD_THRESHOLD)
+        .select(
+            F.col("doc_a").alias("anchor"),
+            F.col("doc_b").alias("positive"),
+            F.round(F.col("jac") * 1000).cast("long").alias("jac_x1000"),
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # Exclusion set: any near-dup relation of the anchor, either side.
+    excl = pos.select(
+        F.col("anchor").alias("xa"), F.col("positive").alias("xb")
+    ).unionAll(
+        pos.select(F.col("positive").alias("xa"), F.col("anchor").alias("xb"))
+    ).distinct()
+    cand = (
+        docs.crossJoin(F.broadcast(pos))
+        .where(
+            (F.col("doc_id") != F.col("anchor"))
+            & (F.col("doc_id") != F.col("positive"))
+        )
+        .join(
+            F.broadcast(excl),
+            (F.col("anchor") == F.col("xa")) & (F.col("doc_id") == F.col("xb")),
+            "left_anti",
+        )
+        .select(
+            "anchor",
+            "positive",
+            "jac_x1000",
+            F.col("doc_id").alias("neg"),
+            F.md5(
+                F.concat_ws("|", F.col("anchor"), F.col("doc_id"))
+            ).alias("h"),
+        )
+    )
+    best = cand.groupBy("anchor", "positive", "jac_x1000").agg(
+        F.min(F.struct("h", "neg")).alias("m")
+    )
+    return best.select(
+        "anchor", "positive", "jac_x1000", F.col("m.neg").alias("negative")
+    ).orderBy("anchor", "positive")
