@@ -379,3 +379,80 @@ def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), dec_sum(F.col("value"), "bin_value_sum"))
         .orderBy("bin")
     )
+
+
+_WEIGHTED_PCT_ORACLE = """
+WITH w AS (
+  SELECT l_returnflag AS flag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_x100,
+         CAST(ROUND(l_quantity * 100) AS BIGINT) AS wt
+  FROM lineitem
+), per_price AS (
+  SELECT flag, price_x100, CAST(SUM(wt) AS BIGINT) AS wsum
+  FROM w GROUP BY flag, price_x100
+), cum AS (
+  SELECT flag, price_x100,
+         SUM(wsum) OVER (PARTITION BY flag ORDER BY price_x100
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cw,
+         SUM(wsum) OVER (PARTITION BY flag) AS total
+  FROM per_price
+)
+SELECT flag,
+       CAST(MIN(CASE WHEN 2 * cw >= total     THEN price_x100 END) AS BIGINT)
+         AS wmedian_x100,
+       CAST(MIN(CASE WHEN 10 * cw >= 9 * total THEN price_x100 END) AS BIGINT)
+         AS wp90_x100
+FROM cum GROUP BY flag ORDER BY flag
+"""
+
+
+@query("agg_weighted_percentile", oracle=_WEIGHTED_PCT_ORACLE)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median + weighted p90 of extended price, weighted by
+    quantity, per return flag -- the lower-weighted-percentile
+    definition (smallest value whose cumulative weight reaches p of the
+    total), evaluated entirely in scaled integers: the threshold test
+    is 2*cw >= total (and 10*cw >= 9*total), so no float boundary
+    exists anywhere.
+
+    Scale shape: weights pre-aggregate per (group, value) -- map-side
+    combinable, collapsing ties -- then ONE window per group over the
+    distinct-value table provides the cumulative weights, and a final
+    conditional-min aggregate extracts both percentiles in the same
+    pass. The reference's exact Percentile (catalyst/expressions/
+    aggregate/Percentile.scala:58) buffers every value per group in one
+    aggregator; this formulation keeps state distributed."""
+    w = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_x100"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("wt"),
+    )
+    per_price = w.groupBy("flag", "price_x100").agg(F.sum("wt").alias("wsum"))
+    from pyspark.sql import Window as W
+
+    wc = (
+        W.partitionBy("flag")
+        .orderBy("price_x100")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = per_price.select(
+        "flag",
+        "price_x100",
+        F.sum("wsum").over(wc).alias("cw"),
+        F.sum("wsum").over(W.partitionBy("flag")).alias("total"),
+    )
+    return (
+        cum.groupBy("flag")
+        .agg(
+            F.min(
+                F.when(2 * F.col("cw") >= F.col("total"), F.col("price_x100"))
+            ).alias("wmedian_x100"),
+            F.min(
+                F.when(
+                    10 * F.col("cw") >= 9 * F.col("total"), F.col("price_x100")
+                )
+            ).alias("wp90_x100"),
+        )
+        .orderBy("flag")
+    )
