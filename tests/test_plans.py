@@ -467,3 +467,12 @@ def test_retrieval_joins_broadcast_query_side(spark, sf_dir):
         plan = _plan(QUERIES[name](spark, sf_dir))
         assert "BroadcastExchange" in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_interval_overlap_join_no_bnlj(spark, sf_dir):
+    """The interval x interval overlap must plan as a banded equi hash
+    join -- a BroadcastNestedLoopJoin or CartesianProduct here is the
+    O(N*M) scale bug the banding exists to prevent."""
+    plan = _plan(QUERIES["join_interval_overlap"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

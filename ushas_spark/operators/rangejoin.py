@@ -217,3 +217,90 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n").cast("double")
         ).alias("avg_price"),
     ).orderBy("mon", "prio")
+
+
+# --- interval-overlap join (interval x interval, banded) -------------------
+_IV_YEAR = 1998
+_IV_CUST_CAP = 30
+_IV_BAND_DAYS = 16
+
+_OVERLAP_ORACLE = f"""
+WITH o98 AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CAST(date_diff('day', DATE '{_IV_YEAR}-01-01', o_orderdate) AS BIGINT)
+           AS doy,
+         CAST(month(o_orderdate) AS BIGINT) AS m
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{_IV_YEAR}-01-01'
+    AND o_orderdate < TIMESTAMP '{_IV_YEAR + 1}-01-01'
+), a AS (
+  SELECT o_custkey AS ck, m AS am,
+         CAST(MIN(doy) AS BIGINT) AS astart, CAST(MAX(doy) AS BIGINT) AS aend
+  FROM o98 WHERE o_custkey <= {_IV_CUST_CAP} GROUP BY 1, 2
+), b AS (
+  SELECT l_suppkey AS sk, m AS sm,
+         CAST(MIN(doy) AS BIGINT) AS bstart, CAST(MAX(doy) AS BIGINT) AS bend
+  FROM o98 JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+)
+SELECT ck, am, sk, sm, astart, aend, bstart, bend
+FROM a JOIN b ON astart <= bend AND bstart <= aend
+ORDER BY ck, am, sk, sm
+"""
+
+
+@query("join_interval_overlap", oracle=_OVERLAP_ORACLE)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval overlap join -- both sides are interval SETS
+    (customer-month and supplier-month activity spans), matched where
+    the spans intersect. This is the shape beyond the point-in-band
+    range join: neither side is a point, so the banded plan explodes
+    EACH side to its covered {_IV_BAND_DAYS}-day bands, equi-joins on
+    the band (an ordinary hash join Catalyst shuffles/broadcasts like
+    any other), dedupes pairs that share multiple bands, and verifies
+    the exact overlap predicate -- never a nested-loop over the
+    cross product. Oracle runs the direct quadratic join; results are
+    identical because banding is complete (an overlap implies at least
+    one shared band).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    o98 = o.where(
+        (F.col("o_orderdate") >= F.lit(f"{_IV_YEAR}-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(f"{_IV_YEAR + 1}-01-01").cast("timestamp"))
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lit(f"{_IV_YEAR}-01-01").cast("date")
+        ).cast("long").alias("doy"),
+        F.month("o_orderdate").cast("long").alias("m"),
+    )
+    a = (
+        o98.where(F.col("o_custkey") <= _IV_CUST_CAP)
+        .groupBy(F.col("o_custkey").alias("ck"), F.col("m").alias("am"))
+        .agg(F.min("doy").alias("astart"), F.max("doy").alias("aend"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    b = (
+        o98.join(li, o98.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("l_suppkey").alias("sk"), F.col("m").alias("sm"))
+        .agg(F.min("doy").alias("bstart"), F.max("doy").alias("bend"))
+    )
+    band = lambda lo, hi: F.explode(
+        F.sequence(
+            (F.col(lo) / _IV_BAND_DAYS).cast("long"),
+            (F.col(hi) / _IV_BAND_DAYS).cast("long"),
+        )
+    )
+    ab = a.select("*", band("astart", "aend").alias("band"))
+    bb = b.select("*", band("bstart", "bend").alias("band"))
+    return (
+        ab.join(bb, "band")
+        .where(
+            (F.col("astart") <= F.col("bend"))
+            & (F.col("bstart") <= F.col("aend"))
+        )
+        .dropDuplicates(["ck", "am", "sk", "sm"])
+        .select("ck", "am", "sk", "sm", "astart", "aend", "bstart", "bend")
+        .orderBy("ck", "am", "sk", "sm")
+    )
