@@ -760,3 +760,66 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= TFIDF_TOPK)
         .orderBy("qid", "rnk")
     )
+
+
+# --- keyword extraction (top TF-IDF terms per document) --------------------
+KEYWORDS_PER_DOC = 3
+
+
+_KEYWORDS_ORACLE = f"""
+WITH tf AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents) WHERE word <> ''
+  GROUP BY doc_id, word
+), n_docs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+idf AS (
+  SELECT word, (n * {IDF_SCALE}) // CAST(COUNT(*) AS BIGINT) AS w
+  FROM (SELECT DISTINCT doc_id, word FROM tf), n_docs
+  GROUP BY word, n
+), scored AS (
+  SELECT doc_id, word, CAST(tf * w AS BIGINT) AS score
+  FROM tf JOIN idf USING (word)
+)
+SELECT doc_id, word, score, rnk FROM (
+  SELECT doc_id, word, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, word) AS rnk
+  FROM scored)
+WHERE rnk <= {KEYWORDS_PER_DOC}
+ORDER BY doc_id, rnk
+"""
+
+
+@query("text_keyword_extraction", oracle=_KEYWORDS_ORACLE)
+def text_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{KEYWORDS_PER_DOC} TF-IDF keywords per document -- the
+    tagging/indexing primitive, sharing the rational-integer IDF with
+    the retrieval operators (scores are exact 64-bit products). One
+    corpus term-frequency aggregation, one broadcast of the |vocab|-row
+    IDF table, one per-doc top-k window."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n"))
+    idf = (
+        tf.select("doc_id", "word")
+        .distinct()
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("word", F.expr(f"(n * {IDF_SCALE}) div df").alias("w"))
+    )
+    scored = tf.join(F.broadcast(idf), "word").select(
+        "doc_id", "word", (F.col("tf") * F.col("w")).alias("score")
+    )
+    wnd = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "word")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wnd))
+        .where(F.col("rnk") <= KEYWORDS_PER_DOC)
+        .orderBy("doc_id", "rnk")
+    )
