@@ -456,3 +456,73 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+_EQUIDEPTH_BUCKETS = 8
+
+_EQUIDEPTH_ORACLE = f"""
+WITH w AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_x100
+  FROM orders
+), per_val AS (
+  SELECT price_x100, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM w GROUP BY price_x100
+), cum AS (
+  SELECT price_x100, cnt,
+         SUM(cnt) OVER (ORDER BY price_x100
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cw,
+         SUM(cnt) OVER () AS total
+  FROM per_val
+), bucketed AS (
+  -- bucket b = smallest b with cw <= ceil(total*(b+1)/K): assign each
+  -- distinct value the bucket its cumulative rank lands in.
+  SELECT price_x100, cnt,
+         CAST(LEAST({_EQUIDEPTH_BUCKETS - 1},
+               ((cw - 1) * {_EQUIDEPTH_BUCKETS}) // total) AS BIGINT)
+           AS bucket
+  FROM cum
+)
+SELECT bucket,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(MIN(price_x100) AS BIGINT) AS lo_x100,
+       CAST(MAX(price_x100) AS BIGINT) AS hi_x100
+FROM bucketed GROUP BY bucket ORDER BY bucket
+"""
+
+
+@query("agg_equidepth_histogram", oracle=_EQUIDEPTH_ORACLE)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (the optimizer-statistics kind): bucket
+    edges at equal cumulative-count ranks rather than equal value
+    widths. Assignment is pure integer arithmetic over the cumulative
+    weights -- floor((cw-1)*K/total) -- so edges are deterministic; the
+    window runs over the DISTINCT-value table (ties collapse map-side),
+    the same bounded shape as the weighted-percentile operator."""
+    from pyspark.sql import Window as W
+
+    w = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_x100")
+    )
+    per_val = w.groupBy("price_x100").agg(F.count(F.lit(1)).alias("cnt"))
+    wc = W.orderBy("price_x100").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = per_val.select(
+        "price_x100",
+        "cnt",
+        F.sum("cnt").over(wc).alias("cw"),
+        F.sum("cnt").over(W.partitionBy()).alias("total"),
+    )
+    bucket = F.least(
+        F.lit(_EQUIDEPTH_BUCKETS - 1).cast("long"),
+        F.expr(f"((cw - 1) * {_EQUIDEPTH_BUCKETS}) div total"),
+    )
+    return (
+        cum.select("price_x100", "cnt", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("cnt").alias("n_rows"),
+            F.min("price_x100").alias("lo_x100"),
+            F.max("price_x100").alias("hi_x100"),
+        )
+        .orderBy("bucket")
+    )
