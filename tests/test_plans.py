@@ -476,3 +476,14 @@ def test_interval_overlap_join_no_bnlj(spark, sf_dir):
     plan = _plan(QUERIES["join_interval_overlap"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_distribute_sort_by_physical_contract(spark, sf_dir):
+    """DISTRIBUTE BY must plan a hash RepartitionByExpression (Exchange
+    hashpartitioning with REPARTITION_BY_COL origin) and SORT BY a
+    partition-LOCAL sort (global=false) -- a rangepartitioning exchange
+    here would mean it degraded to ORDER BY."""
+    plan = _plan(QUERIES["sql_distribute_sort_by"](spark, sf_dir))
+    assert "REPARTITION_BY_COL" in plan or "hashpartitioning(l_returnflag" in plan, plan
+    assert "Sort [" in plan and "], false, 0" in plan, plan
+    assert "rangepartitioning" not in plan, plan

@@ -243,3 +243,46 @@ def sql_recursive_cte_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     the iteration in Spark; recursion depth is bounded by the date
     predicate, so no runaway)."""
     return _sql(spark, sf_dir, _RECURSIVE_CALENDAR)
+
+
+_DISTRIBUTE_SQL = """
+SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity
+FROM lineitem WHERE l_orderkey <= 200
+DISTRIBUTE BY l_returnflag SORT BY l_returnflag, l_orderkey, l_linenumber
+"""
+
+_DISTRIBUTE_ORACLE = """
+SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity
+FROM lineitem WHERE l_orderkey <= 200
+ORDER BY l_returnflag, l_orderkey, l_linenumber
+"""
+
+
+@query("sql_distribute_sort_by", oracle=_DISTRIBUTE_ORACLE)
+def sql_distribute_sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTE BY + SORT BY (the HiveQL physical-layout clauses the
+    reference parser inherits -- reference: SqlBase.g4 queryOrganization):
+    hash-repartition on the key, sort within partitions. Row content is
+    unchanged (the gate compares order-insensitively); the physical
+    contract -- RepartitionByExpression + partition-local Sort, no
+    global exchange-ordering -- is pinned in tests/test_plans.py."""
+    return _sql(spark, sf_dir, _DISTRIBUTE_SQL)
+
+
+_CLUSTER_SQL = """
+SELECT o_orderpriority, o_orderkey, o_totalprice
+FROM orders WHERE o_orderkey <= 400
+CLUSTER BY o_orderpriority
+"""
+
+_CLUSTER_ORACLE = """
+SELECT o_orderpriority, o_orderkey, o_totalprice
+FROM orders WHERE o_orderkey <= 400
+ORDER BY o_orderpriority
+"""
+
+
+@query("sql_cluster_by", oracle=_CLUSTER_ORACLE)
+def sql_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER BY = DISTRIBUTE BY + SORT BY on the same keys."""
+    return _sql(spark, sf_dir, _CLUSTER_SQL)
