@@ -141,3 +141,132 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _dvec(F.col("embedding")).alias("e")
     )
     return ivf_topk(emb).orderBy("qid", "rnk")
+
+
+# --- IVF-PQ: coarse pruning + quantized ADC scoring (FAISS IVFPQ) ----------
+
+
+def _ivfpq_oracle() -> str:
+    from ushas_spark.operators.similarity import (
+        _pq_codebook_sql,
+        _pq_recon_expr,
+        _pq_sqdist_int,
+        sql_quantize_sq8,
+    )
+    from ushas_spark.operators.similarity import sql_cosine as _sqlcos
+
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                  {sql_quantize_sq8('embedding')} AS qe
+           FROM embeddings),
+cents AS (
+  SELECT CAST(vec_id / {CENTROID_STRIDE} AS INT) AS cid, e AS ce
+  FROM v WHERE vec_id IN ({_SQL_CENT_IDS})
+),
+{_pq_codebook_sql().strip()}
+,
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY CAST(ROUND({_sqlcos("v.e", "c.ce")} * 1000000) AS BIGINT) DESC,
+                      c.cid) AS crnk
+    FROM v, cents c
+  ) WHERE crnk <= 1
+),
+recon AS (
+  SELECT vec_id, {_pq_recon_expr('qe', 'cs', 'duck')} AS re FROM v, cb
+),
+qprobe AS (
+  SELECT vec_id AS qid, qe AS qq, cid FROM (
+    SELECT v.vec_id, v.qe, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY CAST(ROUND({_sqlcos("v.e", "c.ce")} * 1000000) AS BIGINT) DESC,
+                      c.cid) AS crnk
+    FROM v, cents c
+    WHERE v.vec_id < {N_QUERIES}
+  ) WHERE crnk <= {NPROBE}
+),
+scored AS (
+  SELECT DISTINCT q.qid, a.vec_id AS cand_id,
+         CAST({_pq_sqdist_int('q.qq', 'r.re', 'duck')} AS BIGINT) AS adc_dist
+  FROM qprobe q
+  JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.qid
+  JOIN recon r ON r.vec_id = a.vec_id
+),
+ranked AS (
+  SELECT qid, cand_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY adc_dist, cand_id) AS rnk
+  FROM scored
+)
+SELECT qid, cand_id, adc_dist, rnk
+FROM ranked WHERE rnk <= {TOP_K}
+ORDER BY qid, rnk
+"""
+
+
+@query("sim_ivfpq_topk", oracle=_ivfpq_oracle())
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the production vector-index composition -- the IVF
+    coarse quantiser prunes to nprobe inverted lists, then candidates
+    score by integer ADC against their PQ codeword reconstructions
+    (FAISS IVFPQ, re-expressed as two composable DataFrame operators).
+    At 100 TB: the corpus stores cid + 8 PQ codes per vector (partition
+    by cid to turn probes into partition pruning); a query touches
+    nprobe/K of the data and never reads a float vector.
+    """
+    from pyspark.sql import Window as W
+
+    from ushas_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_STRIDE,
+        PQ_SUB,
+        _pq_recon_expr,
+        _pq_sqdist_int,
+        quantize_sq8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        _dvec(F.col("embedding")).alias("e"),
+        quantize_sq8(F.col("embedding")).alias("qe"),
+    )
+    cents = _centroids(emb)
+    assigned = _assign(emb, cents, 1, "vec_id").select("vec_id", "cid")
+    # PQ reconstruction of every corpus vector (broadcast codebook).
+    ids = [k * PQ_STRIDE for k in range(PQ_K)]
+    cwsrc = emb.filter(F.col("vec_id").isin(ids)).select(
+        (F.col("vec_id") / PQ_STRIDE).cast("int").alias("k"), "qe"
+    )
+    cw = cwsrc.select(
+        "k", F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"), "qe"
+    ).selectExpr("m", "k", f"slice(qe, m * {PQ_SUB} + 1, {PQ_SUB}) AS sub")
+    cb = cw.agg(F.collect_list(F.struct("m", "k", "sub")).alias("cs"))
+    recon = emb.crossJoin(F.broadcast(cb)).selectExpr(
+        "vec_id", f"{_pq_recon_expr('qe', 'cs', 'spark')} AS re"
+    )
+    queries = _assign(
+        emb.filter(F.col("vec_id") < N_QUERIES), cents, NPROBE, "vec_id"
+    ).join(
+        emb.select("vec_id", "qe"), "vec_id"
+    ).select(F.col("vec_id").alias("qid"), F.col("qe").alias("qq"), "cid")
+    cand = (
+        assigned.join(F.broadcast(queries), ["cid"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .join(recon, "vec_id")
+    )
+    scored = cand.selectExpr(
+        "qid",
+        "vec_id AS cand_id",
+        f"CAST({_pq_sqdist_int('qq', 're', 'spark')} AS BIGINT) AS adc_dist",
+    ).distinct()
+    w = W.partitionBy("qid").orderBy("adc_dist", "cand_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .orderBy("qid", "rnk")
+    )
