@@ -567,3 +567,33 @@ def test_pq_adc_recall_floor(spark, sf_dir):
     pq = {(r.qid, r.cand_id) for r in sim_pq_adc_topk(spark, sf_dir).collect()}
     recall = len(exact & pq) / len(exact)
     assert recall >= 0.1, f"PQ recall collapsed: {recall:.2f}"
+
+
+def test_ivfpq_recall_floor(spark, sf_dir):
+    """Composed IVF-PQ recall is bounded by IVF's coverage times PQ's
+    ranking fidelity (measured ~18% vs exact dot at sf0.01 -- the
+    memory/recall trade the index exists to make); floor pinned so a
+    wiring regression in either stage shows as collapse."""
+    from ushas_spark.operators.ivf import sim_ivfpq_topk
+    from ushas_spark.operators.similarity import N_QUERIES, TOP_K, dot
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    scored = emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid", F.col("vec_id").alias("cand_id"),
+        dot(F.col("qe"), F.col("e")).alias("d"),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("d").desc(), "cand_id")
+    exact = {
+        (r.qid, r.cand_id)
+        for r in scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K).collect()
+    }
+    got = {(r.qid, r.cand_id) for r in sim_ivfpq_topk(spark, sf_dir).collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.06, f"IVF-PQ recall collapsed: {recall:.2f}"
