@@ -74,6 +74,7 @@ HEADLINE = [
     "sim_pq_adc_topk",
     "text_bm25_topk",
     "merge_cdc_apply",
+    "sim_ivfpq_topk",
 ]
 
 ITERATIONS = 3  # best-of-N, after one untimed warm-up
