@@ -139,3 +139,23 @@ def test_reliable_checkpoint_truncates_lineage(spark, tmp_path):
     plan = cp._jdf.queryExecution().optimizedPlan().toString()
     assert "LogicalRDD" in plan or "Scan ExistingRDD" in plan, plan
     assert "Range" not in plan, plan
+
+
+def test_catalog_show_commands(spark, sf_dir):
+    """The catalog statement surface the reference parser ships
+    (reference: SqlBase.g4 SHOW TABLES / SHOW FUNCTIONS / DESCRIBE
+    FUNCTION / SHOW DATABASES): each must execute and return the
+    expected entries."""
+    from ushas_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    tables = {r.tableName for r in spark.sql("SHOW TABLES").collect()}
+    assert {"lineitem", "orders", "documents"} <= tables
+    fns = {r.function for r in spark.sql("SHOW FUNCTIONS LIKE 'a*'").collect()}
+    assert any(f.endswith("abs") for f in fns), sorted(fns)[:10]
+    desc = "\n".join(
+        r.function_desc for r in spark.sql("DESCRIBE FUNCTION abs").collect()
+    )
+    assert "abs" in desc and "Usage" in desc, desc
+    dbs = {r.namespace for r in spark.sql("SHOW DATABASES").collect()}
+    assert "default" in dbs
