@@ -592,3 +592,76 @@ def pipeline_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.select(
         "anchor", "positive", "jac_x1000", F.col("m.neg").alias("negative")
     ).orderBy("anchor", "positive")
+
+
+# ----------------------------------------------- RAG sliding-window chunks
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+_CHUNK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+  FROM documents
+), ex AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         unnest(generate_series(
+           0, (GREATEST(len(toks) - {CHUNK_TOKENS}, 0) + {CHUNK_STRIDE - 1})
+              // {CHUNK_STRIDE})) AS k
+  FROM t
+)
+SELECT doc_id,
+       CAST(k AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(toks, 1 + k * {CHUNK_STRIDE},
+                           k * {CHUNK_STRIDE} + {CHUNK_TOKENS})) AS BIGINT)
+         AS n_tok,
+       md5(array_to_string(
+             list_slice(toks, 1 + k * {CHUNK_STRIDE},
+                        k * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' '))
+         AS chunk_hash
+FROM ex
+ORDER BY doc_id, chunk_id
+"""
+
+
+@query("pipeline_chunk_sliding", oracle=_CHUNK_ORACLE)
+def pipeline_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window retrieval chunks: every document becomes
+    ceil(max(n_tok - C, 0) / S) + 1 overlapping windows of C={64} tokens
+    at stride S={48} (16-token overlap), the standard RAG indexing unit.
+    Output is (doc_id, chunk_id, n_tok, md5 chunk fingerprint) -- the
+    fingerprint doubles as the join key for chunk-level dedup before
+    embedding (embedding compute dominates cost at scale, so dropping
+    duplicate chunks BEFORE the encoder is the whole game).
+
+    Scale shape: ZERO shuffles -- tokenize, window enumeration
+    (sequence -> explode) and slicing are all per-row JVM expressions,
+    so the operator is embarrassingly parallel over input splits; the
+    final global sort exists only for gate determinism. Chunk counts use
+    integer arithmetic ((n-C+S-1) div S), never float ceil, so Spark and
+    the oracle agree exactly.
+
+    Reference analog: none (the fork has no corpus surface); the explode
+    machinery is GenerateExec (reference: sql/core/src/main/scala/org/
+    apache/spark/sql/execution/GenerateExec.scala:40).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.col("text"), r"\s+").alias("toks")
+    ).withColumn(
+        "k",
+        F.explode(
+            F.expr(
+                f"sequence(0, (greatest(size(toks) - {CHUNK_TOKENS}, 0)"
+                f" + {CHUNK_STRIDE - 1}) div {CHUNK_STRIDE})"
+            )
+        ),
+    )
+    chunk = F.expr(
+        f"slice(toks, 1 + k * {CHUNK_STRIDE}, {CHUNK_TOKENS})"
+    )
+    return toks.select(
+        "doc_id",
+        F.col("k").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_tok"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_id")
