@@ -155,3 +155,127 @@ def profile_join_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hot.unionByName(quant).orderBy("kind", "rank")
+
+
+# ------------------------------------------- declarative data expectations
+_EXPECT_ORACLE = """
+WITH o_stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS v_null,
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v_uniq,
+         CAST(SUM(CASE WHEN o_totalprice < 10000 THEN 1 ELSE 0 END)
+              AS BIGINT) AS v_price
+  FROM orders
+), l_stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+           AS v_qty,
+         CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+           AS v_disc
+  FROM lineitem
+), ri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_custkey IS NULL
+), rules AS (
+  SELECT 'orders.o_custkey_not_null' AS rule, n AS n_checked,
+         v_null AS n_violations FROM o_stats
+  UNION ALL
+  SELECT 'orders.o_orderkey_unique', n, v_uniq FROM o_stats
+  UNION ALL
+  SELECT 'orders.o_totalprice_min_10k', n, v_price FROM o_stats
+  UNION ALL
+  SELECT 'lineitem.l_quantity_le_50', n, v_qty FROM l_stats
+  UNION ALL
+  SELECT 'lineitem.l_discount_le_5pct', n, v_disc FROM l_stats
+  UNION ALL
+  SELECT 'orders.o_custkey_fk_customer', o_stats.n, ri.v
+  FROM o_stats, ri
+)
+SELECT rule, n_checked, n_violations,
+       CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+FROM rules
+ORDER BY rule
+"""
+
+
+@query("profile_expectations", oracle=_EXPECT_ORACLE)
+def profile_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations in the dbt-test / Deequ
+    mold: not-null, uniqueness, range, and referential-integrity rules
+    evaluated in bulk, emitted as one (rule, n_checked, n_violations,
+    status) report. The rule set mixes passing checks with two that
+    genuinely fail on this data (o_totalprice >= 10k, l_discount <= 5%)
+    so the report exercises both branches.
+
+    Scale shape: all single-table rules for one table fold into ONE
+    scan + one scalar aggregate (conditional sums are map-side
+    combinable; the uniqueness check is the only one that shuffles, as
+    a two-phase distinct count). The FK rule is a broadcast left-anti
+    join against the dimension -- no all-pairs, no second fact scan per
+    rule. At 100 TB the whole report costs two fact scans (orders,
+    lineitem) plus one broadcast.
+
+    Reference analog: ANALYZE-style stats live in
+    AnalyzeColumnCommand.scala; a rules engine over them has no
+    reference counterpart (beyond-reference operator).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    one = F.lit(1)
+    o_stats = o.agg(
+        F.count(one).alias("n"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("long").alias("v_null"),
+        (F.count(one) - F.count_distinct("o_orderkey")).alias("v_uniq"),
+        F.sum(F.when(F.col("o_totalprice") < 10000, 1).otherwise(0))
+        .cast("long").alias("v_price"),
+    )
+    l_stats = li.agg(
+        F.count(one).alias("n"),
+        F.sum(F.when(F.col("l_quantity") > 50, 1).otherwise(0))
+        .cast("long").alias("v_qty"),
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0))
+        .cast("long").alias("v_disc"),
+    )
+    orders_rules = o_stats.select(
+        F.expr(
+            "stack(3,"
+            " 'orders.o_custkey_not_null', n, v_null,"
+            " 'orders.o_orderkey_unique', n, v_uniq,"
+            " 'orders.o_totalprice_min_10k', n, v_price)"
+            " AS (rule, n_checked, n_violations)"
+        )
+    )
+    lineitem_rules = l_stats.select(
+        F.expr(
+            "stack(2,"
+            " 'lineitem.l_quantity_le_50', n, v_qty,"
+            " 'lineitem.l_discount_le_5pct', n, v_disc)"
+            " AS (rule, n_checked, n_violations)"
+        )
+    )
+    ri = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count(one).alias("v"))
+    )
+    fk_rule = (
+        o_stats.select("n")
+        .crossJoin(ri)
+        .select(
+            F.lit("orders.o_custkey_fk_customer").alias("rule"),
+            F.col("n").alias("n_checked"),
+            F.col("v").alias("n_violations"),
+        )
+    )
+    report = orders_rules.unionByName(lineitem_rules).unionByName(fk_rule)
+    return report.select(
+        "rule",
+        "n_checked",
+        "n_violations",
+        F.when(F.col("n_violations") == 0, "pass").otherwise("fail")
+        .alias("status"),
+    ).orderBy("rule")
