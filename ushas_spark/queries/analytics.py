@@ -484,3 +484,74 @@ def events_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("vals").cast("long").alias("n_events"),
         F.round(ewma * 1_000_000).cast("long").alias("ewma_x1m"),
     ).orderBy("user_id")
+
+
+_ATTRIBUTION_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, ts,
+         MAX(CASE WHEN event_type IN ('view', 'click')
+                  THEN printf('%020d|%010d|%s', epoch_us(ts), event_id,
+                              event_type)
+             END) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_touch
+  FROM events
+)
+SELECT CASE WHEN last_touch IS NULL THEN 'none'
+            ELSE split_part(last_touch, '|', 3) END AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM e
+WHERE event_type = 'purchase'
+GROUP BY 1
+ORDER BY channel
+"""
+
+
+@query("events_attribution_last_touch", oracle=_ATTRIBUTION_ORACLE)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent PRECEDING view or click ('none' when the
+    purchase had no prior touch). The classic formulation is a per-user
+    as-of self-join; here it collapses to one running window MAX over a
+    conditional column, so the whole operator costs a single user_id
+    shuffle -- the same one every other per-user window shares.
+
+    Determinism: the running max compares a fixed-width
+    '%020d|%010d|%s'-encoded (epoch_us, event_id, type) string, so
+    lexicographic order == (ts, event_id) order on both engines and
+    same-timestamp events break ties identically.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type").isin("view", "click"),
+        F.format_string(
+            "%020d|%010d|%s",
+            F.unix_micros("ts"),
+            F.col("event_id"),
+            F.col("event_type"),
+        ),
+    )
+    attributed = e.withColumn("last_touch", F.max(touch).over(w))
+    return (
+        attributed.filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(
+                F.substring_index("last_touch", "|", -1), F.lit("none")
+            ).alias("channel"),
+            "user_id",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("channel")
+    )
