@@ -597,3 +597,33 @@ def test_ivfpq_recall_floor(spark, sf_dir):
     got = {(r.qid, r.cand_id) for r in sim_ivfpq_topk(spark, sf_dir).collect()}
     recall = len(exact & got) / len(exact)
     assert recall >= 0.06, f"IVF-PQ recall collapsed: {recall:.2f}"
+
+
+def test_fuzzy_blocking_recall_vs_exhaustive(spark, sf_dir):
+    """Two-pass token blocking must find every lev<=2 pair the O(n^2)
+    exhaustive join finds on this corpus (recall 1.0 at test scale)."""
+    from ushas_spark.operators.entity import (
+        LEV_MAX,
+        entity_fuzzy_match_blocked,
+    )
+
+    names = (
+        load_table(spark, sf_dir, "part").select("p_name").distinct()
+    )
+    a = names.select(F.col("p_name").alias("na"))
+    b = names.select(F.col("p_name").alias("nb"))
+    exhaustive = {
+        (r.na, r.nb)
+        for r in a.crossJoin(b)
+        .filter(
+            (F.col("na") < F.col("nb"))
+            & (F.levenshtein("na", "nb") <= LEV_MAX)
+        )
+        .collect()
+    }
+    blocked = {
+        (r.name_a, r.name_b)
+        for r in entity_fuzzy_match_blocked(spark, sf_dir).collect()
+    }
+    assert exhaustive, "ground truth empty -- corpus changed?"
+    assert blocked == exhaustive

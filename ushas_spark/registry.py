@@ -77,6 +77,7 @@ _MODULE_ORDER = [
     "ushas_spark.streaming.queries",
     "ushas_spark.queries.misc",
     # New this round -- never driver-checked yet.
+    "ushas_spark.operators.entity",
     "ushas_spark.operators.clustering",
     "ushas_spark.operators.graph",
     "ushas_spark.operators.mergeop",
@@ -189,6 +190,7 @@ def load_all() -> None:
         bpe,
         clustering,
         dedup,
+        entity,
         graph,
         ivf,
         layout,
