@@ -627,3 +627,39 @@ def test_fuzzy_blocking_recall_vs_exhaustive(spark, sf_dir):
     }
     assert exhaustive, "ground truth empty -- corpus changed?"
     assert blocked == exhaustive
+
+
+def test_random_projection_distortion_bounded(spark, sf_dir):
+    """JL property: for Rademacher projections, E[||Pa - Pb||^2] equals
+    RP_DIMS * ||a - b||^2; the empirical mean ratio over sampled pairs
+    must sit near that expectation."""
+    import numpy as np
+
+    from ushas_spark.operators.similarity import (
+        RP_DIMS,
+        sim_random_projection,
+    )
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding").limit(40).collect()
+    }
+    proj = {
+        r.vec_id: np.array(
+            [r[f"p{j}_x1m"] for j in range(RP_DIMS)], dtype=np.float64
+        ) / 1e6
+        for r in sim_random_projection(spark, sf_dir)
+        .filter(F.col("vec_id").isin(list(emb)))
+        .collect()
+    }
+    ids = sorted(emb)
+    ratios = []
+    for i in range(0, len(ids) - 1):
+        a, b = ids[i], ids[i + 1]
+        orig = float(np.sum((emb[a] - emb[b]) ** 2))
+        low = float(np.sum((proj[a] - proj[b]) ** 2))
+        if orig > 0:
+            ratios.append(low / (RP_DIMS * orig))
+    mean = sum(ratios) / len(ratios)
+    assert 0.5 < mean < 1.5, f"JL distortion off: mean ratio {mean:.2f}"

@@ -840,3 +840,74 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .orderBy("qid", "rnk")
     )
+
+
+# --------------------------------------- Rademacher random projection (JL)
+RP_DIMS = 8
+
+
+def _rp_sign(j: int, d: int) -> int:
+    """Deterministic +-1 from md5 -- data-independent, so the sign
+    matrix is a compile-time constant shared verbatim by the Spark
+    expression and the DuckDB oracle (the fixed-seed pattern used by the
+    LSH hyperplanes above)."""
+    h = hashlib.md5(f"rp:{j}:{d}".encode()).hexdigest()
+    return 1 if int(h[:15], 16) % 2 == 0 else -1
+
+_RP_SIGNS = [[_rp_sign(j, d) for d in range(DIM)] for j in range(RP_DIMS)]
+
+
+def _rp_oracle() -> str:
+    projs = []
+    for j in range(RP_DIMS):
+        terms = []
+        for d in range(DIM):
+            t = f"CAST(embedding[{d + 1}] AS DOUBLE)"
+            terms.append(f"- {t}" if _RP_SIGNS[j][d] < 0 else f"+ {t}")
+        # First term keeps its sign; a leading "+" is dropped for syntax.
+        head = terms[0][2:] if terms[0].startswith("+ ") else terms[0]
+        expr = " ".join([head, *terms[1:]])
+        projs.append(
+            f"CAST(ROUND(({expr}) * 1000000) AS BIGINT) AS p{j}_x1m"
+        )
+    cols = ",\n       ".join(projs)
+    return f"""
+SELECT vec_id,
+       {cols}
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+@query("sim_random_projection", oracle=_rp_oracle())
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project every
+    64-d embedding to {RP_DIMS} dims through a fixed Rademacher (+-1)
+    sign matrix -- the cheap pre-ANN compression that preserves pairwise
+    distances in expectation (distortion pinned by
+    tests/test_operators.py::test_random_projection_distortion_bounded).
+
+    Scale shape: ZERO shuffles and zero Python -- each output dim is a
+    64-term signed sum over the embedding array, generated as a literal
+    JVM expression (no per-row hash evaluation: the sign matrix is
+    data-independent, so it is burned into the plan, not computed).
+    Both engines evaluate the identical left-associated double-precision
+    sum, so projections agree bit-for-bit before the x1e6 scaling.
+
+    Reference analog: none (no vector surface in the fork); at cluster
+    scale this is the map-side step that makes downstream LSH/IVF
+    bucketing O(K) instead of O(D) per row.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = [F.col("vec_id")]
+    for j in range(RP_DIMS):
+        acc: Column | None = None
+        for d in range(DIM):
+            term = F.element_at("embedding", d + 1).cast("double")
+            if _RP_SIGNS[j][d] < 0:
+                term = -term
+            acc = term if acc is None else acc + term
+        out.append(
+            F.round(acc * 1_000_000).cast("long").alias(f"p{j}_x1m")
+        )
+    return emb.select(*out).orderBy("vec_id")
