@@ -75,6 +75,8 @@ HEADLINE = [
     "text_bm25_topk",
     "merge_cdc_apply",
     "sim_ivfpq_topk",
+    "pipeline_chunk_sliding",
+    "entity_fuzzy_match_blocked",
 ]
 
 ITERATIONS = 3  # best-of-N, after one untimed warm-up

@@ -555,3 +555,56 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("channel")
     )
+
+
+_OHLC_ORACLE = """
+WITH e AS (
+  SELECT date_trunc('hour', ts) AS bar_hour, event_type,
+         printf('%020d|%010d', epoch_us(ts), event_id) AS ord,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS v_x1m
+  FROM events
+)
+SELECT bar_hour, event_type,
+       arg_min(v_x1m, ord) AS open_x1m,
+       MAX(v_x1m) AS high_x1m,
+       MIN(v_x1m) AS low_x1m,
+       arg_max(v_x1m, ord) AS close_x1m,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM e
+GROUP BY bar_hour, event_type
+ORDER BY bar_hour, event_type
+"""
+
+
+@query("events_ohlc_hourly", oracle=_OHLC_ORACLE)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type -- the timeseries resampling
+    shape (open/high/low/close/count per bucket) every metrics or
+    market-data pipeline runs.
+
+    Open/close are argmin/argmax by a fixed-width '%020d|%010d'
+    (epoch_us, event_id) ordering string, so same-timestamp events
+    break ties identically on both engines and min_by/max_by stay
+    ordinary hash-aggregate functions -- the whole operator is ONE
+    map-side-combinable aggregate over a (bucket, type) shuffle, no
+    windows, no sort. Values compare as x1e6 scaled integers.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("bar_hour"),
+        "event_type",
+        F.format_string(
+            "%020d|%010d", F.unix_micros("ts"), F.col("event_id")
+        ).alias("ord"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_x1m"),
+    )
+    return (
+        e.groupBy("bar_hour", "event_type")
+        .agg(
+            F.min_by("v_x1m", "ord").alias("open_x1m"),
+            F.max("v_x1m").alias("high_x1m"),
+            F.min("v_x1m").alias("low_x1m"),
+            F.max_by("v_x1m", "ord").alias("close_x1m"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("bar_hour", "event_type")
+    )
