@@ -663,3 +663,40 @@ def test_random_projection_distortion_bounded(spark, sf_dir):
             ratios.append(low / (RP_DIMS * orig))
     mean = sum(ratios) / len(ratios)
     assert 0.5 < mean < 1.5, f"JL distortion off: mean ratio {mean:.2f}"
+
+
+def test_triangle_count_matches_bruteforce(spark, sf_dir):
+    """Degree-oriented distributed triangle count == adjacency-set
+    brute force on the collected edge list."""
+    from itertools import combinations
+
+    from ushas_spark.operators.graph import graph_triangle_count
+
+    pl = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = pl.alias("a"), pl.alias("b")
+    edges = {
+        (r.u, r.v)
+        for r in a.join(
+            b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk"))
+        )
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+        .collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    expected = sum(
+        1
+        for node, nbrs in adj.items()
+        for x, y in combinations(sorted(nbrs), 2)
+        if x > node and y in adj[x]
+    )
+    row = graph_triangle_count(spark, sf_dir).collect()[0]
+    assert row.n_triangles == expected
+    assert row.n_edges == len(edges)
