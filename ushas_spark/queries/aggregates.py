@@ -526,3 +526,85 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_OLS_ORACLE = """
+WITH pts AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pts GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       CAST(ROUND(1000000.0 *
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+         (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) AS BIGINT)
+         AS slope_x1m,
+       CAST(ROUND(1000000.0 *
+         (CAST(sy AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sxy) /
+         (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) AS BIGINT)
+         AS intercept_x1m,
+       CAST(ROUND(1000000.0 *
+         ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) *
+          (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)) /
+         ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+          (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))) AS BIGINT)
+         AS r2_x1m
+FROM s
+ORDER BY l_returnflag
+"""
+
+
+@query("agg_linear_regression", oracle=_OLS_ORACLE)
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS (slope / intercept / R^2 of extendedprice vs
+    quantity per returnflag) computed from EXACT integer sufficient
+    statistics -- n, Sx, Sy, Sxy, Sxx, Syy accumulate as BIGINTs (one
+    map-side-combinable aggregate, the same shuffle shape as any
+    groupBy), and only the final slope/intercept/R2 formulas switch to
+    double. Built-in regr_slope/regr_r2 fold doubles in partition order
+    and can't hash-match across engines; sufficient statistics are the
+    portable formulation. The int->double casts happen on identical
+    values in both engines, so results agree bit-for-bit.
+
+    Overflow headroom: Syy is the binding term -- ~2e18 at sf0.1, so
+    BIGINT holds to roughly sf1-per-group; beyond that switch the
+    accumulators to DECIMAL(38,0) (sum(col.cast("decimal(38,0)")) --
+    same shuffle shape, exact to 38 digits).
+    """
+    pts = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    s = pts.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = F.col("sxy").cast("double"), F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(F.lit(1_000_000.0) * cov / varx).cast("long").alias("slope_x1m"),
+        F.round(F.lit(1_000_000.0) * (sy * sxx - sx * sxy) / varx)
+        .cast("long").alias("intercept_x1m"),
+        F.round(F.lit(1_000_000.0) * (cov * cov) / (varx * vary))
+        .cast("long").alias("r2_x1m"),
+    ).orderBy("l_returnflag")

@@ -286,3 +286,34 @@ ORDER BY o_orderpriority
 def sql_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CLUSTER BY = DISTRIBUTE BY + SORT BY on the same keys."""
     return _sql(spark, sf_dir, _CLUSTER_SQL)
+
+
+_PIVOT_SQL = """
+SELECT * FROM (
+  SELECT l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+)
+PIVOT (SUM(qty) FOR l_linestatus IN ('O' AS qty_o, 'F' AS qty_f))
+ORDER BY l_returnflag
+"""
+
+_PIVOT_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'O'
+                     THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_o,
+       CAST(SUM(CASE WHEN l_linestatus = 'F'
+                     THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_f
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("sql_pivot_syntax", oracle=_PIVOT_ORACLE)
+def sql_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-level PIVOT clause (parser surface beyond the reference's
+    grammar -- Spark 2.4+ AstBuilder pivot; the DataFrame .pivot path is
+    covered separately by agg_pivot). The oracle is the equivalent
+    conditional aggregation; quantities are cast to BIGINT per-row so
+    both engines sum integers exactly."""
+    return _sql(spark, sf_dir, _PIVOT_SQL)
