@@ -608,3 +608,48 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1_000_000.0) * (cov * cov) / (varx * vary))
         .cast("long").alias("r2_x1m"),
     ).orderBy("l_returnflag")
+
+
+_MODE_ORACLE = """
+WITH freq AS (
+  SELECT o_orderstatus, o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders
+  GROUP BY o_orderstatus, o_orderpriority
+)
+SELECT o_orderstatus,
+       arg_max(o_orderpriority, printf('%020d|%s', n, o_orderpriority))
+         AS mode_priority,
+       CAST(MAX(n) AS BIGINT) AS mode_count
+FROM freq
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@query("agg_mode_deterministic", oracle=_MODE_ORACLE)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode with a deterministic tie-break: the most
+    frequent o_orderpriority per order status, ties resolved to the
+    LARGEST value. Spark's built-in mode() picks an arbitrary winner on
+    ties (hash-map iteration order), which can never gate cross-engine;
+    the portable shape is frequency groupBy + max_by over the
+    (count, value) pair -- two map-side-combinable aggregates, shuffle
+    volume = |distinct pairs| then |groups|.
+    """
+    freq = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        freq.groupBy("o_orderstatus")
+        .agg(
+            F.max_by(
+                "o_orderpriority",
+                F.format_string("%020d|%s", F.col("n"), F.col("o_orderpriority")),
+            ).alias("mode_priority"),
+            F.max("n").alias("mode_count"),
+        )
+        .orderBy("o_orderstatus")
+    )
