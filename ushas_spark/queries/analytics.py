@@ -608,3 +608,85 @@ def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bar_hour", "event_type")
     )
+
+
+_LIFT_MIN_SUPPORT = 3
+_LIFT_TOP = 50
+
+_LIFT_ORACLE = f"""
+WITH pl AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), tot AS (
+  SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM pl
+), item AS (
+  SELECT pk, CAST(COUNT(*) AS BIGINT) AS n FROM pl GROUP BY pk
+), pair AS (
+  SELECT a.pk AS pk_a, b.pk AS pk_b, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM pl a JOIN pl b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_LIFT_MIN_SUPPORT}
+), scored AS (
+  SELECT pk_a, pk_b, n_pair, ia.n AS n_a, ib.n AS n_b,
+         CAST(ROUND(1000000.0 * n_pair * tot.n_orders /
+                    (CAST(ia.n AS DOUBLE) * ib.n)) AS BIGINT) AS lift_x1m
+  FROM pair
+  JOIN item ia ON pk_a = ia.pk
+  JOIN item ib ON pk_b = ib.pk
+  CROSS JOIN tot
+)
+SELECT * FROM scored
+ORDER BY lift_x1m DESC, pk_a, pk_b
+LIMIT {_LIFT_TOP}
+"""
+
+
+@query("basket_pair_lift", oracle=_LIFT_ORACLE)
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: top part pairs by lift
+    (P(a,b) / P(a)P(b)) over order baskets, with a minimum pair support
+    of {_LIFT_MIN_SUPPORT} -- the pairwise core of FP-growth-style
+    analysis, expressed relationally.
+
+    Scale shape: the pair explosion self-joins on the ORDER key, so
+    fan-out per order is basket_size^2 (baskets are small and bounded
+    by schema, ~7 lines) -- never |items|^2; pair counts aggregate with
+    map-side combine; item frequencies broadcast back onto the
+    support-filtered pair table (pair-scale, tiny); the final top-N is
+    TakeOrderedAndProject (per-partition heaps, no global sort). Lift
+    is exact-integer inputs with one double division+round, identical
+    on both engines.
+    """
+    pl = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    tot = pl.agg(F.count_distinct("ok").alias("n_orders"))
+    item = pl.groupBy("pk").agg(F.count(F.lit(1)).alias("n"))
+    a, b = pl.alias("a"), pl.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .groupBy(F.col("a.pk").alias("pk_a"), F.col("b.pk").alias("pk_b"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= _LIFT_MIN_SUPPORT)
+    )
+    ia = item.select(F.col("pk").alias("pk_a"), F.col("n").alias("n_a"))
+    ib = item.select(F.col("pk").alias("pk_b"), F.col("n").alias("n_b"))
+    scored = (
+        pair.join(F.broadcast(ia), "pk_a")
+        .join(F.broadcast(ib), "pk_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pk_a", "pk_b", "n_pair", "n_a", "n_b",
+            F.round(
+                F.lit(1_000_000.0) * F.col("n_pair") * F.col("n_orders")
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            ).cast("long").alias("lift_x1m"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift_x1m").desc(), "pk_a", "pk_b"
+    ).limit(_LIFT_TOP)
