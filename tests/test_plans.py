@@ -487,3 +487,43 @@ def test_distribute_sort_by_physical_contract(spark, sf_dir):
     assert "REPARTITION_BY_COL" in plan or "hashpartitioning(l_returnflag" in plan, plan
     assert "Sort [" in plan and "], false, 0" in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_chunk_sliding_no_wide_shuffle(spark, sf_dir):
+    """RAG chunking is map-side: the only exchange allowed is the
+    rangepartitioning for the deterministic output sort -- a hash
+    shuffle or join here would mean the explode stopped being
+    embarrassingly parallel."""
+    plan = _plan(QUERIES["pipeline_chunk_sliding"](spark, sf_dir))
+    assert "hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Generate explode" in plan, plan
+
+
+def test_fuzzy_blocking_plans_hash_joins(spark, sf_dir):
+    """Entity blocking must run as hash equi-joins on the block key --
+    BNLJ/CartesianProduct would be the all-pairs product the blocker
+    exists to avoid."""
+    plan = _plan(QUERIES["entity_fuzzy_match_blocked"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_basket_lift_topn_and_no_cartesian(spark, sf_dir):
+    """Pair mining: top-N must fuse to TakeOrderedAndProject and the
+    only nested-loop join allowed is the 1-row totals broadcast."""
+    plan = _plan(QUERIES["basket_pair_lift"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ohlc_single_aggregate_no_window(spark, sf_dir):
+    """OHLC bars must plan as one hash aggregate over the bucket key --
+    a Window or Sort before the aggregate means the min_by/max_by
+    formulation regressed to the per-row ranking shape."""
+    plan = _plan(QUERIES["events_ohlc_hourly"](spark, sf_dir))
+    assert "Window" not in plan, plan
+    # min_by/max_by on strings plan as SortAggregate -- still the
+    # two-phase (partial map-side + final) aggregate contract.
+    n_aggs = plan.count("HashAggregate") + plan.count("SortAggregate")
+    assert n_aggs >= 2, plan
