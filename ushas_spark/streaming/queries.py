@@ -286,3 +286,76 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ops.run_to_memory(agg, "t_static_enrich", output_mode="complete")
     return out.orderBy("segment")
+
+
+_STREAM_OHLC_ORACLE = """
+WITH e AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar_hour, event_type,
+         printf('%020d|%010d', epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+           AS ord,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS v_x1m
+  FROM events
+)
+SELECT strftime(bar_hour, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
+       arg_min(v_x1m, ord) AS open_x1m,
+       MAX(v_x1m) AS high_x1m,
+       MIN(v_x1m) AS low_x1m,
+       arg_max(v_x1m, ord) AS close_x1m,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM e
+GROUP BY bar_hour, event_type
+ORDER BY w_start, event_type
+"""
+
+
+@query("streaming_ohlc_bars", oracle=_STREAM_OHLC_ORACLE)
+def streaming_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars computed INSIDE Structured Streaming: the batch
+    events_ohlc_hourly aggregate (min_by/max_by over a fixed-width
+    (epoch_us, event_id) ordering string) runs as a watermarked
+    tumbling-window stateful aggregation -- open/close update
+    incrementally per micro-batch exactly like min/max, because min_by
+    carries its ordering key in the aggregation buffer. A fully drained
+    finite stream must equal the batch answer, which is what the DuckDB
+    oracle states."""
+    from pyspark.sql import functions as F
+
+    events = ops.read_events_stream(spark, sf_dir)
+    bars = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.min_by(
+                F.round(F.col("value") * 1_000_000).cast("long"),
+                F.format_string(
+                    "%020d|%010d", F.unix_micros("ts"), F.col("event_id")
+                ),
+            ).alias("open_x1m"),
+            F.max(F.round(F.col("value") * 1_000_000).cast("long")).alias(
+                "high_x1m"
+            ),
+            F.min(F.round(F.col("value") * 1_000_000).cast("long")).alias(
+                "low_x1m"
+            ),
+            F.max_by(
+                F.round(F.col("value") * 1_000_000).cast("long"),
+                F.format_string(
+                    "%020d|%010d", F.unix_micros("ts"), F.col("event_id")
+                ),
+            ).alias("close_x1m"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "w_start"
+            ),
+            "event_type",
+            "open_x1m",
+            "high_x1m",
+            "low_x1m",
+            "close_x1m",
+            "n_events",
+        )
+    )
+    out = ops.run_to_memory(bars, "t_ohlc", output_mode="complete")
+    return out.orderBy("w_start", "event_type")
