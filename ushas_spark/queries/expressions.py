@@ -402,3 +402,50 @@ def expr_spark_only_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.tanh(F.col("p_size").cast("double") / 10.0).alias("tnh"),
         F.cbrt(F.col("p_retailprice")).alias("cbr"),
     ).orderBy("p_partkey")
+
+
+_MASK_ORACLE = """
+SELECT c_custkey,
+       regexp_replace(regexp_replace(regexp_replace(c_name,
+         '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+         AS masked_default,
+       regexp_replace(regexp_replace(regexp_replace(c_name,
+         '[A-Z]', 'U', 'g'), '[a-z]', 'l', 'g'), '[0-9]', '9', 'g')
+         AS masked_custom,
+       regexp_replace(c_name, '[0-9]', '*', 'g') AS masked_digits_only,
+       substring(c_name, 1, 4) ||
+         regexp_replace(regexp_replace(regexp_replace(substring(c_name, 5),
+           '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+         AS masked_keep_prefix
+FROM customer
+ORDER BY c_custkey
+"""
+
+
+@query("expr_mask_battery", oracle=_MASK_ORACLE)
+def expr_mask_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-masking function family (Spark 3.4+ ``mask`` -- PII-safe
+    projection of identifier columns). The oracle states mask's exact
+    contract as chained character-class regexp_replace: uppercase->X,
+    lowercase->x, digit->n, others kept; custom replacement chars;
+    digits-only masking (NULL upper/lower chars keep those classes);
+    and the common keep-prefix redaction pattern via substring + mask.
+    Pure per-row JVM expressions -- map-side, no shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.mask(F.col("c_name")).alias("masked_default"),
+        F.mask(
+            F.col("c_name"), F.lit("U"), F.lit("l"), F.lit("9")
+        ).alias("masked_custom"),
+        F.mask(
+            F.col("c_name"),
+            F.lit(None).cast("string"),
+            F.lit(None).cast("string"),
+            F.lit("*"),
+        ).alias("masked_digits_only"),
+        F.concat(
+            F.substring("c_name", 1, 4),
+            F.mask(F.expr("substring(c_name, 5)")),
+        ).alias("masked_keep_prefix"),
+    ).orderBy("c_custkey")
