@@ -700,3 +700,16 @@ def test_triangle_count_matches_bruteforce(spark, sf_dir):
     row = graph_triangle_count(spark, sf_dir).collect()[0]
     assert row.n_triangles == expected
     assert row.n_edges == len(edges)
+
+
+def test_kcore_peeling_reaches_fixpoint(spark, sf_dir):
+    """The fixed KCORE_ROUNDS must reach the true k-core at gate scale:
+    one more peeling round on the reported core must remove nothing
+    (min induced degree >= k, or the core is empty)."""
+    from ushas_spark.operators.graph import KCORE_K, graph_kcore_summary
+
+    row = graph_kcore_summary(spark, sf_dir).collect()[0]
+    if row.n_core_nodes == 0:
+        assert row.n_core_edges == 0 and row.min_core_degree is None
+    else:
+        assert row.min_core_degree >= KCORE_K, row

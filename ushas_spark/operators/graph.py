@@ -346,3 +346,125 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(tri)
         .select("n_vertices", "n_edges", "n_wedges", "n_triangles")
     )
+
+
+# ----------------------------------------------- k-core peeling (iterative)
+KCORE_K = 80
+KCORE_ROUNDS = 6
+
+
+def _kcore_oracle() -> str:
+    """CTE chain replaying every peeling round (the kmeans/fixed-round
+    oracle pattern): round i keeps nodes whose degree in the induced
+    subgraph is >= K, then restricts edges to kept x kept."""
+    parts = [
+        "WITH pl AS MATERIALIZED (\n  SELECT DISTINCT l_orderkey AS ok,"
+        " l_partkey AS pk FROM lineitem\n), e0 AS MATERIALIZED (\n"
+        "  SELECT DISTINCT a.pk AS u, b.pk AS v"
+        "\n  FROM pl a JOIN pl b ON a.ok = b.ok AND a.pk < b.pk\n)"
+    ]
+    for i in range(1, KCORE_ROUNDS + 1):
+        e_prev = f"e{i - 1}"
+        parts.append(
+            f""", d{i} AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM {e_prev} UNION ALL SELECT v FROM {e_prev})
+  GROUP BY node
+), k{i} AS MATERIALIZED (
+  SELECT node FROM d{i} WHERE d >= {KCORE_K}
+), e{i} AS MATERIALIZED (
+  SELECT u, v FROM {e_prev}
+  WHERE u IN (SELECT node FROM k{i}) AND v IN (SELECT node FROM k{i})
+)"""
+        )
+    last = KCORE_ROUNDS
+    parts.append(
+        f""", dfin AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM e{last} UNION ALL SELECT v FROM e{last})
+  GROUP BY node
+)
+SELECT CAST({KCORE_K} AS BIGINT) AS k,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM d1) AS n_nodes_initial,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e0) AS n_edges_initial,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM k{last}) AS n_core_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e{last}) AS n_core_edges,
+       (SELECT CAST(MIN(d) AS BIGINT) FROM dfin) AS min_core_degree"""
+    )
+    return "".join(parts)
+
+
+@query("graph_kcore_summary", oracle=_kcore_oracle())
+def graph_kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the part co-purchase graph by iterative
+    peeling: repeatedly drop nodes with induced degree < k and restrict
+    the edge set, a fixed {KCORE_ROUNDS} rounds (fixpoint at gate
+    scales is asserted by test_kcore_peeling_reaches_fixpoint -- the
+    same bounded-round contract the k-means loop uses). Output is the
+    one-row core summary (sizes + the minimum induced degree, >= k at
+    fixpoint).
+
+    Scale shape: each round is one degree aggregation (map-side
+    combinable) plus two LEFT SEMI joins restricting edges to surviving
+    nodes -- all hash shuffles on node id; the edge set only ever
+    shrinks, and :func:`materialize` truncates the growing plan each
+    round exactly like connected components. No driver-side data beyond
+    the plan; the loop count is a compile-time constant, so there is
+    not even a per-round count() probe.
+    """
+    pl = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = pl.alias("a"), pl.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+    )
+    edges = materialize(edges)
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+
+    d1 = degrees(edges)
+    n_nodes_initial = d1.agg(F.count(F.lit(1)).alias("n_nodes_initial"))
+    n_edges_initial = edges.agg(F.count(F.lit(1)).alias("n_edges_initial"))
+
+    cur = edges
+    keep = None
+    for _ in range(KCORE_ROUNDS):
+        keep = degrees(cur).filter(F.col("d") >= KCORE_K).select("node")
+        cur = (
+            cur.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+        )
+        cur = materialize(cur)
+
+    summary = (
+        keep.agg(F.count(F.lit(1)).alias("n_core_nodes"))
+        .crossJoin(cur.agg(F.count(F.lit(1)).alias("n_core_edges")))
+        .crossJoin(degrees(cur).agg(F.min("d").alias("min_core_degree")))
+    )
+    return (
+        n_nodes_initial.crossJoin(n_edges_initial)
+        .crossJoin(summary)
+        .select(
+            F.lit(KCORE_K).cast("long").alias("k"),
+            "n_nodes_initial",
+            "n_edges_initial",
+            "n_core_nodes",
+            "n_core_edges",
+            "min_core_degree",
+        )
+    )
