@@ -714,3 +714,70 @@ def multimodal_wav_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.mapInPandas(op, schema=out_schema).orderBy(
         "asset_id", "frame_idx"
     )
+
+
+_ZCR_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id AS asset_id, 64 + doc_id % 64 AS n
+  FROM documents WHERE doc_id < {_WAV_N_ASSETS}
+)
+SELECT asset_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(list_sum(
+         [CASE WHEN ((asset_id * 31 + (i - 1) * 7) % 2001 - 1000)
+                    * ((asset_id * 31 + i * 7) % 2001 - 1000) < 0
+               THEN 1 ELSE 0 END
+          FOR i IN generate_series(1, n - 1)]
+       ) AS BIGINT) AS zero_crossings,
+       CAST(list_sum(
+         [((asset_id * 31 + i * 7) % 2001 - 1000)
+          * ((asset_id * 31 + i * 7) % 2001 - 1000)
+          FOR i IN generate_series(0, n - 1)]
+       ) AS BIGINT) AS energy
+FROM p
+ORDER BY asset_id
+"""
+
+
+@query("multimodal_wav_zcr", oracle=_ZCR_ORACLE)
+def multimodal_wav_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio features from decoded PCM: per-asset zero-crossing
+    count (strict sign flips, the classic voiced/unvoiced + pitch
+    proxy) and total energy (sum of squared samples) -- both exact
+    integers, so the gate compares the actual decoded waveform math,
+    not a float approximation. Same Arrow-batched mapInPandas decode
+    boundary as the other codec ops (per-asset work is inherently
+    Python here; everything before/after stays JVM)."""
+    import io
+    import struct
+    import wave
+
+    assets = synthesize_wav_assets(spark, sf_dir)
+    out_schema = "asset_id bigint, n_samples bigint, zero_crossings bigint, energy bigint"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    n = w.getnframes()
+                    samples = struct.unpack(f"<{n}h", w.readframes(n))
+                zcr = sum(
+                    1
+                    for i in range(1, n)
+                    if samples[i - 1] * samples[i] < 0
+                )
+                rows.append(
+                    {
+                        "asset_id": aid,
+                        "n_samples": n,
+                        "zero_crossings": zcr,
+                        "energy": sum(s * s for s in samples),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "n_samples", "zero_crossings", "energy"],
+            )
+
+    return assets.mapInPandas(op, schema=out_schema).orderBy("asset_id")
