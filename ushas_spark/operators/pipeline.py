@@ -665,3 +665,69 @@ def pipeline_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("long").alias("n_tok"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
     ).orderBy("doc_id", "chunk_id")
+
+
+# ------------------------------------------- token-level sequence packing
+SEQ_LEN = 128  # training sequence length (tokens)
+
+_PACK_SEQ_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         {sql_hash60("CAST(doc_id AS VARCHAR)")} AS h,
+         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS tok
+  FROM documents),
+packed AS (
+  SELECT h % {N_PACK_BUCKETS} AS bucket, doc_id, tok,
+         SUM(tok) OVER (PARTITION BY h % {N_PACK_BUCKETS} ORDER BY h, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM toks)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST((cum - tok) // {SEQ_LEN} AS BIGINT) AS seq_id,
+       CAST((cum - tok) % {SEQ_LEN} AS BIGINT) AS tok_offset,
+       doc_id, tok AS n_tok,
+       ((cum - 1) // {SEQ_LEN} <> (cum - tok) // {SEQ_LEN}) AS spans_boundary
+FROM packed
+ORDER BY bucket, seq_id, tok_offset, doc_id
+"""
+
+
+@query("pipeline_pack_sequences", oracle=_PACK_SEQ_ORACLE)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level sequence packing: assign every document a
+    (bucket, seq_id, tok_offset) slot in fixed {SEQ_LEN}-token training
+    sequences -- the row-level manifest a sequence-packing data loader
+    consumes (pipeline_pack_shards is the shard-level rollup of the
+    same prefix sums). ``spans_boundary`` marks documents that cross a
+    sequence edge, i.e. exactly the places a loader must split or pad;
+    emitting the flag keeps the operator a pure manifest instead of
+    baking in one split policy.
+
+    Scale shape: identical to pack_shards -- one windowed prefix sum
+    per hash bucket (buckets are independent window partitions, nothing
+    funnels to one executor), then pure per-row arithmetic. Offsets are
+    integer div/mod of the BIGINT prefix sums, exact on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = hash60(F.col("doc_id").cast("string"))
+    toks = F.size(F.split("text", r"\s+")).cast("long")
+    base = docs.select("doc_id", h.alias("h"), toks.alias("tok")).withColumn(
+        "bucket", F.col("h") % N_PACK_BUCKETS
+    )
+    w = (
+        W.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = base.withColumn("cum", F.sum("tok").over(w))
+    start = F.col("cum") - F.col("tok")
+    return packed.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.expr(f"(cum - tok) div {SEQ_LEN}").alias("seq_id"),
+        (start % SEQ_LEN).alias("tok_offset"),
+        "doc_id",
+        F.col("tok").alias("n_tok"),
+        (
+            F.expr(f"(cum - 1) div {SEQ_LEN}")
+            != F.expr(f"(cum - tok) div {SEQ_LEN}")
+        ).alias("spans_boundary"),
+    ).orderBy("bucket", "seq_id", "tok_offset", "doc_id")
