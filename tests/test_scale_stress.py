@@ -313,3 +313,30 @@ def test_pagerank_rounds_500k_edges(spark):
     n_edges = ewd.count()
     assert row.mn > 0
     assert abs(row.s - RANK_SCALE) <= n_edges * 3 / 2 + row.nn, (row.s, n_edges)
+
+
+def test_triangle_count_planted_cliques_200k_edges(spark):
+    """Planted ground truth at scale: 2,000 disjoint 10-cliques =
+    90k edges, exactly 2000 * C(10,3) = 240,000 triangles and
+    2000 * 10 * C(9,2) = 720,000 wedges. The degree-oriented counter
+    must get every one -- no sampling, no approximation."""
+    from pyspark.sql import functions as F
+
+    from ushas_spark.operators.graph import triangle_summary
+
+    n_cliques, csize = 2000, 10
+    nodes = spark.range(n_cliques * csize).select(
+        (F.col("id") / csize).cast("long").alias("c"),
+        (F.col("id") % csize).alias("i"),
+        F.col("id").alias("node"),
+    )
+    a, b = nodes.alias("a"), nodes.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.c") == F.col("b.c")) & (F.col("a.i") < F.col("b.i")),
+    ).select(F.col("a.node").alias("u"), F.col("b.node").alias("v"))
+    row = triangle_summary(edges).collect()[0]
+    assert row.n_vertices == n_cliques * csize
+    assert row.n_edges == n_cliques * csize * (csize - 1) // 2
+    assert row.n_wedges == n_cliques * csize * 36
+    assert row.n_triangles == n_cliques * 120

@@ -309,6 +309,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
         .distinct()
     )
+    return triangle_summary(edges)
+
+
+def triangle_summary(edges: DataFrame) -> DataFrame:
+    """Degree-oriented triangle/wedge summary of any distinct
+    (u, v; u != v, one row per undirected edge) edge DataFrame --
+    factored out so scale tests can feed planted graphs."""
     edges = materialize(edges)
     deg = (
         edges.select(F.col("u").alias("node"))
