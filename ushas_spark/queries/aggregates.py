@@ -653,3 +653,78 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+_MAD_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                         AS BIGINT) AS v
+  FROM orders GROUP BY o_custkey
+), pts AS (
+  SELECT c.c_mktsegment AS grp, s.o_custkey, s.v
+  FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+), med AS (
+  SELECT grp, quantile_cont(CAST(v AS DOUBLE), 0.5) AS m
+  FROM pts GROUP BY grp
+), dev AS (
+  SELECT p.grp, abs(p.v - med.m) AS ad, p.o_custkey
+  FROM pts p JOIN med ON p.grp = med.grp
+), mad AS (
+  SELECT grp, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY grp
+)
+SELECT d.grp AS c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_outliers,
+       CAST(MIN(d.o_custkey) AS BIGINT) AS first_outlier_cust
+FROM dev d JOIN mad ON d.grp = mad.grp
+WHERE d.ad > 3 * mad.mad
+GROUP BY d.grp
+ORDER BY c_mktsegment
+"""
+
+
+@query("agg_mad_outliers", oracle=_MAD_ORACLE)
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per group: flag customers whose total
+    spend deviates from their market segment's median by more than 3x
+    the median absolute deviation (MAD) -- the robust-statistics
+    alternative to z-scores (median/MAD ignore the outliers they hunt;
+    mean/stddev don't). Spend totals are skewed by order count, so the
+    flag fires on real rows at gate scale.
+
+    Scale shape: two passes over the fact -- one exact-percentile
+    aggregate for the medians (tiny result, broadcast back), then the
+    deviation scan + second percentile for MAD (broadcast again), then
+    the flagging scan. Prices enter as x100 BIGINTs so the exact
+    interpolated medians land on half-steps -- bit-equal across engines
+    (deviation from the group median exceeding 3x MAD is a strict float
+    compare of exact .5-granular values). On a 100 TB fact, swap the
+    exact percentile for approx_percentile and keep the join shape.
+    """
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("v")
+        )
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), F.col("c_mktsegment").alias("grp")
+    )
+    pts = spend.join(cust, "o_custkey")
+    med = pts.groupBy("grp").agg(
+        F.percentile(F.col("v").cast("double"), F.lit(0.5)).alias("m")
+    )
+    dev = pts.join(F.broadcast(med), "grp").select(
+        "grp", F.abs(F.col("v") - F.col("m")).alias("ad"), "o_custkey"
+    )
+    mad = dev.groupBy("grp").agg(F.percentile("ad", F.lit(0.5)).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "grp")
+        .filter(F.col("ad") > 3 * F.col("mad"))
+        .groupBy(F.col("grp").alias("c_mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            F.min("o_custkey").alias("first_outlier_cust"),
+        )
+        .orderBy("c_mktsegment")
+    )
