@@ -690,3 +690,56 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("lift_x1m").desc(), "pk_a", "pk_b"
     ).limit(_LIFT_TOP)
+
+
+_GAP_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), gaps AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) - epoch_us(prev_ts) AS BIGINT) AS gap_us
+  FROM seq WHERE prev_ts IS NOT NULL
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(MAX(gap_us) // 1000000 AS BIGINT) AS max_gap_s,
+       CASE WHEN MAX(gap_us) > CAST(604800 AS BIGINT) * 1000000
+            THEN 'churn_risk'
+            ELSE 'active' END AS status
+FROM gaps
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@query("events_inactive_gap", oracle=_GAP_ORACLE)
+def events_inactive_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user longest inactivity gap + churn-risk flag (gap > 7 days)
+    -- the dormancy signal behind every re-engagement campaign. One lag
+    window and one aggregate over the SAME user_id shuffle; gaps are
+    exact epoch-microsecond integers."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "user_id",
+            (F.unix_micros("ts") - F.unix_micros("prev_ts")).alias("gap_us"),
+        )
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.expr("max(gap_us) div 1000000").alias("max_gap_s"),
+            F.when(
+                F.max("gap_us") > 7 * 86400 * 1_000_000, "churn_risk"
+            ).otherwise("active").alias("status"),
+        )
+        .orderBy("user_id")
+    )

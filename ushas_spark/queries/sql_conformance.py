@@ -317,3 +317,25 @@ def sql_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional aggregation; quantities are cast to BIGINT per-row so
     both engines sum integers exactly."""
     return _sql(spark, sf_dir, _PIVOT_SQL)
+
+
+_FILTER_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n_all,
+       COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_high_disc,
+       CAST(SUM(CAST(l_quantity AS BIGINT))
+            FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS qty_open,
+       MAX(l_shipdate) FILTER (WHERE l_discount = 0) AS last_full_price_ship
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("sql_filter_clause", oracle=_FILTER_SQL)
+def sql_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate FILTER (WHERE ...) clause -- the SQL:2003 per-aggregate
+    predicate surface (Spark 3.0+ parser; the reference's 2.4 grammar
+    lacks it, making this an upgrade-over-reference row like LATERAL and
+    GROUP BY ALL). The SAME SQL text runs on both engines."""
+    return _sql(spark, sf_dir, _FILTER_SQL)
