@@ -911,3 +911,74 @@ def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(acc * 1_000_000).cast("long").alias(f"p{j}_x1m")
         )
     return emb.select(*out).orderBy("vec_id")
+
+
+# ------------------------------------------------ k-NN label classification
+_KNN_ORACLE = f"""
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT qid, v.vec_id AS cand_id, v.label,
+         CAST(ROUND({sql_cosine("qe", "e")} * 1000000) AS BIGINT) AS sim_x1m
+  FROM q JOIN v ON v.vec_id <> qid
+),
+ranked AS (
+  SELECT qid, cand_id, label, sim_x1m,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY sim_x1m DESC, cand_id) AS rnk
+  FROM scored
+),
+votes AS (
+  SELECT qid, label, CAST(COUNT(*) AS BIGINT) AS n_votes
+  FROM ranked WHERE rnk <= {TOP_K}
+  GROUP BY qid, label
+)
+SELECT qid,
+       arg_min(label, printf('%03d|%010d', {TOP_K} - n_votes, label))
+         AS predicted_label,
+       CAST(MAX(n_votes) AS BIGINT) AS n_votes
+FROM votes
+GROUP BY qid
+ORDER BY qid
+"""
+
+
+@query("sim_knn_classify", oracle=_KNN_ORACLE)
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label prediction: majority label among each query vector's
+    {TOP_K} exact cosine neighbours, ties broken to the smallest label
+    (encoded as a fixed-width (k - votes, label) string so min_by picks
+    most-votes-then-smallest-label identically on both engines).
+
+    Scale shape: the neighbour search is :func:`cosine_topk` (broadcast
+    query set, one corpus scan, per-query ranking on one qid shuffle);
+    the vote is two tiny aggregates over k rows per query. Swap the
+    brute-force stage for the IVF/LSH variants at corpus scale -- the
+    voting tail is identical.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _dvec(F.col("embedding")).alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e")
+    )
+    top = cosine_topk(q, emb, k=TOP_K)
+    labels = emb.select(F.col("vec_id").alias("cand_id"), "label")
+    votes = (
+        top.join(F.broadcast(labels), "cand_id")
+        .groupBy("qid", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    return (
+        votes.groupBy("qid")
+        .agg(
+            F.min_by(
+                "label",
+                F.format_string(
+                    "%03d|%010d", F.lit(TOP_K) - F.col("n_votes"), F.col("label")
+                ),
+            ).alias("predicted_label"),
+            F.max("n_votes").alias("n_votes"),
+        )
+        .orderBy("qid")
+    )
