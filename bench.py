@@ -6,6 +6,14 @@ reference's TPCDSQueryBenchmark (reference: sql/core/src/test/scala/org/
 apache/spark/sql/execution/benchmark/TPCDSQueryBenchmark.scala:48-83):
 warm JVM, best-of-N wall time per query, full pipeline execution (count
 of the materialised result, no driver-side result transfer).
+
+Cross-round comparability note (measured, round 3): re-running the
+round-2 27-query set alone on a quiet machine still shows a UNIFORM
+~1.15-1.2x shift vs BENCH_r02 with identical plans (audited), and
+individual queries swing up to 4x between back-to-back runs when the
+driver harness co-runs (q10: 0.6s / 2.8s / 0.6s). Per-query deltas
+under ~1.5x across rounds are environment drift, not regressions --
+compare plan audits (PLANS.md), not wall seconds, when triaging.
 """
 
 from __future__ import annotations

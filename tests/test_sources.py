@@ -334,3 +334,41 @@ def test_hive_metastore_scan_and_dynamic_partition_insert(tmp_path):
         timeout=300,
     )
     assert "HIVE_OK" in proc.stdout, proc.stdout + proc.stderr
+
+
+def test_python_datasource_streaming_read(spark):
+    """The Spark 4 Python Data Source STREAMING path: the synthetic
+    source serves deterministic micro-batches; a drained stream must
+    equal the batch read of the same row space."""
+    from ushas_spark import datasource
+
+    datasource.register(spark)
+    stream = (
+        spark.readStream.format("ushas_synthetic")
+        .option("rows", "100")
+        .option("batchRows", "37")
+        .load()
+    )
+    agg = stream.groupBy("bucket").count()
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_pyds_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.bucket, r["count"])
+        for r in spark.table("t_pyds_stream").collect()
+    }
+    batch = (
+        spark.read.format("ushas_synthetic").option("rows", "100").load()
+    )
+    expected = {
+        (r.bucket, r["count"])
+        for r in batch.groupBy("bucket").count().collect()
+    }
+    assert got == expected and got

@@ -14,7 +14,12 @@ custom-source read path end to end).
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 MIX_MULT = 2654435761  # Knuth multiplicative hash constant
 MIX_MOD = 2147483647
@@ -48,8 +53,43 @@ class SyntheticReader(DataSourceReader):
             yield (i, mixed % 10, float(mixed % 100000) / 100.0)
 
 
+class SyntheticStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch reader over the same deterministic row space: batch
+    k serves rows [k*batchRows, ...) until ``rows`` is exhausted --
+    offsets are plain dicts, so checkpoint/restart replays identically
+    (the Python mirror of the reference's V2 MicroBatchReadSupport,
+    sql/sources/v2/reader/streaming/MicroBatchReader.java)."""
+
+    def __init__(self, options: dict):
+        self.n_rows = int(options.get("rows", 100))
+        self.batch = int(options.get("batchRows", 37))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        i = int(start["i"])
+        end = min(i + self.batch, self.n_rows)
+        return (self._rows(i, end), {"i": end})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(int(start["i"]), int(end["i"]))
+
+    @staticmethod
+    def _rows(start: int, end: int):
+        # A LIST ITERATOR, not a generator: the simple-reader prefetch
+        # cache copy.copy()s the iterator for replay -- list iterators
+        # support that via __reduce__, generators don't.
+        return iter([
+            (i, (i * MIX_MULT) % MIX_MOD % 10,
+             float((i * MIX_MULT) % MIX_MOD % 100000) / 100.0)
+            for i in range(start, end)
+        ])
+
+
 class SyntheticDataSource(DataSource):
-    """format('ushas_synthetic') -- options: rows, partitions."""
+    """format('ushas_synthetic') -- options: rows, partitions; also a
+    streaming source (micro-batches of batchRows)."""
 
     @classmethod
     def name(cls) -> str:
@@ -60,6 +100,9 @@ class SyntheticDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticReader:
         return SyntheticReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SyntheticStreamReader:
+        return SyntheticStreamReader(self.options)
 
 
 def register(spark) -> None:

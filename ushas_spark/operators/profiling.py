@@ -279,3 +279,69 @@ def profile_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_violations") == 0, "pass").otherwise("fail")
         .alias("status"),
     ).orderBy("rule")
+
+
+# ------------------------------------------------- categorical concentration
+_GINI_COLS = ["o_orderstatus", "o_orderpriority"]
+
+_GINI_ORACLE = (
+    "WITH "
+    + ", ".join(
+        f"""f_{c} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM orders GROUP BY {c}
+), g_{c} AS (
+  SELECT '{c}' AS col_name,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         CAST(ROUND(1000000.0 * (SUM(cnt) * SUM(cnt) - SUM(cnt * cnt))
+                    / (CAST(SUM(cnt) AS DOUBLE) * SUM(cnt))) AS BIGINT)
+           AS gini_x1m
+  FROM f_{c}
+)"""
+        for c in _GINI_COLS
+    )
+    + " "
+    + " UNION ALL ".join(f"SELECT * FROM g_{c}" for c in _GINI_COLS)
+    + " ORDER BY col_name"
+)
+
+
+@query("profile_gini_impurity", oracle=_GINI_ORACLE)
+def profile_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical concentration profile: Gini impurity
+    (1 - sum(p_i^2)) per column -- the skew/uniformity signal a query
+    planner or feature-quality check reads, chosen over Shannon entropy
+    because it needs NO logarithm: (N^2 - sum(c_i^2)) / N^2 is exact
+    integer arithmetic until one final double division, so it gates
+    bit-for-bit where log-based entropy cannot (libm log differs across
+    engines in the last ulp).
+
+    Scale shape: one frequency aggregate per column (map-side
+    combinable, shuffle = |distinct values|), then a scalar rollup of
+    the frequency table. The sum of squared counts stays under 2^63 up
+    to ~3e9 rows per column value set; beyond that, accumulate in
+    DECIMAL(38,0).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    parts = []
+    for c in _GINI_COLS:
+        freq = o.groupBy(c).agg(F.count(F.lit(1)).alias("cnt"))
+        parts.append(
+            freq.agg(
+                F.lit(c).alias("col_name"),
+                F.count(F.lit(1)).alias("n_distinct"),
+                F.sum("cnt").alias("n_rows"),
+                F.round(
+                    F.lit(1_000_000.0)
+                    * (
+                        F.sum("cnt") * F.sum("cnt")
+                        - F.sum(F.col("cnt") * F.col("cnt"))
+                    )
+                    / (F.sum("cnt").cast("double") * F.sum("cnt"))
+                ).cast("long").alias("gini_x1m"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("col_name")

@@ -52,8 +52,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # 22), windows (9), setops (7), subqueries (6), udfs (8), ...
 # ROUND-4 TODO: fold CORRECTNESS_r03 greens into _DRIVER_GREEN; the
 # prefix then advances to analytics/sources/sql_conformance/streaming/
-# misc plus the round-3 operator modules (clustering, graph, mergeop,
-# layout, bpe, profiling and the new text/similarity names).
+# misc plus the round-3 operator modules (entity, clustering, graph,
+# mergeop, layout, bpe, profiling and the new names added late in r3:
+# pipeline_chunk_sliding/pack_sequences, profile_expectations,
+# events_attribution_last_touch/ohlc_hourly/inactive_gap,
+# sim_random_projection/knn_classify, graph_triangle_count/kcore,
+# basket_pair_lift, agg_linear_regression/mode/mad, sql_pivot/filter,
+# expr_mask_battery, multimodal_wav_zcr, streaming_ohlc_bars).
 _PRIORITY_NAMES = [
     "dedup_survivor_stats",
     "pipeline_train_test_split",
