@@ -277,3 +277,132 @@ def asof_order_within_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
         F.when(within, F.col("asof_o_orderkey")).alias("asof_o_orderkey"),
     ).orderBy("event_id")
+
+
+_ASOF_NEAREST_ORACLE = """
+WITH o AS (
+  SELECT o_custkey AS k, o_orderdate, MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1, 2
+), b AS (
+  SELECT e.event_id, MAX(CAST(o.o_orderdate AS TIMESTAMP)) AS bd
+  FROM events e LEFT JOIN o
+    ON o.k = e.user_id AND CAST(o.o_orderdate AS TIMESTAMP) <= e.ts
+  GROUP BY 1
+), f AS (
+  SELECT e.event_id, MIN(CAST(o.o_orderdate AS TIMESTAMP)) AS fd
+  FROM events e LEFT JOIN o
+    ON o.k = e.user_id AND CAST(o.o_orderdate AS TIMESTAMP) > e.ts
+  GROUP BY 1
+), sel AS (
+  SELECT e.event_id, e.user_id, e.ts, b.bd, f.fd,
+         CASE WHEN bd IS NULL AND fd IS NULL THEN 'none'
+              WHEN fd IS NULL THEN 'backward'
+              WHEN bd IS NULL THEN 'forward'
+              WHEN epoch_us(e.ts) - epoch_us(bd)
+                   <= epoch_us(fd) - epoch_us(e.ts) THEN 'backward'
+              ELSE 'forward' END AS direction
+  FROM events e
+  LEFT JOIN b USING (event_id)
+  LEFT JOIN f USING (event_id)
+)
+SELECT s.event_id, s.user_id,
+       strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+       s.direction,
+       CASE s.direction
+            WHEN 'backward' THEN (epoch_us(s.ts) - epoch_us(s.bd)) // 1000000
+            WHEN 'forward' THEN (epoch_us(s.fd) - epoch_us(s.ts)) // 1000000
+       END AS dist_s,
+       o2.o_orderkey AS nearest_o_orderkey
+FROM sel s
+LEFT JOIN o o2
+  ON o2.k = s.user_id
+ AND CAST(o2.o_orderdate AS TIMESTAMP) =
+     CASE WHEN s.direction = 'backward' THEN s.bd
+          WHEN s.direction = 'forward' THEN s.fd END
+ORDER BY s.event_id
+"""
+
+
+@query("asof_nearest_order_to_event", oracle=_ASOF_NEAREST_ORACLE)
+def asof_nearest_order_to_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of: for each event, the user's closest order
+    in TIME, looking both ways (backward <= ts, forward > ts; exact
+    ties prefer backward) -- pd.merge_asof(direction='nearest') at
+    cluster scale.
+
+    Scale shape: ONE shuffle for the as-of machinery (plus the right
+    side's tie pre-reduction aggregate). Both sides union-tag once; the
+    backward last_value and forward first_value windows share the same
+    (key) partitioning and (ts, side) ordering, so Catalyst plans a
+    single Exchange feeding both Window operators -- not two as-of
+    passes joined back (verified: 2 hash exchanges total in the
+    physical plan, window + pre-reduction). Distances are exact
+    epoch-microsecond integers.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").alias("_k"), F.col("ts").alias("_ts")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("_k"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .select(
+            "_k",
+            F.col("o_orderdate").cast("timestamp").alias("_ts"),
+            "o_orderkey",
+        )
+    )
+    l_tag = events.select(
+        "_k", "_ts", F.lit(1).alias("_side"), "event_id",
+        F.lit(None).cast("long").alias("_r_key"),
+        F.lit(None).cast("timestamp").alias("_r_ts"),
+    )
+    r_tag = orders.select(
+        "_k", "_ts", F.lit(0).alias("_side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey").alias("_r_key"),
+        F.col("_ts").alias("_r_ts"),
+    )
+    u = l_tag.unionByName(r_tag)
+    # Rights sort before lefts at equal ts: backward sees <=, forward >.
+    wb = (
+        W.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    filled = u.select(
+        "_k", "_ts", "_side", "event_id",
+        F.last("_r_key", ignorenulls=True).over(wb).alias("b_key"),
+        F.last("_r_ts", ignorenulls=True).over(wb).alias("b_ts"),
+        F.first("_r_key", ignorenulls=True).over(wf).alias("f_key"),
+        F.first("_r_ts", ignorenulls=True).over(wf).alias("f_ts"),
+    ).filter(F.col("_side") == 1)
+    db = F.unix_micros("_ts") - F.unix_micros("b_ts")
+    df_ = F.unix_micros("f_ts") - F.unix_micros("_ts")
+    direction = (
+        F.when(F.col("b_ts").isNull() & F.col("f_ts").isNull(), "none")
+        .when(F.col("f_ts").isNull(), "backward")
+        .when(F.col("b_ts").isNull(), "forward")
+        .when(db <= df_, "backward")
+        .otherwise("forward")
+    )
+    out = filled.select(
+        "event_id",
+        F.col("_k").alias("user_id"),
+        F.date_format("_ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+        direction.alias("direction"),
+        F.when(direction == "backward", F.expr(
+            "(unix_micros(_ts) - unix_micros(b_ts)) div 1000000"))
+        .when(direction == "forward", F.expr(
+            "(unix_micros(f_ts) - unix_micros(_ts)) div 1000000"))
+        .alias("dist_s"),
+        F.when(direction == "backward", F.col("b_key"))
+        .when(direction == "forward", F.col("f_key"))
+        .alias("nearest_o_orderkey"),
+    )
+    return out.orderBy("event_id")
