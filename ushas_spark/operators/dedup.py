@@ -908,3 +908,97 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------- LSH quality self-evaluation
+_LSH_EVAL_ORACLE = f"""
+WITH sh_all AS (
+  SELECT doc_id, unnest({sql_shingles()}) AS shingle FROM documents
+), hot AS (
+  SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) > {NGRAM_DF_CAP}
+), sh AS (
+  SELECT * FROM sh_all WHERE shingle NOT IN (SELECT shingle FROM hot)
+), sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), truth AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= {JACCARD_THRESHOLD}
+), hashed AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(shingle), 1, 15))::BIGINT % {MINHASH_PRIME} AS h31
+  FROM sh_all
+), sigs AS (
+  SELECT doc_id, {_MH_COLS}
+  FROM hashed GROUP BY doc_id
+), bands AS (
+  {_BAND_SELECTS}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+), counts AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM cand c
+          WHERE EXISTS (SELECT 1 FROM truth t
+                        WHERE t.doc_a = c.doc_a AND t.doc_b = c.doc_b))
+           AS tp
+)
+SELECT n_truth, n_candidates, tp,
+       n_truth - tp AS fn,
+       CAST(ROUND(1000000.0 * tp / n_truth) AS BIGINT) AS recall_x1m,
+       CAST(ROUND(1000000.0 * tp / n_candidates) AS BIGINT) AS precision_x1m
+FROM counts
+"""
+
+
+@query("dedup_lsh_recall_eval", oracle=_LSH_EVAL_ORACLE)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline evaluating ITSELF: recall/precision of the
+    MinHash-LSH candidate generator against the exact inverted-index
+    Jaccard ground truth (both over the same DF-capped shingle
+    universe) -- the acceptance metric you compute on a sample before
+    trusting LSH parameters at 100 TB, here as a first-class query.
+    n_candidates vs tp prices the verification stage (false candidates
+    cost compute, not correctness); fn counts true near-dup pairs the
+    band scheme missed.
+
+    Scale shape: both pair sets are the already-scalable operators
+    (banded LSH join; capped inverted-index join); the comparison adds
+    one pair-scale semi join and scalar aggregates. In production you'd
+    run the truth side on a hash-sampled corpus slice -- the shape is
+    unchanged.
+    """
+    truth = (
+        _jaccard_pairs(spark, sf_dir)
+        .filter(F.col("jac") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    cand = lsh_candidates(minhash_signatures(docs)).select("doc_a", "doc_b")
+    truth = materialize(truth)
+    cand = materialize(cand)
+    tp = cand.join(truth, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("tp")
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    return (
+        n_truth.crossJoin(n_cand)
+        .crossJoin(tp)
+        .select(
+            "n_truth",
+            "n_candidates",
+            "tp",
+            (F.col("n_truth") - F.col("tp")).alias("fn"),
+            F.round(F.lit(1_000_000.0) * F.col("tp") / F.col("n_truth"))
+            .cast("long").alias("recall_x1m"),
+            F.round(F.lit(1_000_000.0) * F.col("tp") / F.col("n_candidates"))
+            .cast("long").alias("precision_x1m"),
+        )
+    )
