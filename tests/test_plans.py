@@ -527,3 +527,26 @@ def test_ohlc_single_aggregate_no_window(spark, sf_dir):
     # two-phase (partial map-side + final) aggregate contract.
     n_aggs = plan.count("HashAggregate") + plan.count("SortAggregate")
     assert n_aggs >= 2, plan
+
+
+def test_dynamic_partition_pruning_injects_subquery(spark, sf_dir, tmp_path):
+    """Joining a partitioned fact to a filtered dim must inject a
+    dynamicpruning partition filter into the fact scan (DPP) -- at
+    100 TB this is the difference between scanning 3 partitions and
+    all of them."""
+    fact_path = str(tmp_path / "orders_part")
+    load_table(spark, sf_dir, "orders").write.partitionBy(
+        "o_orderpriority"
+    ).parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority")
+        .distinct()
+        .filter(F.col("o_orderpriority") < "3")
+    )
+    joined = fact.join(dim, "o_orderpriority").groupBy(
+        "o_orderpriority"
+    ).count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan

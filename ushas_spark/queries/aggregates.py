@@ -728,3 +728,83 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+_WINSOR_ORACLE = """
+WITH pts AS (
+  SELECT o_orderstatus AS grp,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+), q AS (
+  SELECT grp,
+         quantile_cont(CAST(v AS DOUBLE), 0.25) AS lo,
+         quantile_cont(CAST(v AS DOUBLE), 0.75) AS hi
+  FROM pts GROUP BY grp
+), clipped AS (
+  SELECT p.grp,
+         CAST(ROUND(LEAST(GREATEST(CAST(p.v AS DOUBLE), q.lo), q.hi) * 4)
+              AS BIGINT) AS c4,
+         CASE WHEN p.v < q.lo THEN 1 ELSE 0 END AS is_lo,
+         CASE WHEN p.v > q.hi THEN 1 ELSE 0 END AS is_hi
+  FROM pts p JOIN q ON p.grp = q.grp
+)
+SELECT grp AS o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(is_lo) AS BIGINT) AS n_clipped_low,
+       CAST(SUM(is_hi) AS BIGINT) AS n_clipped_high,
+       CAST(ROUND(CAST(SUM(c4) AS DOUBLE) / (4 * COUNT(*))) AS BIGINT)
+         AS winsor_mean_x100
+FROM clipped
+GROUP BY grp
+ORDER BY o_orderstatus
+"""
+
+
+@query("agg_winsorized_stats", oracle=_WINSOR_ORACLE)
+def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per group: clip order totals to the [p25, p75]
+    interquartile band, then average -- the outlier-robust mean a
+    metrics pipeline reports next to the raw one.
+
+    Exactness: values enter as x100 BIGINTs; quartile positions have
+    quarter fractions, and every interpolation intermediate
+    (int + int * {0, .25, .5, .75}) is exactly representable in double,
+    so both engines produce identical quartiles. Clipped values are
+    quarter-granular, so they re-scale x4 to BIGINTs and SUM exactly --
+    the mean is one double division at the end, never a float fold.
+
+    Scale shape: one percentile aggregate (broadcast back) + one
+    clipping scan with a map-side-combinable sum.
+    """
+    pts = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    q = pts.groupBy("grp").agg(
+        F.percentile(F.col("v").cast("double"), F.lit(0.25)).alias("lo"),
+        F.percentile(F.col("v").cast("double"), F.lit(0.75)).alias("hi"),
+    )
+    clipped = pts.join(F.broadcast(q), "grp").select(
+        "grp",
+        F.round(
+            F.least(
+                F.greatest(F.col("v").cast("double"), F.col("lo")),
+                F.col("hi"),
+            )
+            * 4
+        ).cast("long").alias("c4"),
+        F.when(F.col("v") < F.col("lo"), 1).otherwise(0).alias("is_lo"),
+        F.when(F.col("v") > F.col("hi"), 1).otherwise(0).alias("is_hi"),
+    )
+    return (
+        clipped.groupBy(F.col("grp").alias("o_orderstatus"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("is_lo").cast("long").alias("n_clipped_low"),
+            F.sum("is_hi").cast("long").alias("n_clipped_high"),
+            F.round(
+                F.sum("c4").cast("double") / (4 * F.count(F.lit(1)))
+            ).cast("long").alias("winsor_mean_x100"),
+        )
+        .orderBy("o_orderstatus")
+    )
