@@ -743,3 +743,131 @@ def events_inactive_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_RFM_ORACLE = """
+WITH base AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', MAX(o_orderdate),
+                        (SELECT MAX(o_orderdate) FROM orders)) AS BIGINT)
+           AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_x100
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT o_custkey,
+         CAST(NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey)
+              AS BIGINT) AS r_score,
+         CAST(NTILE(5) OVER (ORDER BY frequency, o_custkey) AS BIGINT)
+           AS f_score,
+         CAST(NTILE(5) OVER (ORDER BY monetary_x100, o_custkey) AS BIGINT)
+           AS m_score
+  FROM base
+)
+SELECT r_score, f_score, m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(MIN(o_custkey) AS BIGINT) AS example_cust
+FROM scored
+GROUP BY 1, 2, 3
+ORDER BY r_score, f_score, m_score
+"""
+
+
+@query("events_rfm_segments", oracle=_RFM_ORACLE)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: quintile scores for recency (days
+    since last order, inverted so recent = 5), frequency (order count)
+    and monetary (lifetime spend), rolled up to segment sizes -- the
+    classic CRM cube. Ties in every NTILE are broken by custkey, so
+    bucket assignment is deterministic on both engines; spend is exact
+    x100 integers.
+
+    Scale shape: one per-customer aggregate, then three NTILE windows.
+    The windows are GLOBAL (single-partition) -- fine for quintiles
+    over per-customer rollups (|customers| << |orders|); for a
+    billion-customer table swap NTILE for the rank-arithmetic bucketing
+    used by agg_equidepth_histogram, which shuffles by value instead.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    max_date = o.agg(F.max("o_orderdate").alias("maxd"))
+    base = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("monetary_x100"),
+        )
+        .crossJoin(F.broadcast(max_date))
+        .select(
+            "o_custkey",
+            F.datediff("maxd", "last_order").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary_x100",
+        )
+    )
+    scored = base.select(
+        "o_custkey",
+        F.ntile(5)
+        .over(W.orderBy(F.col("recency_days").desc(), "o_custkey"))
+        .cast("long").alias("r_score"),
+        F.ntile(5)
+        .over(W.orderBy("frequency", "o_custkey"))
+        .cast("long").alias("f_score"),
+        F.ntile(5)
+        .over(W.orderBy("monetary_x100", "o_custkey"))
+        .cast("long").alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("o_custkey").alias("example_cust"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+_YOY_ORACLE = """
+WITH monthly AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS ym,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_x100
+  FROM orders GROUP BY 1
+)
+SELECT ym, rev_x100,
+       lag(rev_x100, 12) OVER (ORDER BY ym) AS rev_prev_year_x100,
+       rev_x100 - lag(rev_x100, 12) OVER (ORDER BY ym) AS yoy_delta_x100
+FROM monthly
+ORDER BY ym
+"""
+
+
+@query("window_yoy_revenue", oracle=_YOY_ORACLE)
+def window_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with year-over-year comparison: month rollup,
+    then lag(12) over the month sequence -- the period-over-period
+    shape every finance dashboard runs. Revenue is exact x100 integer
+    sums, so deltas gate bit-for-bit; the window runs over |months|
+    rows (tiny), not the fact."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "ym"
+        )
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "rev_x100"
+        )
+    )
+    w = W.orderBy("ym")
+    return monthly.select(
+        "ym",
+        "rev_x100",
+        F.lag("rev_x100", 12).over(w).alias("rev_prev_year_x100"),
+        (F.col("rev_x100") - F.lag("rev_x100", 12).over(w)).alias(
+            "yoy_delta_x100"
+        ),
+    ).orderBy("ym")
