@@ -871,3 +871,148 @@ def window_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yoy_delta_x100"
         ),
     ).orderBy("ym")
+
+
+_DELAY_ORACLE = """
+WITH d AS (
+  SELECT s.s_nationkey,
+         CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+           AS delay_days
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+)
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(delay_days) AS BIGINT) AS total_delay_days,
+       CAST(ROUND(100.0 * SUM(delay_days) / COUNT(*)) AS BIGINT)
+         AS avg_delay_days_x100,
+       CAST(MAX(delay_days) AS BIGINT) AS max_delay_days,
+       CAST(SUM(CASE WHEN delay_days > 60 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late
+FROM d JOIN nation n ON d.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+@query("supply_shipping_delay_stats", oracle=_DELAY_ORACLE)
+def supply_shipping_delay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency per supplier nation (the OTIF-style
+    supply-chain KPI): day deltas are exact integers, averages are one
+    integer-ratio rounding, and >60-day lines count as late.
+
+    Scale shape: lineitem joins orders on the orderkey both sides
+    shuffle on anyway; supplier and nation broadcast; one
+    map-side-combinable rollup to 25 rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    d = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.datediff("l_shipdate", "o_orderdate").cast("long").alias(
+                "delay_days"
+            ),
+        )
+    )
+    return (
+        d.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("delay_days").alias("total_delay_days"),
+            F.round(
+                F.lit(100.0) * F.sum("delay_days") / F.count(F.lit(1))
+            ).cast("long").alias("avg_delay_days_x100"),
+            F.max("delay_days").alias("max_delay_days"),
+            F.sum(F.when(F.col("delay_days") > 60, 1).otherwise(0))
+            .cast("long").alias("n_late"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_LTV_ORACLE = """
+WITH firsts AS (
+  SELECT o_custkey,
+         strftime(date_trunc('month', MIN(o_orderdate)), '%Y-%m')
+           AS cohort_month
+  FROM orders GROUP BY o_custkey
+), rev AS (
+  SELECT f.cohort_month,
+         CAST(date_diff('month',
+                        date_trunc('month', CAST(f.cohort_month || '-01'
+                                                 AS DATE)),
+                        date_trunc('month', o.o_orderdate)) AS BIGINT)
+           AS age_months,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_x100
+  FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+  GROUP BY 1, 2
+)
+SELECT cohort_month, age_months, rev_x100,
+       CAST(SUM(rev_x100) OVER (PARTITION BY cohort_month ORDER BY age_months
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_rev_x100
+FROM rev
+ORDER BY cohort_month, age_months
+"""
+
+
+@query("events_cohort_ltv", oracle=_LTV_ORACLE)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle: customers bucketed by first-order month,
+    revenue rolled up by (cohort, age-in-months), then a running
+    cumulative per cohort -- the lifetime-value curve marketing reads
+    off the diagonal. Revenue is exact x100 integers end to end (the
+    cumulative is an integer window sum, not a float fold).
+
+    Scale shape: the cohort assignment is one per-customer aggregate
+    joined back (at 100 TB customers << orders, and the join shuffles
+    on the same o_custkey the rollup uses); the window runs over the
+    |cohorts| x |ages| triangle -- tiny."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_format(
+            F.date_trunc("month", F.min("o_orderdate")), "yyyy-MM"
+        ).alias("cohort_month")
+    )
+    rev = (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort_month",
+            (
+                F.months_between(
+                    F.date_trunc("month", F.col("o_orderdate")),
+                    F.date_trunc(
+                        "month",
+                        F.to_date(F.concat(F.col("cohort_month"), F.lit("-01"))),
+                    ),
+                )
+            ).cast("long").alias("age_months"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("rev_x100")
+        )
+    )
+    w = (
+        W.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return rev.select(
+        "cohort_month",
+        "age_months",
+        "rev_x100",
+        F.sum("rev_x100").over(w).alias("cum_rev_x100"),
+    ).orderBy("cohort_month", "age_months")
