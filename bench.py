@@ -85,6 +85,8 @@ HEADLINE = [
     "sim_ivfpq_topk",
     "pipeline_chunk_sliding",
     "entity_fuzzy_match_blocked",
+    "events_ohlc_hourly",
+    "events_rfm_segments",
 ]
 
 ITERATIONS = 3  # best-of-N, after one untimed warm-up
