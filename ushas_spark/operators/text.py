@@ -823,3 +823,71 @@ def text_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= KEYWORDS_PER_DOC)
         .orderBy("doc_id", "rnk")
     )
+
+
+_LANG_EVAL_ORACLE = f"""
+WITH t AS (SELECT doc_id, lang, regexp_split_to_array(text, '\\s+') AS toks
+           FROM documents),
+s AS (
+  SELECT doc_id, lang,
+         {_lang_score_sql("en")} AS s_en,
+         {_lang_score_sql("es")} AS s_es,
+         {_lang_score_sql("de")} AS s_de,
+         {_lang_score_sql("fr")} AS s_fr
+  FROM t
+), pred AS (
+  SELECT lang AS actual,
+         CASE
+           WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+           WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+           WHEN s_de >= s_fr THEN 'de'
+           ELSE 'fr'
+         END AS predicted
+  FROM s
+)
+SELECT actual, predicted,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred
+GROUP BY actual, predicted
+ORDER BY actual, predicted
+"""
+
+
+@query("text_lang_confusion_eval", oracle=_LANG_EVAL_ORACLE)
+def text_lang_confusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The language-ID heuristic evaluating itself: confusion matrix of
+    text_lang_guess predictions against the corpus's ground-truth
+    ``lang`` labels -- the accuracy readout you check before trusting a
+    classifier gate at 100 TB (the same self-evaluation pattern as
+    dedup_lsh_recall_eval). Diagonal cells are hits; off-diagonal rows
+    name exactly which language pairs the stopword vote confuses.
+
+    Scale shape: one scan with per-row JVM scoring, then a
+    |langs|^2-cell rollup with map-side combine."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+
+    def _contains(arr):
+        return lambda w: F.array_contains(arr, w)
+
+    scores = {}
+    for lang, words in STOPWORDS.items():
+        arr = F.array([F.lit(w) for w in words])
+        scores[lang] = F.size(F.filter(toks, _contains(arr)))
+    guess = (
+        F.when(
+            (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["fr"]),
+            "en",
+        )
+        .when((scores["es"] >= scores["de"]) & (scores["es"] >= scores["fr"]), "es")
+        .when(scores["de"] >= scores["fr"], "de")
+        .otherwise("fr")
+    )
+    return (
+        d.select(F.col("lang").alias("actual"), guess.alias("predicted"))
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("actual", "predicted")
+    )
