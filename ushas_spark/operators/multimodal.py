@@ -781,3 +781,61 @@ def multimodal_wav_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return assets.mapInPandas(op, schema=out_schema).orderBy("asset_id")
+
+
+_PNG_HIST_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id AS asset_id,
+         8 + doc_id % 9 AS w,
+         8 + doc_id % 7 AS h
+  FROM documents WHERE doc_id < {_PNG_N_ASSETS}
+), px AS (
+  SELECT asset_id,
+         ((asset_id * 7 + x.x * 3 + y.y * 5) % 256
+          + (asset_id * 11 + x.x * 2 + y.y * 13) % 256
+          + (asset_id * 3 + x.x * 17 + y.y) % 256) // 96 AS bucket
+  FROM p,
+       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) x,
+       LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) y
+)
+SELECT asset_id,
+       {", ".join(
+         f"CAST(SUM(CASE WHEN bucket = {b} THEN 1 ELSE 0 END) AS BIGINT)"
+         f" AS h{b}" for b in range(8)
+       )}
+FROM px
+GROUP BY asset_id
+ORDER BY asset_id
+"""
+
+
+@query("multimodal_png_histogram", oracle=_PNG_HIST_ORACLE)
+def multimodal_png_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decoded-pixel luminance histogram: parse/inflate/unfilter
+    the PNG, bucket each pixel's r+g+b (0..765) into 8 bins of 96 --
+    the brightness-distribution feature an image-quality gate reads.
+    Exact integer buckets, so the full decode path is gated again
+    through a second, independent statistic.
+
+    Same Arrow-batched mapInPandas decode boundary; at 100 TB the
+    histogram is per-asset map-side work with zero shuffle (the output
+    sort is gate-only)."""
+    assets = synthesize_png_assets(spark, sf_dir)
+    cols = ["asset_id"] + [f"h{b}" for b in range(8)]
+    out_schema = ", ".join(f"{c} bigint" for c in cols)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                src = _decode_png_pixels(bytes(payload))
+                counts = [0] * 8
+                for row in src["pixels"]:
+                    for r, g, b in row:
+                        counts[(r + g + b) // 96] += 1
+                rows.append(
+                    {"asset_id": aid, **{f"h{i}": counts[i] for i in range(8)}}
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return assets.mapInPandas(op, schema=out_schema).orderBy("asset_id")
