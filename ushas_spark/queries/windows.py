@@ -344,3 +344,60 @@ def window_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("filled_val", F.last("sparse_val", ignorenulls=True).over(w))
         .orderBy("o_orderstatus", "o_orderkey")
     )
+
+
+_DRAWDOWN_ORACLE = """
+WITH monthly AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS ym,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_x100
+  FROM orders GROUP BY 1
+), cum AS (
+  SELECT ym, rev_x100,
+         SUM(rev_x100 - 45000000000) OVER (ORDER BY ym
+             ROWS UNBOUNDED PRECEDING) AS equity
+  FROM monthly
+), dd AS (
+  SELECT ym, equity,
+         MAX(equity) OVER (ORDER BY ym ROWS UNBOUNDED PRECEDING) AS peak
+  FROM cum
+)
+SELECT ym,
+       CAST(equity AS BIGINT) AS equity_x100,
+       CAST(peak AS BIGINT) AS peak_x100,
+       CAST(peak - equity AS BIGINT) AS drawdown_x100
+FROM dd
+ORDER BY ym
+"""
+
+
+@query("window_max_drawdown", oracle=_DRAWDOWN_ORACLE)
+def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-peak drawdown over a monthly equity curve (revenue minus
+    a fixed monthly baseline, cumulated) -- the risk metric every
+    financial timeseries system computes, and the canonical
+    running-max-minus-current window composition: one cumulative SUM
+    window feeding one cumulative MAX window, both over the same tiny
+    |months| ordering. Exact x100 integers end to end."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("ym")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_x100")
+    )
+    w = W.orderBy("ym").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = monthly.select(
+        "ym",
+        F.sum(F.col("rev_x100") - 45_000_000_000).over(w).alias("equity"),
+    )
+    dd = cum.select(
+        "ym",
+        "equity",
+        F.max("equity").over(w).alias("peak"),
+    )
+    return dd.select(
+        "ym",
+        F.col("equity").alias("equity_x100"),
+        F.col("peak").alias("peak_x100"),
+        (F.col("peak") - F.col("equity")).alias("drawdown_x100"),
+    ).orderBy("ym")
