@@ -1016,3 +1016,56 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev_x100",
         F.sum("rev_x100").over(w).alias("cum_rev_x100"),
     ).orderBy("cohort_month", "age_months")
+
+
+_FEATURES_ORACLE = """
+SELECT user_id,
+       to_json([
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT),
+         CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT),
+         CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT)
+       ]) AS features
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@query("events_feature_vectors", oracle=_FEATURES_ORACLE)
+def events_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store assembly: one fixed-layout numeric vector per user
+    (per-type event counts, exact x1e6 value sum, distinct active days)
+    -- the materialization step before ML training joins features to
+    labels. The vector crosses the gate as to_json (the canonicalizer
+    contract for complex types); positions are documented by the
+    SELECT order.
+
+    Scale shape: ONE aggregate over the user_id shuffle -- conditional
+    sums are map-side combinable, and the distinct-days term is the
+    only expansion (two-phase distinct). No pivot, no per-feature
+    passes."""
+    e = load_table(spark, sf_dir, "events")
+    counts = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).cast("long")
+        for t in ["view", "click", "purchase", "signup", "error"]
+    ]
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.to_json(
+                F.array(
+                    *counts,
+                    F.sum(
+                        F.round(F.col("value") * 1_000_000).cast("long")
+                    ),
+                    F.count_distinct(F.date_trunc("day", "ts")),
+                )
+            ).alias("features")
+        )
+        .orderBy("user_id")
+    )
