@@ -731,3 +731,68 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             != F.expr(f"(cum - tok) div {SEQ_LEN}")
         ).alias("spans_boundary"),
     ).orderBy("bucket", "seq_id", "tok_offset", "doc_id")
+
+
+# ---------------------------------------- global ordinals without one task
+SEQ_BUCKET_WIDTH = 64  # n_chars per range bucket (domain ~0..600 -> ~10)
+
+_GLOBAL_SEQ_ORACLE = """
+SELECT doc_id, n_chars,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS BIGINT)
+         AS global_ordinal
+FROM documents
+ORDER BY global_ordinal
+"""
+
+
+@query("pipeline_global_sequence", oracle=_GLOBAL_SEQ_ORACLE)
+def pipeline_global_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global ordinals by (n_chars DESC, doc_id) -- the
+    curriculum-ordering / distributed-zipWithIndex problem -- WITHOUT
+    the naive global row_number's single-partition window (the thing
+    that OOMs one task at 100 TB).
+
+    The scalable two-pass shape: (1) rows bucket by a DETERMINISTIC
+    range of the sort key (fixed-width n_chars bands -- data-independent,
+    unlike repartitionByRange's sampled boundaries, so ordinals are
+    stable across runs/retries); (2) a per-bucket row_number ranks
+    locally while a |buckets|-row cumulative sum of bucket counts
+    (broadcast back) supplies each bucket's global offset. One hash
+    shuffle on the bucket key; the only global window runs over the
+    tiny bucket-count table. For skewed sort keys, derive the band
+    edges from the agg_equidepth_histogram rank arithmetic instead of
+    fixed widths -- the offset algebra is unchanged.
+
+    The oracle states the contract directly as the naive global
+    ROW_NUMBER -- the two formulations must agree row-for-row.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    bucketed = d.withColumn(
+        "bucket", F.expr(f"n_chars div {SEQ_BUCKET_WIDTH}")
+    )
+    counts = (
+        bucketed.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # Global order is n_chars DESC -> higher buckets come first; each
+    # bucket's offset is the total count of strictly-higher buckets.
+    w_off = (
+        W.orderBy(F.col("bucket").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offsets = counts.select(
+        "bucket", (F.sum("n").over(w_off) - F.col("n")).alias("offset")
+    )
+    w_local = W.partitionBy("bucket").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    ranked = bucketed.withColumn("rn", F.row_number().over(w_local))
+    return (
+        ranked.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_chars",
+            (F.col("offset") + F.col("rn") - 1).alias("global_ordinal"),
+        )
+        .orderBy("global_ordinal")
+    )
