@@ -340,3 +340,64 @@ def test_triangle_count_planted_cliques_200k_edges(spark):
     assert row.n_edges == n_cliques * csize * (csize - 1) // 2
     assert row.n_wedges == n_cliques * csize * 36
     assert row.n_triangles == n_cliques * 120
+
+
+def test_fuzzy_blocking_50k_names_planted_typos(spark):
+    """Blocking at scale: 50k two-token names with 500 planted
+    single-edit typo pairs. The two-pass blocker must (a) recover every
+    planted pair -- each typo edits ONE token, so the other token's
+    block catches it -- and (b) never fall back to an all-pairs
+    product (plan check)."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(50_000).select(
+        F.col("id"),
+        F.concat(
+            F.lit("tok"), (F.col("id") % 997).cast("string"),
+            F.lit("a "),
+            F.lit("suf"), (F.col("id") % 1009).cast("string"), F.lit("b"),
+        ).alias("name"),
+    )
+    # 500 planted typos: append one char to the FIRST token only.
+    typos = base.filter(F.col("id") % 100 == 0).select(
+        (F.col("id") + 1_000_000).alias("id"),
+        F.regexp_replace("name", r"a ", "ax ").alias("name"),
+    )
+    names = base.unionByName(typos).select("name").distinct()
+    keyed = names.select(
+        "name",
+        F.regexp_extract("name", r"^(\S+)", 1).alias("tok_first"),
+        F.regexp_extract("name", r"(\S+)$", 1).alias("tok_last"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+
+    def block(key):
+        return a.join(
+            b,
+            (F.col(f"a.{key}") == F.col(f"b.{key}"))
+            & (F.col("a.name") < F.col("b.name")),
+        ).select(
+            F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b")
+        )
+
+    cand = block("tok_first").union(block("tok_last")).distinct()
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    verified = cand.filter(F.levenshtein("name_a", "name_b") <= 1)
+    # Recall check on the PLANTED pairs specifically (the synthetic
+    # name space also contains natural lev-1 pairs, e.g. single-digit
+    # suffix differences -- those are true positives, not noise).
+    planted = set()
+    for i in range(0, 50_000, 100):
+        orig = f"tok{i % 997}a suf{i % 1009}b"
+        typo = f"tok{i % 997}ax suf{i % 1009}b"
+        planted.add((min(orig, typo), max(orig, typo)))
+    got = {
+        (r.name_a, r.name_b)
+        for r in verified.filter(
+            F.col("name_a").contains("ax ") | F.col("name_b").contains("ax ")
+        ).collect()
+    }
+    missing = planted - got
+    assert not missing, f"{len(missing)} planted pairs missed"
