@@ -796,3 +796,95 @@ def pipeline_global_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("global_ordinal")
     )
+
+
+# ------------------------------------------ quality-weighted resampling
+RESAMPLE_SCALE = 150  # keep probability = min(quality, 150) / 150
+
+_RESAMPLE_ORACLE = f"""
+WITH t AS (SELECT doc_id, source, text,
+                  regexp_split_to_array(text, '\\s+') AS toks
+           FROM documents),
+f AS (
+  SELECT doc_id, source,
+         len(toks) AS n_tok,
+         len(list_distinct(toks)) AS n_uniq,
+         len(list_filter(toks,
+             w -> list_contains(['the','a','of','and','to'], w))) AS n_stop,
+         length(text) AS n_chr
+  FROM t
+), q AS (
+  SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+         CAST(ROUND(
+           100.0 * (CAST(n_uniq AS DOUBLE) / n_tok)
+           + 50.0 * (CAST(n_stop AS DOUBLE) / n_tok)
+           + CASE WHEN n_tok BETWEEN 20 AND 1000 THEN 25.0 ELSE 0.0 END
+           + CASE WHEN n_chr >= 100 THEN 25.0 ELSE 0.0 END
+         ) AS BIGINT) AS quality
+  FROM f
+), kept AS (
+  SELECT source, n_tok,
+         CASE WHEN {sql_hash60("'resample:' || CAST(doc_id AS VARCHAR)")}
+                   % {RESAMPLE_SCALE} < LEAST(quality, {RESAMPLE_SCALE})
+              THEN 1 ELSE 0 END AS keep
+  FROM q
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_in,
+       CAST(SUM(keep) AS BIGINT) AS n_kept,
+       CAST(SUM(keep * n_tok) AS BIGINT) AS tok_kept
+FROM kept
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("pipeline_importance_resample", oracle=_RESAMPLE_ORACLE)
+def pipeline_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling (DoReMi-lite): each document
+    survives with probability min(quality, {RESAMPLE_SCALE}) /
+    {RESAMPLE_SCALE}, decided by a PURE hash of its id -- so reruns,
+    backfills and both engines agree row-for-row (rand() could never
+    gate). Higher-quality documents are proportionally up-weighted in
+    the surviving corpus; the report accounts docs and tokens kept per
+    source.
+
+    Scale shape: one scan, all map-side arithmetic (quality features +
+    hash decision), one rollup over |sources| groups."""
+    from ushas_spark.operators.text import STOPWORDS, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    en_stop = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    n_tok = F.size(toks).cast("double")
+    n_uniq = F.size(F.array_distinct(toks)).cast("double")
+    n_stop = F.size(
+        F.filter(toks, lambda w: F.array_contains(en_stop, w))
+    ).cast("double")
+    n_chr = F.length("text")
+    quality = F.round(
+        100.0 * (n_uniq / n_tok)
+        + 50.0 * (n_stop / n_tok)
+        + F.when(
+            (F.size(toks) >= 20) & (F.size(toks) <= 1000), 25.0
+        ).otherwise(0.0)
+        + F.when(n_chr >= 100, 25.0).otherwise(0.0)
+    ).cast("long")
+    h = hash60(F.concat(F.lit("resample:"), F.col("doc_id").cast("string")))
+    keep = F.when(
+        h % RESAMPLE_SCALE < F.least(quality, F.lit(RESAMPLE_SCALE)), 1
+    ).otherwise(0)
+    base = d.select(
+        "source",
+        F.size(toks).cast("long").alias("n_tok"),
+        keep.alias("keep"),
+    )
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_in"),
+            F.sum("keep").cast("long").alias("n_kept"),
+            F.sum(F.col("keep") * F.col("n_tok")).alias("tok_kept"),
+        )
+        .orderBy("source")
+    )
