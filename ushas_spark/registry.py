@@ -57,8 +57,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # pipeline_chunk_sliding/pack_sequences, profile_expectations,
 # events_attribution_last_touch/ohlc_hourly/inactive_gap,
 # sim_random_projection/knn_classify, graph_triangle_count/kcore,
-# basket_pair_lift, agg_linear_regression/mode/mad, sql_pivot/filter,
-# expr_mask_battery, multimodal_wav_zcr, streaming_ohlc_bars).
+# basket_pair_lift, agg_linear_regression/mode/mad/winsorized,
+# sql_pivot/filter, expr_mask_battery, multimodal_wav_zcr/png_histogram,
+# streaming_ohlc_bars, dedup_lsh_recall_eval, text_lang_confusion_eval,
+# profile_gini_impurity, events_rfm/yoy/ltv/delay/features,
+# window_max_drawdown, pipeline_global_sequence/importance_resample/
+# pack_sequences, asof_nearest_order_to_event).
 _PRIORITY_NAMES = [
     "dedup_survivor_stats",
     "pipeline_train_test_split",
