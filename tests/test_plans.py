@@ -550,3 +550,10 @@ def test_dynamic_partition_pruning_injects_subquery(spark, sf_dir, tmp_path):
     ).count()
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan, plan
+
+
+def test_sql_broadcast_hint_respected(spark, sf_dir):
+    """The /*+ BROADCAST(n) */ comment hint must plan a
+    BroadcastHashJoin with nation on the build side."""
+    plan = _plan(QUERIES["sql_join_hint_broadcast"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan

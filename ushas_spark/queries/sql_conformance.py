@@ -339,3 +339,29 @@ def sql_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     lacks it, making this an upgrade-over-reference row like LATERAL and
     GROUP BY ALL). The SAME SQL text runs on both engines."""
     return _sql(spark, sf_dir, _FILTER_SQL)
+
+
+_HINT_SQL = """
+SELECT /*+ BROADCAST(n) */ n.n_name, COUNT(*) AS n_cust
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+_HINT_ORACLE = """
+SELECT n.n_name, COUNT(*) AS n_cust
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+@query("sql_join_hint_broadcast", oracle=_HINT_ORACLE)
+def sql_join_hint_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-comment join hints (/*+ BROADCAST(alias) */) -- the
+    parser-level hint surface (reference: the 2.4 grammar accepts
+    hints; ResolveJoinStrategyHints resolves them). The hint is
+    semantics-preserving, so the oracle is the plain join; the plan
+    effect (BroadcastHashJoin on the hinted side) is asserted in
+    tests/test_plans.py."""
+    return _sql(spark, sf_dir, _HINT_SQL)

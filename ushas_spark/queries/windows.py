@@ -401,3 +401,50 @@ def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("peak").alias("peak_x100"),
         (F.col("peak") - F.col("equity")).alias("drawdown_x100"),
     ).orderBy("ym")
+
+
+_RUNNING_DISTINCT_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, ts, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS occ
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS distinct_types_so_far
+FROM seq
+ORDER BY user_id, event_id
+"""
+
+
+@query("window_running_distinct", oracle=_RUNNING_DISTINCT_ORACLE)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window -- which Spark (and
+    standard SQL) does not support directly -- via the first-occurrence
+    decomposition: row_number over (user, type) marks each type's first
+    event, and a running SUM of those marks equals the distinct count
+    so far. Both windows share the user_id partitioning, so the
+    workaround costs the same single shuffle the illegal form would.
+    Deterministic through the (ts, event_id) tiebreak."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w_occ = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    seq = e.withColumn("occ", F.row_number().over(w_occ))
+    return (
+        seq.select(
+            "user_id",
+            "event_id",
+            F.sum(F.when(F.col("occ") == 1, 1).otherwise(0))
+            .over(w_run).cast("long").alias("distinct_types_so_far"),
+        )
+        .orderBy("user_id", "event_id")
+    )
