@@ -345,3 +345,102 @@ def profile_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("col_name")
+
+
+# ---------------------------------------------- pairwise Pearson profile
+_CORR_COLS = [
+    ("l_quantity", "CAST(l_quantity AS BIGINT)", 1),
+    ("l_extendedprice", "CAST(ROUND(l_extendedprice * 100) AS BIGINT)", 100),
+    ("l_discount", "CAST(ROUND(l_discount * 100) AS BIGINT)", 100),
+    ("l_tax", "CAST(ROUND(l_tax * 100) AS BIGINT)", 100),
+]
+
+
+def _corr_oracle() -> str:
+    names = [n for n, _, _ in _CORR_COLS]
+    sels = ", ".join(f"{expr} AS {n}" for n, expr, _ in _CORR_COLS)
+    stat_cols = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for n in names:
+        stat_cols.append(f"CAST(SUM({n}) AS BIGINT) AS s_{n}")
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            stat_cols.append(f"CAST(SUM({a} * {b}) AS BIGINT) AS s_{a}_{b}")
+    pair_rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            pair_rows.append(
+                f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+       CAST(ROUND(1000000.0 *
+         (CAST(n AS DOUBLE) * s_{a}_{b} - CAST(s_{a} AS DOUBLE) * s_{b}) /
+         (sqrt(CAST(n AS DOUBLE) * s_{a}_{a}
+               - CAST(s_{a} AS DOUBLE) * s_{a}) *
+          sqrt(CAST(n AS DOUBLE) * s_{b}_{b}
+               - CAST(s_{b} AS DOUBLE) * s_{b}))) AS BIGINT) AS corr_x1m
+FROM stats"""
+            )
+    return (
+        f"WITH t AS (SELECT {sels} FROM lineitem),\n"
+        f"stats AS (SELECT {', '.join(stat_cols)} FROM t)\n"
+        + "\nUNION ALL\n".join(pair_rows)
+        + "\nORDER BY col_a, col_b"
+    )
+
+
+@query("profile_correlation_matrix", oracle=_corr_oracle())
+def profile_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations over the numeric lineitem columns
+    from EXACT integer sufficient statistics -- the same one-aggregate
+    pattern as agg_linear_regression, widened to the full triangular
+    matrix: one scan accumulates n, per-column sums, and all pairwise
+    product sums as BIGINTs (map-side combinable); the correlations
+    derive in double from identical integers on both engines. The
+    built-in corr() folds doubles in partition order and cannot gate.
+
+    Scale shape: ONE scan, one scalar aggregate, |cols|^2/2 output
+    rows. Columns enter x100-scaled so products stay integral;
+    headroom note as in agg_linear_regression (DECIMAL(38) beyond
+    ~sf1 row counts).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    names = [n for n, _, _ in _CORR_COLS]
+    t = li.select(
+        F.col("l_quantity").cast("long").alias("l_quantity"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias(
+            "l_extendedprice"
+        ),
+        F.round(F.col("l_discount") * 100).cast("long").alias("l_discount"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("l_tax"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for n in names:
+        aggs.append(F.sum(n).alias(f"s_{n}"))
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"s_{a}_{b}"))
+    stats = t.agg(*aggs)
+    rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            nn = F.col("n").cast("double")
+            sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+            sab = F.col(f"s_{a}_{b}").cast("double")
+            saa = F.col(f"s_{a}_{a}").cast("double")
+            sbb = F.col(f"s_{b}_{b}").cast("double")
+            rows.append(
+                stats.select(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.round(
+                        F.lit(1_000_000.0)
+                        * (nn * sab - sa * sb)
+                        / (
+                            F.sqrt(nn * saa - sa * sa)
+                            * F.sqrt(nn * sbb - sb * sb)
+                        )
+                    ).cast("long").alias("corr_x1m"),
+                )
+            )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("col_a", "col_b")
