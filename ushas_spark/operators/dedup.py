@@ -1002,3 +1002,145 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("precision_x1m"),
         )
     )
+
+
+# ------------------------------------------------- ensemble dedup fusion
+def _ensemble_oracle() -> str:
+    """Namespaced union of the three pair generators + recursive-CTE
+    components -- each tier's SQL mirrors its standalone oracle."""
+    svotes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    scombine = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END"
+        for b in range(SIMHASH_BITS)
+    )
+    mband = _BAND_SELECTS.replace("FROM sigs", "FROM msig")
+    eb = " UNION ALL ".join(
+        f"SELECT vec_id, e, {t} AS tbl, {_sql_bucket_import('e', tp)} AS bucket FROM ev"
+        for t, tp in enumerate(_emb_tables())
+    )
+    return f"""
+WITH RECURSIVE msh AS (
+  SELECT doc_id, unnest({sql_shingles()}) AS shingle FROM documents
+), mhash AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(shingle), 1, 15))::BIGINT % {MINHASH_PRIME} AS h31
+  FROM msh
+), msig AS (
+  SELECT doc_id, {_MH_COLS} FROM mhash GROUP BY doc_id
+), mbands AS (
+  {mband}
+), mcand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM mbands a JOIN mbands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+), msizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM msh GROUP BY doc_id),
+minter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM mcand c
+  JOIN msh a ON a.doc_id = c.doc_a
+  JOIN msh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+  GROUP BY 1, 2
+), mpairs AS (
+  SELECT i.doc_a, i.doc_b FROM minter i
+  JOIN msizes sa ON i.doc_a = sa.doc_id
+  JOIN msizes sb ON i.doc_b = sb.doc_id
+  WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= {JACCARD_THRESHOLD}
+), stok AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(unnest(regexp_split_to_array(text, '\\s+'))), 1, 15))::BIGINT AS h
+  FROM documents
+), svotes AS (
+  SELECT doc_id,
+         {svotes}
+  FROM stok GROUP BY doc_id
+), shash AS (
+  SELECT doc_id, {scombine} AS simhash FROM svotes
+), sbands AS (
+  SELECT doc_id, simhash, band, (simhash >> (8 * band)) & 255 AS key
+  FROM shash, (VALUES (0), (1), (2), (3)) b(band)
+), spairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sbands a JOIN sbands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+), ev AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+ebk AS (
+  {eb}
+), epairs AS (
+  SELECT DISTINCT a.vec_id AS doc_a, bb.vec_id AS doc_b
+  FROM ebk a JOIN ebk bb
+    ON a.tbl = bb.tbl AND a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+  WHERE {_sql_emb_cos("a.e", "bb.e")} >= 0.40
+), allp AS (
+  SELECT doc_a, doc_b FROM mpairs
+  UNION SELECT doc_a, doc_b FROM spairs
+  UNION SELECT doc_a, doc_b FROM epairs
+), edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM allp
+  UNION ALL SELECT doc_b, doc_a FROM allp
+), reach(id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.id
+)
+SELECT id AS doc_id, MIN(label) AS cluster_id
+FROM reach GROUP BY id ORDER BY doc_id
+"""
+
+
+SIMHASH_MAX_HAMMING = 6
+
+
+def _emb_tables():
+    from ushas_spark.operators.similarity import _PLANES, _tables
+
+    return _tables(_PLANES)
+
+
+def _sql_bucket_import(vec: str, planes) -> str:
+    from ushas_spark.operators.similarity import _sql_bucket
+
+    return _sql_bucket(vec, planes)
+
+
+def _sql_emb_cos(a: str, b: str) -> str:
+    from ushas_spark.operators.similarity import sql_cosine
+
+    return sql_cosine(a, b)
+
+
+@query("dedup_ensemble_clusters", oracle=_ensemble_oracle())
+def dedup_ensemble_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENSEMBLE near-dup clustering: the union of all three candidate
+    tiers -- lexical (MinHash-LSH verified Jaccard), structural
+    (SimHash byte-band Hamming <= {SIMHASH_MAX_HAMMING}) and semantic
+    (embedding cosine >= 0.40) -- fused into one candidate graph and
+    resolved to clusters by hash-min label propagation. This is the
+    production shape: no single signal catches every duplicate family
+    (exact-ish copies, reorderings, paraphrases), and the union costs
+    only a pair-table concat because every tier is already
+    candidate-bounded (banded/bucketed, never all-pairs).
+
+    Oracle: all three pair generators replayed in namespaced SQL + the
+    recursive-CTE components -- the whole fusion is gated end-to-end.
+    """
+    from ushas_spark.operators.similarity import dedup_embedding_cosine
+
+    docs = load_table(spark, sf_dir, "documents")
+    mh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    sh = simhash_near_pairs(
+        simhash(docs), max_hamming=SIMHASH_MAX_HAMMING
+    ).select("doc_a", "doc_b")
+    emb = dedup_embedding_cosine(spark, sf_dir).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    pairs = mh.unionByName(sh).unionByName(emb).distinct()
+    comp = connected_components(
+        docs.select("doc_id"), pairs, id_col="doc_id", src="doc_a", dst="doc_b"
+    )
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
