@@ -713,3 +713,45 @@ def test_kcore_peeling_reaches_fixpoint(spark, sf_dir):
         assert row.n_core_edges == 0 and row.min_core_degree is None
     else:
         assert row.min_core_degree >= KCORE_K, row
+
+
+def test_cdc_apply_is_idempotent_under_replay(spark, sf_dir):
+    """At-least-once replay safety: merging the already-applied
+    snapshot (as upserts at their applied sequence numbers) back with
+    the full log and re-running latest-wins must reproduce the
+    snapshot exactly -- duplicate delivery of old entries changes
+    nothing."""
+    from pyspark.sql import Window as W
+
+    from ushas_spark.operators.mergeop import merge_cdc_apply
+
+    snap = merge_cdc_apply(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    log = orders.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 10 == 0, "D")
+        .when(F.col("o_orderkey") % 10 == 1, "I")
+        .otherwise("U")
+        .alias("op"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("val_x100"),
+    )
+    replayed = log.unionByName(
+        snap.select(
+            "key",
+            F.col("last_seq").alias("seq"),
+            F.lit("I").alias("op"),
+            "val_x100",
+        )
+    )
+    w = W.partitionBy("key").orderBy(F.col("seq").desc())
+    latest = (
+        replayed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    again = latest.where(F.col("op") != "D").select(
+        "key", F.col("seq").alias("last_seq"), "val_x100"
+    )
+    assert again.exceptAll(snap).count() == 0
+    assert snap.exceptAll(again).count() == 0
