@@ -1069,3 +1069,57 @@ def events_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_BACKLOG_ORACLE = """
+WITH spans AS (
+  SELECT o.o_orderkey, o.o_orderdate AS d0, MAX(l.l_shipdate) AS d1
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+), deltas AS (
+  SELECT d0 AS day, 1 AS delta FROM spans
+  UNION ALL
+  SELECT d1 + INTERVAL 1 DAY, -1 FROM spans
+), daily AS (
+  SELECT CAST(day AS DATE) AS day, CAST(SUM(delta) AS BIGINT) AS delta
+  FROM deltas GROUP BY 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(SUM(delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS open_orders
+FROM daily
+ORDER BY day
+"""
+
+
+@query("orders_open_backlog_daily", oracle=_BACKLOG_ORACLE)
+def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-interval counting by sweep line: how many orders are
+    open (order date .. last line shipped) on each day. The naive form
+    joins every order against every day it spans (|orders| x avg-span
+    row explosion); the sweep-line form emits just TWO deltas per order
+    (+1 at start, -1 after end), aggregates them per day (map-side
+    combinable), and a running sum over the tiny |days| table yields
+    the concurrency curve. The standard trick for "active sessions /
+    open tickets / concurrent calls over time" at any scale.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    spans = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("d1"))
+    )
+    deltas = spans.select(
+        F.col("o_orderdate").alias("day"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select(
+            F.date_add("d1", 1).alias("day"), F.lit(-1).alias("delta")
+        )
+    )
+    daily = deltas.groupBy("day").agg(F.sum("delta").alias("delta"))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.sum("delta").over(w).cast("long").alias("open_orders"),
+    ).orderBy("day")
