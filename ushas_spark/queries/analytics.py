@@ -1123,3 +1123,67 @@ def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.sum("delta").over(w).cast("long").alias("open_orders"),
     ).orderBy("day")
+
+
+_BOUNCE_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sess AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM seq
+), sizes AS (
+  SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM sess GROUP BY user_id, sid
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounce,
+       CAST(ROUND(1000000.0 * SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                  / COUNT(*)) AS BIGINT) AS bounce_x1m,
+       CAST(MAX(n_events) AS BIGINT) AS max_session_events
+FROM sizes
+"""
+
+
+@query("events_bounce_rate", oracle=_BOUNCE_ORACLE)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate over 30-minute-gap sessions: the fraction of
+    sessions containing exactly one event -- the canonical engagement
+    KPI, composed from the batch gap-sessionization shape (lag ->
+    boundary flag -> running session id) plus a session-size rollup.
+    Both windows and the rollup share the single user_id shuffle;
+    the final report is a scalar aggregate.
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w_lag = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w_lag))
+    sess = e.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w_lag).isNull() | (gap_us > 1_800_000_000), 1
+        ).otherwise(0),
+    ).withColumn("sid", F.sum("new_session").over(w_run))
+    sizes = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        bounce.cast("long").alias("n_bounce"),
+        F.round(F.lit(1_000_000.0) * bounce / F.count(F.lit(1)))
+        .cast("long").alias("bounce_x1m"),
+        F.max("n_events").alias("max_session_events"),
+    )

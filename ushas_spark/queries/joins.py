@@ -267,3 +267,58 @@ def join_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_pairs") >= 10)
         .orderBy("l_orderkey")
     )
+
+
+_TIER_ORACLE = """
+WITH tiers(tier, lo, hi) AS (
+  VALUES ('bronze', 0, 100000),
+         ('silver', 100000, 250000),
+         ('gold', 250000, 400000),
+         ('platinum', 400000, 1000000000)
+)
+SELECT t.tier,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS rev_x100
+FROM orders o
+JOIN tiers t ON o.o_totalprice >= t.lo AND o.o_totalprice < t.hi
+GROUP BY t.tier
+ORDER BY t.tier
+"""
+
+
+@query("join_tier_lookup", oracle=_TIER_ORACLE)
+def join_tier_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-range dimension lookup: classify every order into a
+    price tier from a tiny range table. This is the one theta-join
+    shape where BroadcastNestedLoopJoin is the RIGHT plan -- the build
+    side is a handful of rows, so the 'nested loop' is a 4-iteration
+    inner loop per probe row and the fact streams once with no
+    shuffle. The interval/band machinery (join_range_banded,
+    join_interval_overlap) exists for when BOTH sides are large; a
+    banded formulation here would only add an exchange.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    tiers = spark.createDataFrame(
+        [
+            ("bronze", 0, 100_000),
+            ("silver", 100_000, 250_000),
+            ("gold", 250_000, 400_000),
+            ("platinum", 400_000, 1_000_000_000),
+        ],
+        "tier string, lo long, hi long",
+    )
+    return (
+        o.join(
+            F.broadcast(tiers),
+            (o.o_totalprice >= tiers.lo) & (o.o_totalprice < tiers.hi),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("rev_x100"),
+        )
+        .orderBy("tier")
+    )
