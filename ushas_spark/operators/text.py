@@ -891,3 +891,68 @@ def text_lang_confusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("actual", "predicted")
     )
+
+
+def _novel_sql_shingles() -> str:
+    from ushas_spark.operators.dedup import sql_shingles
+
+    return sql_shingles()
+
+
+def _novel_shingles():
+    from ushas_spark.operators.dedup import shingles
+
+    return shingles()
+
+
+_NOVELTY_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_novel_sql_shingles()}) AS shingle FROM documents
+), firsts AS (
+  SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(ROUND(1000000.0 *
+            SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+            / COUNT(*)) AS BIGINT) AS novelty_x1m
+FROM sh s JOIN firsts f ON s.shingle = f.shingle
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""
+
+
+@query("text_ngram_novelty", oracle=_NOVELTY_ORACLE)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    trigram shingles whose FIRST corpus occurrence (minimum doc_id --
+    the ingestion-order proxy) is this document. The
+    diversity-vs-redundancy curation signal: low novelty late in the
+    corpus means the source has gone stale; it complements pairwise
+    dedup by measuring redundancy against EVERYTHING already ingested,
+    not one near-duplicate partner.
+
+    Scale shape: one shingle explode (shared shape with the dedup
+    index), a min-aggregate per shingle (map-side combinable), and a
+    join back on the shingle key -- the same inverted-index economics
+    as dedup_ngram_jaccard, no pair explosion at all.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(_novel_shingles()).alias("shingle"))
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    joined = sh.join(firsts, "shingle")
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            novel.cast("long").alias("n_novel"),
+            F.round(F.lit(1_000_000.0) * novel / F.count(F.lit(1)))
+            .cast("long").alias("novelty_x1m"),
+        )
+        .orderBy("doc_id")
+    )

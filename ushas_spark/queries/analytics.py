@@ -1187,3 +1187,73 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("bounce_x1m"),
         F.max("n_events").alias("max_session_events"),
     )
+
+
+_PARETO_ORACLE = """
+WITH per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id
+), ranked AS (
+  SELECT n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rnk,
+         COUNT(*) OVER () AS n_users,
+         SUM(n) OVER () AS total
+  FROM per_user
+), cum AS (
+  SELECT rnk, n_users, total,
+         SUM(n) OVER (ORDER BY rnk ROWS UNBOUNDED PRECEDING) AS cum_events,
+         ((rnk * 10 - 1) // n_users) AS decile
+  FROM ranked
+)
+SELECT CAST(decile + 1 AS BIGINT) AS decile,
+       CAST(MAX(rnk) AS BIGINT) AS n_users_cum,
+       CAST(MAX(cum_events) AS BIGINT) AS cum_events,
+       CAST(ROUND(1000000.0 * MAX(cum_events) / MAX(total)) AS BIGINT)
+         AS cum_share_x1m
+FROM cum
+GROUP BY decile
+ORDER BY decile
+"""
+
+
+@query("events_pareto_concentration", oracle=_PARETO_ORACLE)
+def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / Lorenz concentration: what share of all events comes
+    from the most active 10%, 20%, ... of users -- the 80/20 readout
+    behind capacity planning and whale analysis (and the cumulative
+    companion of profile_gini_impurity's point statistic).
+
+    Scale shape: the ranking and cumulative windows run over the
+    PER-USER rollup (|users| rows, shuffled once), never the event
+    fact; decile assignment is pure integer arithmetic so both engines
+    bucket identically; output is 10 rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    w_rank = W.orderBy(F.col("n").desc(), "user_id")
+    w_all = W.partitionBy()
+    ranked = per_user.select(
+        "n",
+        F.row_number().over(w_rank).alias("rnk"),
+        F.count(F.lit(1)).over(w_all).alias("n_users"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    w_cum = W.orderBy("rnk").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = ranked.select(
+        "rnk",
+        "n_users",
+        "total",
+        F.sum("n").over(w_cum).alias("cum_events"),
+        F.expr("(rnk * 10 - 1) div n_users").alias("decile"),
+    )
+    return (
+        cum.groupBy((F.col("decile") + 1).cast("long").alias("decile"))
+        .agg(
+            F.max("rnk").cast("long").alias("n_users_cum"),
+            F.max("cum_events").cast("long").alias("cum_events"),
+            F.round(
+                F.lit(1_000_000.0) * F.max("cum_events") / F.max("total")
+            ).cast("long").alias("cum_share_x1m"),
+        )
+        .orderBy("decile")
+    )
