@@ -1257,3 +1257,76 @@ def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+_TTC_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM events GROUP BY user_id
+), p AS (
+  SELECT v.user_id, v.t_view,
+         MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > v.t_view
+                  THEN e.ts END) AS t_purchase
+  FROM v JOIN events e USING (user_id)
+  WHERE v.t_view IS NOT NULL
+  GROUP BY 1, 2
+), durs AS (
+  SELECT CAST(epoch_us(t_purchase) - epoch_us(t_view) AS BIGINT) AS d_us
+  FROM p WHERE t_purchase IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       CAST(MIN(d_us) // 1000000 AS BIGINT) AS min_s,
+       CAST(ROUND(quantile_cont(CAST(d_us AS DOUBLE), 0.5) / 1000000)
+            AS BIGINT) AS median_s,
+       CAST(MAX(d_us) // 1000000 AS BIGINT) AS max_s
+FROM durs
+"""
+
+
+@query("events_time_to_convert", oracle=_TTC_ORACLE)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency: time from a user's first view to their first
+    subsequent purchase (min/median/max) -- the funnel's companion
+    metric. Durations are exact epoch-microsecond integers; the median
+    interpolates at worst to a .5 midpoint of two integers, which both
+    engines represent exactly.
+
+    Scale shape: two window-mins over the same user_id partition (one
+    shuffle, like the funnel), then a scalar aggregate over the
+    converted-user rows."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = W.partitionBy("user_id")
+    staged = e.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    ).withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = (
+        staged.filter(F.col("t_view").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.first("t_view").alias("t_view"),
+            F.first("t_purchase").alias("t_purchase"),
+        )
+        .filter(F.col("t_purchase").isNotNull())
+    )
+    durs = per_user.select(
+        (F.unix_micros("t_purchase") - F.unix_micros("t_view")).alias("d_us")
+    )
+    return durs.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.expr("min(d_us) div 1000000").alias("min_s"),
+        F.round(
+            F.percentile(F.col("d_us").cast("double"), F.lit(0.5))
+            / 1_000_000
+        ).cast("long").alias("median_s"),
+        F.expr("max(d_us) div 1000000").alias("max_s"),
+    )
