@@ -475,3 +475,84 @@ def graph_kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_core_degree",
         )
     )
+
+
+# ----------------------------------------------- degree distribution
+_DEGREE_HIST_ORACLE = """
+WITH pl AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM pl a JOIN pl b ON a.ok = b.ok AND a.pk < b.pk
+), deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+  GROUP BY node
+), bucketed AS (
+  SELECT CASE
+           WHEN d < 2 THEN 0 WHEN d < 4 THEN 1 WHEN d < 8 THEN 2
+           WHEN d < 16 THEN 3 WHEN d < 32 THEN 4 WHEN d < 64 THEN 5
+           WHEN d < 128 THEN 6 WHEN d < 256 THEN 7 WHEN d < 512 THEN 8
+           ELSE 9 END AS bucket,
+         d
+  FROM deg
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(POWER(2, bucket) AS BIGINT) AS lo_degree,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(d) AS BIGINT) AS min_d,
+       CAST(MAX(d) AS BIGINT) AS max_d
+FROM bucketed
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@query("graph_degree_histogram", oracle=_DEGREE_HIST_ORACLE)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-binned (power-of-two) degree distribution of the co-purchase
+    graph -- the first thing you plot to see whether a graph is
+    power-law (celebrity nodes ahead) or homogeneous, i.e. whether the
+    degree-orientation and salting machinery will matter. Buckets are
+    an explicit CASE ladder (integer compares, no log()), so both
+    engines bin identically; output is ~10 rows from one degree
+    aggregate."""
+    pl = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = pl.alias("a"), pl.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    bucket = (
+        F.when(F.col("d") < 2, 0).when(F.col("d") < 4, 1)
+        .when(F.col("d") < 8, 2).when(F.col("d") < 16, 3)
+        .when(F.col("d") < 32, 4).when(F.col("d") < 64, 5)
+        .when(F.col("d") < 128, 6).when(F.col("d") < 256, 7)
+        .when(F.col("d") < 512, 8).otherwise(9)
+    )
+    return (
+        deg.select(bucket.cast("long").alias("bucket"), "d")
+        .groupBy("bucket")
+        .agg(
+            F.pow(F.lit(2), F.col("bucket")).cast("long").alias("lo_degree"),
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("d").alias("min_d"),
+            F.max("d").alias("max_d"),
+        )
+        .select("bucket", "lo_degree", "n_nodes", "min_d", "max_d")
+        .orderBy("bucket")
+    )

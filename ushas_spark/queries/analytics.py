@@ -1330,3 +1330,40 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("median_s"),
         F.expr("max(d_us) div 1000000").alias("max_s"),
     )
+
+
+_HEATMAP_ORACLE = """
+SELECT CAST(isodow(ts) AS BIGINT) AS iso_dow,
+       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+         AS value_x1m
+FROM events
+GROUP BY 1, 2
+ORDER BY iso_dow, hour
+"""
+
+
+@query("events_weekday_hour_heatmap", oracle=_HEATMAP_ORACLE)
+def events_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap by (ISO weekday, hour) -- the 7x24 usage matrix
+    every ops dashboard opens with. ISO day-of-week (1=Monday) is the
+    one cross-engine-stable day convention (Spark's dayofweek() is
+    1=Sunday, DuckDB's dayofweek() is 0=Sunday; EXTRACT DAYOFWEEK_ISO /
+    isodow agree). One map-side-combinable rollup to 168 cells."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.expr("extract(DAYOFWEEK_ISO FROM ts)").cast("long").alias(
+                "iso_dow"
+            ),
+            F.hour("ts").cast("long").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.round(F.col("value") * 1_000_000).cast("long")
+            ).alias("value_x1m"),
+        )
+        .orderBy("iso_dow", "hour")
+    )
