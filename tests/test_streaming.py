@@ -487,3 +487,73 @@ def test_stream_stream_left_outer_join(spark, sf_dir):
     assert got_matched == want_matched
     assert got_nulls <= (all_vids - matched_vids)
     assert got_nulls, "no null-extended rows emitted at all"
+
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """The watermark actually DROPS late data (reference:
+    EventTimeWatermarkExec + statefulOperators watermark predicates):
+    batch 1 advances the watermark far past an old window; batch 2
+    delivers an event older than the watermark; in append mode its
+    window must never be emitted and the state operator must report
+    the drop."""
+    import pandas as pd
+
+    path = tmp_path / "late_feed"
+    path.mkdir()
+    schema = "event_id bigint, ts timestamp, v bigint"
+
+    def write_file(name, rows):
+        pd.DataFrame(
+            rows, columns=["event_id", "ts", "v"]
+        ).astype({"ts": "datetime64[us]"}).to_parquet(path / name)
+
+    # Batch 1: recent events -> max event time 2024-01-10, watermark
+    # after the batch = 2024-01-10 minus 1h, far beyond 2024-01-01.
+    write_file(
+        "b1.parquet",
+        [
+            (1, pd.Timestamp("2024-01-10 10:00:00"), 1),
+            (2, pd.Timestamp("2024-01-10 11:00:00"), 1),
+        ],
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(path))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH").alias("w"), "n"
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_late_drop")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # Batch 2: an event 9 days older than the watermark.
+        write_file(
+            "b2.parquet", [(3, pd.Timestamp("2024-01-01 00:30:00"), 1)]
+        )
+        q.processAllAvailable()
+        # One more batch so closed windows flush to the append sink.
+        write_file(
+            "b3.parquet", [(4, pd.Timestamp("2024-01-10 13:00:00"), 1)]
+        )
+        q.processAllAvailable()
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p["stateOperators"]
+        )
+    finally:
+        q.stop()
+    emitted = {r.w for r in spark.table("t_late_drop").collect()}
+    assert "2024-01-01 00" not in emitted
+    assert dropped >= 1, f"watermark never dropped the late row: {dropped}"
