@@ -808,3 +808,44 @@ def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+_DECIMAL_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR)
+         AS sum_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(1 - l_discount AS DECIMAL(12,2))) AS VARCHAR)
+         AS sum_disc_price,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("agg_decimal_exact_sums", oracle=_DECIMAL_ORACLE)
+def agg_decimal_exact_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL-typed aggregation (the reference's Decimal/UnscaledValue
+    path -- catalyst/expressions/decimalExpressions.scala, Sum's
+    DecimalType branch): prices cast to DECIMAL(12,2) sum EXACTLY with
+    no scaling tricks, because decimal arithmetic is defined to be
+    exact in both engines -- the type a financial pipeline should use
+    instead of the x100-BIGINT workaround the double-typed columns
+    force everywhere else. The product term exercises decimal
+    multiplication scale propagation (12,2 x 12,2 -> sum over 24,4);
+    the final sums cross the gate as their canonical string rendering
+    (both engines print the full scale; pandas would otherwise coerce
+    DuckDB decimals to float and drop trailing zeros)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(price).cast("string").alias("sum_price"),
+            F.sum(price * disc).cast("string").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1367,3 +1367,74 @@ def events_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("iso_dow", "hour")
     )
+
+
+_STREAK_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT) AS day_num
+  FROM events
+), grp AS (
+  SELECT user_id, day_num,
+         day_num - ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY day_num) AS island
+  FROM days
+), streaks AS (
+  SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len,
+         CAST(MIN(day_num) AS BIGINT) AS start_day
+  FROM grp GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       arg_min(start_day, printf('%010d|%010d', 100000 - len, start_day))
+         AS streak_start_day,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks
+FROM streaks
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@query("events_longest_streak", oracle=_STREAK_ORACLE)
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user -- the classic
+    gaps-and-islands pattern: distinct activity days, then
+    day_number minus row_number is constant exactly within a
+    consecutive run, so a groupBy on that difference materializes the
+    islands. Ties on equal-length streaks resolve to the earliest
+    start via a fixed-width (inverted length, start) encoding.
+
+    Scale shape: everything shuffles on user_id once (distinct,
+    row_number, and both rollups share the key); day numbers are exact
+    epoch-day integers."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id",
+        F.expr("unix_timestamp(date_trunc('day', ts)) div 86400").alias(
+            "day_num"
+        ),
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day_num")
+    grp = days.withColumn(
+        "island", F.col("day_num") - F.row_number().over(w)
+    )
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("day_num").alias("start_day"),
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("len").alias("longest_streak"),
+            F.min_by(
+                "start_day",
+                F.format_string(
+                    "%010d|%010d",
+                    F.lit(100_000) - F.col("len"),
+                    F.col("start_day"),
+                ),
+            ).alias("streak_start_day"),
+            F.count(F.lit(1)).alias("n_streaks"),
+        )
+        .orderBy("user_id")
+    )
