@@ -839,3 +839,80 @@ def multimodal_png_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return assets.mapInPandas(op, schema=out_schema).orderBy("asset_id")
+
+
+_DOWNSAMPLE_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id AS asset_id,
+         8000 + (doc_id % 2) * 8000 AS rate_in,
+         64 + doc_id % 64 AS n
+  FROM documents WHERE doc_id < {_WAV_N_ASSETS}
+)
+SELECT asset_id,
+       CAST(rate_in // 2 AS BIGINT) AS rate_out,
+       CAST((n + 1) // 2 AS BIGINT) AS n_frames_out,
+       CAST(list_sum(
+         [abs((asset_id * 31 + i * 7) % 2001 - 1000)
+          FOR i IN generate_series(0, n - 1, 2)]
+       ) AS BIGINT) AS abs_sum_out
+FROM p
+ORDER BY asset_id
+"""
+
+
+@query("multimodal_wav_downsample", oracle=_DOWNSAMPLE_ORACLE)
+def multimodal_wav_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio downsampling: decode the WAV, 2:1 decimate (every
+    other sample -- the one resampling kernel that is exactly
+    arithmetic, like nearest-neighbour for images), re-encode at half
+    the rate, then report the re-DECODED output's stats -- so the gate
+    covers decode -> transform -> encode -> decode round-trip. Swap the
+    decimation for a polyphase filter in production without touching
+    the Spark plumbing."""
+    import io
+    import struct
+    import wave
+
+    assets = synthesize_wav_assets(spark, sf_dir)
+    out_schema = (
+        "asset_id bigint, rate_out bigint, n_frames_out bigint, "
+        "abs_sum_out bigint"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    rate = w.getframerate()
+                    n = w.getnframes()
+                    samples = struct.unpack(f"<{n}h", w.readframes(n))
+                dec = samples[::2]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wout:
+                    wout.setnchannels(1)
+                    wout.setsampwidth(2)
+                    wout.setframerate(rate // 2)
+                    wout.writeframes(
+                        struct.pack(f"<{len(dec)}h", *dec)
+                    )
+                with wave.open(io.BytesIO(buf.getvalue()), "rb") as win:
+                    n2 = win.getnframes()
+                    rate2 = win.getframerate()
+                    out = struct.unpack(f"<{n2}h", win.readframes(n2))
+                rows.append(
+                    {
+                        "asset_id": aid,
+                        "rate_out": rate2,
+                        "n_frames_out": n2,
+                        "abs_sum_out": sum(abs(s) for s in out),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "rate_out", "n_frames_out", "abs_sum_out"
+                ],
+            )
+
+    return assets.mapInPandas(op, schema=out_schema).orderBy("asset_id")
