@@ -982,3 +982,73 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# ------------------------------------------ pairwise-distance diagnostics
+PDH_OFFSETS = 5  # each vector pairs with the next 5 ids (deterministic band)
+
+_PDH_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(ROUND({sql_cosine("a.e", "b.e")} * 1000000) AS BIGINT)
+           AS cos_x1m
+  FROM v a
+  JOIN (SELECT unnest(generate_series(1, {PDH_OFFSETS})) AS k) ks ON true
+  JOIN v b ON b.vec_id = a.vec_id + ks.k
+)
+SELECT CAST(FLOOR(cos_x1m / 100000.0) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(MIN(cos_x1m) AS BIGINT) AS min_cos_x1m,
+       CAST(MAX(cos_x1m) AS BIGINT) AS max_cos_x1m
+FROM pairs
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+@query("sim_pairwise_distance_histogram", oracle=_PDH_ORACLE)
+def sim_pairwise_distance_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-space diagnostics: the distribution of pairwise
+    cosines over a deterministic id-band sample (each vector vs the
+    next {PDH_OFFSETS} ids -- unbiased for id-uncorrelated embeddings
+    and, unlike random sampling, reproducible and oracle-able). A
+    healthy space shows a tight mass near 0 with a thin high tail;
+    drift here is the canary for embedding-model regressions before
+    any ANN recall drops.
+
+    Scale shape: the band sample is an EQUI-join (b.id = a.id + k for
+    exploded k), so pair generation is O(N x {PDH_OFFSETS}) with no
+    cross product; bucketing is integer floor division of the scaled
+    cosine."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("e")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("e").alias("e_a"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(PDH_OFFSETS))
+        ).alias("k"),
+    ).withColumn("id_b", F.col("id_a") + F.col("k"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("e").alias("e_b"))
+    pairs = a.join(b, "id_b").select(
+        F.round(cosine(F.col("e_a"), F.col("e_b")) * 1_000_000)
+        .cast("long")
+        .alias("cos_x1m")
+    )
+    return (
+        pairs.select(
+            F.floor(F.col("cos_x1m") / 100_000.0).cast("long").alias("bucket"),
+            "cos_x1m",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("cos_x1m").alias("min_cos_x1m"),
+            F.max("cos_x1m").alias("max_cos_x1m"),
+        )
+        .orderBy("bucket")
+    )

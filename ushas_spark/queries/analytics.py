@@ -1438,3 +1438,65 @@ def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_STICKY_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         date_trunc('week', ts) AS week,
+         date_trunc('day', ts) AS day
+  FROM events
+), dau AS (
+  SELECT week, day, CAST(COUNT(*) AS BIGINT) AS dau
+  FROM ud GROUP BY week, day
+), weekly AS (
+  SELECT week,
+         CAST(SUM(dau) AS BIGINT) AS user_days,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM dau GROUP BY week
+), wau AS (
+  SELECT week, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau FROM ud
+  GROUP BY week
+)
+SELECT strftime(w.week, '%Y-%m-%d') AS week,
+       wau.wau,
+       w.user_days, w.n_days,
+       CAST(ROUND(1000000.0 * w.user_days / (w.n_days * wau.wau)) AS BIGINT)
+         AS stickiness_x1m
+FROM weekly w JOIN wau ON w.week = wau.week
+ORDER BY week
+"""
+
+
+@query("events_dau_wau_stickiness", oracle=_STICKY_ORACLE)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per calendar week: average daily actives over
+    weekly actives -- the engagement ratio product teams track. Both
+    numerator (user-day count) and denominator (weekly distinct users)
+    come from ONE (user, week, day) distinct table, so the fact scans
+    once; ratios are exact-integer inputs with one rounded division."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id",
+        F.date_trunc("week", "ts").alias("week"),
+        F.date_trunc("day", "ts").alias("day"),
+    ).distinct()
+    dau = ud.groupBy("week", "day").agg(F.count(F.lit(1)).alias("dau"))
+    weekly = dau.groupBy("week").agg(
+        F.sum("dau").alias("user_days"), F.count(F.lit(1)).alias("n_days")
+    )
+    wau = ud.groupBy("week").agg(F.count_distinct("user_id").alias("wau"))
+    return (
+        weekly.join(wau, "week")
+        .select(
+            F.date_format("week", "yyyy-MM-dd").alias("week"),
+            "wau",
+            "user_days",
+            "n_days",
+            F.round(
+                F.lit(1_000_000.0) * F.col("user_days")
+                / (F.col("n_days") * F.col("wau"))
+            ).cast("long").alias("stickiness_x1m"),
+        )
+        .orderBy("week")
+    )
