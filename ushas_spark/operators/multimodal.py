@@ -916,3 +916,100 @@ def multimodal_wav_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return assets.mapInPandas(op, schema=out_schema).orderBy("asset_id")
+
+
+_AHASH_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id AS asset_id,
+         8 + doc_id % 9 AS w,
+         8 + doc_id % 7 AS h
+  FROM documents WHERE doc_id < {_PNG_N_ASSETS}
+), grid AS (
+  SELECT asset_id, w, h, gx.gx AS gx, gy.gy AS gy,
+         (gx.gx * w) // 8 AS sx, (gy.gy * h) // 8 AS sy
+  FROM p,
+       LATERAL (SELECT unnest(generate_series(0, 7)) AS gx) gx,
+       LATERAL (SELECT unnest(generate_series(0, 7)) AS gy) gy
+), lum AS (
+  SELECT asset_id, gx, gy,
+         (asset_id * 7 + sx * 3 + sy * 5) % 256
+         + (asset_id * 11 + sx * 2 + sy * 13) % 256
+         + (asset_id * 3 + sx * 17 + sy) % 256 AS l
+  FROM grid
+), tot AS (
+  SELECT asset_id, CAST(SUM(l) AS BIGINT) AS s FROM lum GROUP BY asset_id
+), bits AS (
+  SELECT l.asset_id, l.gx, l.gy,
+         CASE WHEN 64 * l.l > t.s THEN 1 ELSE 0 END AS bit
+  FROM lum l JOIN tot t ON l.asset_id = t.asset_id
+)
+SELECT asset_id,
+       CAST(SUM(CASE WHEN gy < 4 THEN bit * (1 << (gy * 8 + gx))
+                     ELSE 0 END) AS BIGINT) AS ahash_lo,
+       CAST(SUM(CASE WHEN gy >= 4 THEN bit * (1 << ((gy - 4) * 8 + gx))
+                     ELSE 0 END) AS BIGINT) AS ahash_hi,
+       CAST(SUM(bit) AS BIGINT) AS n_above_mean
+FROM bits
+GROUP BY asset_id
+ORDER BY asset_id
+"""
+
+
+@query("multimodal_image_ahash", oracle=_AHASH_ORACLE)
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL perceptual image hashing (average hash): decode the PNG,
+    nearest-sample to an 8x8 luminance grid, threshold each cell
+    against the grid mean (as the exact integer compare
+    64*lum > sum), and pack the 64 bits into two 32-bit words -- the
+    near-duplicate IMAGE fingerprint (Hamming-close aHashes = visually
+    similar), completing the image tier of the dedup story alongside
+    MinHash/SimHash for text and cosine for embeddings. Downstream
+    pairing reuses the packed-Hamming machinery
+    (sim_hamming_packed_topk).
+
+    Everything is integer arithmetic over the genuinely decoded
+    pixels, so the oracle regenerates the full decode -> resample ->
+    threshold -> pack chain bit-for-bit."""
+    assets = synthesize_png_assets(spark, sf_dir)
+    out_schema = (
+        "asset_id bigint, ahash_lo bigint, ahash_hi bigint, "
+        "n_above_mean bigint"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                src = _decode_png_pixels(bytes(payload))
+                w, h, px = src["width"], src["height"], src["pixels"]
+                lum = [
+                    [
+                        sum(px[(gy * h) // 8][(gx * w) // 8])
+                        for gx in range(8)
+                    ]
+                    for gy in range(8)
+                ]
+                total = sum(sum(r) for r in lum)
+                lo = hi = above = 0
+                for gy in range(8):
+                    for gx in range(8):
+                        if 64 * lum[gy][gx] > total:
+                            above += 1
+                            if gy < 4:
+                                lo |= 1 << (gy * 8 + gx)
+                            else:
+                                hi |= 1 << ((gy - 4) * 8 + gx)
+                rows.append(
+                    {
+                        "asset_id": aid,
+                        "ahash_lo": lo,
+                        "ahash_hi": hi,
+                        "n_above_mean": above,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "ahash_lo", "ahash_hi", "n_above_mean"],
+            )
+
+    return assets.mapInPandas(op, schema=out_schema).orderBy("asset_id")
