@@ -888,3 +888,48 @@ def pipeline_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_STRAT_ORACLE = f"""
+WITH labelled AS (
+  SELECT source,
+         {_SPLIT_CASE_SQL.format(
+             h=sql_hash60("source || ':' || CAST(doc_id AS VARCHAR)"))}
+           AS split,
+         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS tok
+  FROM documents
+)
+SELECT source, split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS n_tokens
+FROM labelled
+GROUP BY source, split
+ORDER BY source, split
+"""
+
+
+@query("pipeline_stratified_split", oracle=_STRAT_ORACLE)
+def pipeline_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED train/val/test split: hashing (source, doc_id)
+    instead of doc_id alone re-randomizes within every source, so each
+    split preserves the corpus's source mix even when doc_id ranges
+    correlate with sources (they always do -- ingestion is
+    batch-by-source). Same pure-hash determinism contract as
+    pipeline_train_test_split; the per-(source, split) accounting IS
+    the stratification audit.
+
+    Scale shape: one scan, map-side hash + token count, one rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = hash60(
+        F.concat(F.col("source"), F.lit(":"), F.col("doc_id").cast("string"))
+    )
+    split = (
+        F.when(h % 100 < 90, "train").when(h % 100 < 95, "val").otherwise("test")
+    )
+    toks = F.size(F.split("text", r"\s+")).cast("long")
+    return (
+        docs.select("source", split.alias("split"), toks.alias("tok"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("n_tokens"))
+        .orderBy("source", "split")
+    )

@@ -365,3 +365,39 @@ def sql_join_hint_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     effect (BroadcastHashJoin on the hinted side) is asserted in
     tests/test_plans.py."""
     return _sql(spark, sf_dir, _HINT_SQL)
+
+
+_NULLSAFE_ORACLE = """
+WITH o AS (
+  SELECT NULLIF(o_orderstatus, 'O') AS k, o_orderkey FROM orders
+), d(k, label) AS (
+  VALUES ('F', 'finished'), ('P', 'pending'), (NULL, 'open')
+)
+SELECT d.label, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+FROM o JOIN d ON o.k IS NOT DISTINCT FROM d.k
+GROUP BY d.label
+ORDER BY d.label
+"""
+
+
+@query("sql_null_safe_join", oracle=_NULLSAFE_ORACLE)
+def sql_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (Spark's <=> operator, ANSI's IS NOT
+    DISTINCT FROM -- the reference parser's EqualNullSafe expression):
+    NULL keys MATCH each other instead of vanishing, the semantics
+    dimension lookups with a NULL-means-other bucket rely on. The keys
+    are NULLIF-derived so the null path genuinely carries rows."""
+    register_views(spark, sf_dir)
+    return _sql(
+        spark,
+        sf_dir,
+        """
+SELECT d.label, COUNT(o.o_orderkey) AS n_orders
+FROM (SELECT NULLIF(o_orderstatus, 'O') AS k, o_orderkey FROM orders) o
+JOIN VALUES ('F', 'finished'), ('P', 'pending'), (CAST(NULL AS STRING), 'open')
+     AS d(k, label)
+  ON o.k <=> d.k
+GROUP BY d.label
+ORDER BY d.label
+""",
+    )
