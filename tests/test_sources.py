@@ -372,3 +372,30 @@ def test_python_datasource_streaming_read(spark):
         for r in batch.groupBy("bucket").count().collect()
     }
     assert got == expected and got
+
+
+def test_parquet_schema_evolution_merge_schema(spark, sf_dir, tmp_path):
+    """Schema evolution across parquet files (the reference's
+    ParquetFileFormat mergeSchema path): an old file without a column
+    and a new file with it must union into one schema with NULLs
+    backfilled -- the shape every long-lived dataset hits when a field
+    is added mid-history."""
+    path = str(tmp_path / "evolving")
+    o = load_table(spark, sf_dir, "orders").limit(100)
+    o.select("o_orderkey", "o_totalprice").write.parquet(f"{path}/v1")
+    o.select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    ).write.parquet(f"{path}/v2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/v1", f"{path}/v2"
+    )
+    assert set(merged.columns) == {
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    }
+    assert merged.count() == 200
+    # Old-file rows surface the new column as NULL.
+    assert merged.filter(F.col("o_orderstatus").isNull()).count() == 100
+    # Without mergeSchema the picked footer may lack the new column --
+    # the gotcha mergeSchema exists to fix (read must still succeed).
+    plain = spark.read.parquet(f"{path}/v1", f"{path}/v2")
+    assert plain.count() == 200
