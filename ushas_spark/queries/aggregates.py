@@ -849,3 +849,35 @@ def agg_decimal_exact_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+_STRAGG_ORACLE = """
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+@query("agg_string_concat_sorted", oracle=_STRAGG_ORACLE)
+def agg_string_concat_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (DuckDB string_agg ... ORDER BY,
+    Spark's collect_list + sort + concat_ws) -- the LISTAGG surface.
+    Sorting inside the aggregate is what makes the concatenation
+    deterministic; an unsorted collect_list order is partition-
+    dependent and could never gate."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        )
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias(
+                "nations_csv"
+            )
+        )
+        .orderBy("r_name")
+    )

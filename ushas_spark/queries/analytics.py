@@ -1500,3 +1500,91 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+_COHORT_FUNNEL_ORACLE = """
+WITH c AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), v AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM events GROUP BY user_id
+), k AS (
+  SELECT v.user_id, v.t_view,
+         MIN(CASE WHEN e.event_type = 'click' AND e.ts > v.t_view
+                  THEN e.ts END) AS t_click
+  FROM v JOIN events e USING (user_id)
+  GROUP BY 1, 2
+), p AS (
+  SELECT k.user_id, k.t_view, k.t_click,
+         MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > k.t_click
+                  THEN e.ts END) AS t_purchase
+  FROM k JOIN events e USING (user_id)
+  GROUP BY 1, 2, 3
+)
+SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(p.t_view) AS BIGINT) AS n_view,
+       CAST(COUNT(p.t_click) AS BIGINT) AS n_view_click,
+       CAST(COUNT(p.t_purchase) AS BIGINT) AS n_view_click_purchase
+FROM p JOIN c USING (user_id)
+GROUP BY 1
+ORDER BY cohort_week
+"""
+
+
+@query("events_funnel_by_cohort", oracle=_COHORT_FUNNEL_ORACLE)
+def events_funnel_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ordered funnel broken down by signup cohort (first-seen
+    week): did a product change move conversion for NEW users --
+    the question the flat funnel can't answer. Cohort assignment and
+    all three stage windows ride the same user_id partition, so the
+    whole matrix still costs one fact shuffle plus a |cohorts|-row
+    rollup."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = W.partitionBy("user_id")
+    staged = (
+        e.withColumn("cohort_week", F.date_trunc("week", F.min("ts").over(w)))
+        .withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.first("cohort_week").alias("cohort_week"),
+        F.first("t_view").alias("t_view"),
+        F.first("t_click").alias("t_click"),
+        F.first("t_purchase").alias("t_purchase"),
+    )
+    return (
+        per_user.groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count("t_view").alias("n_view"),
+            F.count("t_click").alias("n_view_click"),
+            F.count("t_purchase").alias("n_view_click_purchase"),
+        )
+        .orderBy("cohort_week")
+    )
