@@ -956,3 +956,80 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------ collocation mining (PMI)
+COLLOC_MIN_SUPPORT = 20
+COLLOC_TOP = 40
+
+_COLLOC_ORACLE = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+  FROM documents
+), n_docs AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd FROM dt),
+tf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY tok),
+pair AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {COLLOC_MIN_SUPPORT}
+), scored AS (
+  SELECT pair.tok_a, pair.tok_b, pair.n_pair, fa.df AS df_a, fb.df AS df_b,
+         CAST(ROUND(1000000.0 * pair.n_pair * nd.nd /
+                    (CAST(fa.df AS DOUBLE) * fb.df)) AS BIGINT) AS lift_x1m
+  FROM pair
+  JOIN tf fa ON pair.tok_a = fa.tok
+  JOIN tf fb ON pair.tok_b = fb.tok
+  CROSS JOIN n_docs nd
+)
+SELECT * FROM scored
+ORDER BY lift_x1m DESC, tok_a, tok_b
+LIMIT {COLLOC_TOP}
+"""
+
+
+@query("text_collocations", oracle=_COLLOC_ORACLE)
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: token pairs that co-occur in documents far
+    more than their document frequencies predict (lift = the
+    exponentiated PMI, which needs no logarithm and so gates exactly)
+    -- the phrase-discovery pass before fixing a tokenizer vocabulary.
+    Identical architecture to basket_pair_lift with documents as
+    baskets: per-doc DISTINCT tokens bound the pair fan-out, counts
+    aggregate map-side, frequencies broadcast onto the
+    support-filtered pair table, TakeOrderedAndProject top-N."""
+    d = load_table(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", r"\s+"))).alias("tok"),
+    )
+    nd = dt.agg(F.count_distinct("doc_id").alias("nd"))
+    tf = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    a, b = dt.alias("a"), dt.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= COLLOC_MIN_SUPPORT)
+    )
+    fa = tf.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    fb = tf.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    scored = (
+        pair.join(F.broadcast(fa), "tok_a")
+        .join(F.broadcast(fb), "tok_b")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "tok_a", "tok_b", "n_pair", "df_a", "df_b",
+            F.round(
+                F.lit(1_000_000.0) * F.col("n_pair") * F.col("nd")
+                / (F.col("df_a").cast("double") * F.col("df_b"))
+            ).cast("long").alias("lift_x1m"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift_x1m").desc(), "tok_a", "tok_b"
+    ).limit(COLLOC_TOP)
