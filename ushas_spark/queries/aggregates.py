@@ -881,3 +881,40 @@ def agg_string_concat_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name")
     )
+
+
+_GROUPING_ID_ORACLE = """
+SELECT r_name, n_name,
+       CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid,
+       COUNT(*) AS n
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY CUBE (r_name, n_name)
+ORDER BY gid, r_name NULLS FIRST, n_name NULLS FIRST
+"""
+
+
+@query("agg_grouping_id_cube", oracle=_GROUPING_ID_ORACLE)
+def agg_grouping_id_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping_id() over CUBE -- the bitmask that distinguishes every
+    subtotal level in one column (ANSI convention: lowest bit = last
+    grouping column; Spark's grouping_id() and DuckDB's multi-argument
+    GROUPING agree on it), the practical alternative to one grouping()
+    flag per column when rollup consumers route rows by level."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    return (
+        joined.cube("r_name", "n_name")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n"),
+        )
+        .select("r_name", "n_name", "gid", "n")
+        .orderBy(
+            "gid",
+            F.col("r_name").asc_nulls_first(),
+            F.col("n_name").asc_nulls_first(),
+        )
+    )
