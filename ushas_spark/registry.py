@@ -41,51 +41,34 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's correctness gate walks queries() in REGISTRATION ORDER and
-# (empirically, rounds 1-2) only covers a prefix of ~50 per round. Ordering
+# (empirically, rounds 1-3) only covers a prefix of ~50 per round. Ordering
 # is therefore part of the verification strategy: front-load what most
 # needs a driver-green CORRECTNESS row this round, park everything already
-# proven. Round-3 state: 88 queries are ever-driver-green (r01+r02 union,
-# _DRIVER_GREEN below); the 7 _PRIORITY_NAMES were red ONLY because their
-# DuckDB oracles left integer SUM outputs un-cast (HUGEINT -> float64
-# rendering breaks the driver's value-hash on equal values) -- fixed this
-# round, need driver proof. Then the never-checked modules: TPC-H (18 of
-# 22), windows (9), setops (7), subqueries (6), udfs (8), ...
-# ROUND-4 TODO: fold CORRECTNESS_r03 greens into _DRIVER_GREEN; the
-# prefix then advances to analytics/sources/sql_conformance/streaming/
-# misc plus the round-3 operator modules (entity, clustering, graph,
-# mergeop, layout, bpe, profiling and the new names added late in r3:
-# pipeline_chunk_sliding/pack_sequences, profile_expectations,
-# events_attribution_last_touch/ohlc_hourly/inactive_gap,
-# sim_random_projection/knn_classify, graph_triangle_count/kcore,
-# basket_pair_lift, agg_linear_regression/mode/mad/winsorized,
-# sql_pivot/filter, expr_mask_battery, multimodal_wav_zcr/png_histogram,
-# streaming_ohlc_bars, dedup_lsh_recall_eval, text_lang_confusion_eval,
-# profile_gini_impurity, events_rfm/yoy/ltv/delay/features,
-# window_max_drawdown, pipeline_global_sequence/importance_resample/
-# pack_sequences, asof_nearest_order_to_event).
-_PRIORITY_NAMES = [
-    "dedup_survivor_stats",
-    "pipeline_train_test_split",
-    "pipeline_pack_shards",
-    "pipeline_source_mix",
-    "pipeline_filter_funnel",
-    "pipeline_end_to_end",
-    "multimodal_asset_stats",
-]
+# proven. Round-4 state: 138 queries are ever-driver-green (r01+r02+r03
+# union, _DRIVER_GREEN below; r03 was 50/50 green). The never-checked
+# prefix this round: analytics (24), streaming (10), the round-3 operator
+# modules (entity/clustering/graph/mergeop/layout/bpe/profiling, 19),
+# then sources (9), sql_conformance (18), misc, and the non-green
+# leftovers of the r02-checked operator modules. The 5 rows-only
+# (no-oracle) queries are pinned to the absolute tail so driver slots
+# never burn on by-design "err" rows (_ROWS_ONLY_TAIL).
+_PRIORITY_NAMES: list[str] = []
+
+# No-oracle-by-design queries (golden/property-tested locally): keep them
+# permanently at the back of the walk order.
+_ROWS_ONLY_TAIL = {
+    "agg_approx_sketches",
+    "agg_count_min_sketch",
+    "expr_spark_only_battery",
+    "expr_xpath_url_battery",
+    "sim_brute_force_topk_numpy",
+}
 
 _MODULE_ORDER = [
     # Never-driver-checked modules, highest value first.
-    "ushas_spark.queries.tpch",
-    "ushas_spark.queries.windows",
-    "ushas_spark.queries.setops",
-    "ushas_spark.queries.subqueries",
-    "ushas_spark.queries.udfs",
     "ushas_spark.queries.analytics",
-    "ushas_spark.queries.sources",
-    "ushas_spark.queries.sql_conformance",
     "ushas_spark.streaming.queries",
-    "ushas_spark.queries.misc",
-    # New this round -- never driver-checked yet.
+    # Round-3 operator tier -- never driver-checked yet.
     "ushas_spark.operators.entity",
     "ushas_spark.operators.clustering",
     "ushas_spark.operators.graph",
@@ -93,7 +76,11 @@ _MODULE_ORDER = [
     "ushas_spark.operators.layout",
     "ushas_spark.operators.bpe",
     "ushas_spark.operators.profiling",
-    # Operators tier: driver-certified in r02 (greens demoted by name).
+    "ushas_spark.queries.sources",
+    "ushas_spark.queries.sql_conformance",
+    "ushas_spark.queries.misc",
+    # Operators tier: mostly driver-certified in r02 (greens demoted by
+    # name); their late-r3 additions surface here.
     "ushas_spark.operators.dedup",
     "ushas_spark.operators.similarity",
     "ushas_spark.operators.ivf",
@@ -103,7 +90,12 @@ _MODULE_ORDER = [
     "ushas_spark.operators.text",
     "ushas_spark.operators.pipeline",
     "ushas_spark.operators.multimodal",
-    # Driver-verified in round 1 -- last.
+    # Driver-verified in earlier rounds -- last.
+    "ushas_spark.queries.tpch",
+    "ushas_spark.queries.windows",
+    "ushas_spark.queries.setops",
+    "ushas_spark.queries.subqueries",
+    "ushas_spark.queries.udfs",
     "ushas_spark.queries.expressions",
     "ushas_spark.queries.joins",
     "ushas_spark.queries.aggregates",
@@ -113,9 +105,29 @@ _MODULE_ORDER = [
 ]
 
 # Union of hash-green (or rows-only-checked no_oracle) names across
-# CORRECTNESS_r01 + r02 -- these have their driver row already; they sort
-# behind every never-checked query regardless of module.
+# CORRECTNESS_r01 + r02 + r03 -- these have their driver row already; they
+# sort behind every never-checked query regardless of module.
 _DRIVER_GREEN = {
+    # r03 greens (50/50).
+    "dedup_survivor_stats", "multimodal_asset_stats", "pipeline_end_to_end",
+    "pipeline_filter_funnel", "pipeline_pack_shards", "pipeline_source_mix",
+    "pipeline_train_test_split", "q10_returned_items", "q11_important_stock",
+    "q12_shipmode_priority", "q13_customer_distribution", "q14_promo_effect",
+    "q15_top_supplier", "q16_parts_supplier_counts",
+    "q17_small_quantity_revenue", "q18_large_volume",
+    "q19_discounted_revenue", "q20_excess_stock_suppliers",
+    "q21_suppliers_who_kept_waiting", "q22_global_sales_opportunity",
+    "q2_min_cost_supplier", "q4_priority_with_returns", "q7_volume_shipping",
+    "q8_market_share", "q9_product_type_profit", "setop_except",
+    "setop_except_all", "setop_intersect", "setop_intersect_all",
+    "setop_union_all", "setop_union_by_name", "setop_union_distinct",
+    "subq_exists_correlated", "subq_in", "subq_in_composite_key",
+    "subq_not_in", "subq_scalar", "subq_scalar_correlated", "udf_python_row",
+    "window_first_last_value", "window_gap_fill_locf", "window_lag_lead",
+    "window_max_drawdown", "window_range_frame", "window_rank_family",
+    "window_rows_frame", "window_running_distinct", "window_running_sum",
+    "window_sessionize_gaps", "window_topk_per_group",
+    # r01 + r02 greens.
     "agg_approx_sketches", "agg_bitwise_conditional", "agg_collect_sorted",
     "agg_count_distinct", "agg_count_min_sketch", "agg_cube",
     "agg_dedup_keep_first", "agg_grouping_sets", "agg_having_distinct",
@@ -156,6 +168,8 @@ def _reorder() -> None:
 
     def rank(item: tuple[str, QueryFn]) -> tuple[int, int, int]:
         name, fn = item
+        if name in _ROWS_ONLY_TAIL:
+            return (9, 0, 0)
         if name in _PRIORITY_NAMES:
             return (0, _PRIORITY_NAMES.index(name), 0)
         green = 1 if name in _DRIVER_GREEN else 0
