@@ -951,8 +951,12 @@ inter AS (
 )
 SELECT n_truth, n_candidates, tp,
        n_truth - tp AS fn,
-       CAST(ROUND(1000000.0 * tp / n_truth) AS BIGINT) AS recall_x1m,
-       CAST(ROUND(1000000.0 * tp / n_candidates) AS BIGINT) AS precision_x1m
+       CASE WHEN n_truth = 0 THEN NULL
+            ELSE CAST(ROUND(1000000.0 * tp / n_truth) AS BIGINT)
+       END AS recall_x1m,
+       CASE WHEN n_candidates = 0 THEN NULL
+            ELSE CAST(ROUND(1000000.0 * tp / n_candidates) AS BIGINT)
+       END AS precision_x1m
 FROM counts
 """
 
@@ -961,9 +965,15 @@ FROM counts
 def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup pipeline evaluating ITSELF: recall/precision of the
     MinHash-LSH candidate generator against the exact inverted-index
-    Jaccard ground truth (both over the same DF-capped shingle
-    universe) -- the acceptance metric you compute on a sample before
-    trusting LSH parameters at 100 TB, here as a first-class query.
+    Jaccard ground truth. NOTE the universes differ slightly by
+    construction: the ground-truth side joins on the DF-capped shingle
+    set (hot shingles dropped, as the scalable exact path requires)
+    while MinHash signatures are built from the UNCAPPED shingle set
+    (as the production LSH path does) -- so this measures the deployed
+    candidate generator against the capped truth, not a like-for-like
+    shingle universe. This is the acceptance metric you compute on a
+    sample before trusting LSH parameters at 100 TB, as a first-class
+    query.
     n_candidates vs tp prices the verification stage (false candidates
     cost compute, not correctness); fn counts true near-dup pairs the
     band scheme missed.
@@ -996,10 +1006,20 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_candidates",
             "tp",
             (F.col("n_truth") - F.col("tp")).alias("fn"),
-            F.round(F.lit(1_000_000.0) * F.col("tp") / F.col("n_truth"))
-            .cast("long").alias("recall_x1m"),
-            F.round(F.lit(1_000_000.0) * F.col("tp") / F.col("n_candidates"))
-            .cast("long").alias("precision_x1m"),
+            F.when(F.col("n_truth") == 0, F.lit(None).cast("long"))
+            .otherwise(
+                F.round(
+                    F.lit(1_000_000.0) * F.col("tp") / F.col("n_truth")
+                ).cast("long")
+            )
+            .alias("recall_x1m"),
+            F.when(F.col("n_candidates") == 0, F.lit(None).cast("long"))
+            .otherwise(
+                F.round(
+                    F.lit(1_000_000.0) * F.col("tp") / F.col("n_candidates")
+                ).cast("long")
+            )
+            .alias("precision_x1m"),
         )
     )
 
@@ -1066,7 +1086,10 @@ minter AS (
   FROM sbands a JOIN sbands b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
   WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
-), ev AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+), ev AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  WHERE vec_id IN (SELECT doc_id FROM documents)
+),
 ebk AS (
   {eb}
 ), epairs AS (
@@ -1116,13 +1139,23 @@ def _sql_emb_cos(a: str, b: str) -> str:
 def dedup_ensemble_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ENSEMBLE near-dup clustering: the union of all three candidate
     tiers -- lexical (MinHash-LSH verified Jaccard), structural
-    (SimHash byte-band Hamming <= {SIMHASH_MAX_HAMMING}) and semantic
-    (embedding cosine >= 0.40) -- fused into one candidate graph and
-    resolved to clusters by hash-min label propagation. This is the
-    production shape: no single signal catches every duplicate family
-    (exact-ish copies, reorderings, paraphrases), and the union costs
-    only a pair-table concat because every tier is already
-    candidate-bounded (banded/bucketed, never all-pairs).
+    (SimHash 4x8-bit byte bands: candidate generation GUARANTEED only
+    for Hamming <= 3 -- 4 non-overlapping bands pigeonhole at most 3
+    differing bits into some identical band -- then verified up to
+    Hamming <= {SIMHASH_MAX_HAMMING}, so radius 4-6 is best-effort)
+    and semantic (embedding cosine >= 0.40) -- fused into one
+    candidate graph and resolved to clusters by hash-min label
+    propagation. This is the production shape: no single signal
+    catches every duplicate family (exact-ish copies, reorderings,
+    paraphrases), and the union costs only a pair-table concat because
+    every tier is already candidate-bounded (banded/bucketed, never
+    all-pairs).
+
+    The node universe is documents.doc_id, so embedding-tier pairs are
+    restricted to vec_ids that exist as doc_ids (semi join, mirrored
+    in the oracle's ev CTE) -- otherwise an edge endpoint outside the
+    universe would silently vanish from the components while a
+    recursive-CTE oracle would emit it.
 
     Oracle: all three pair generators replayed in namespaced SQL + the
     recursive-CTE components -- the whole fusion is gated end-to-end.
@@ -1134,8 +1167,13 @@ def dedup_ensemble_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = simhash_near_pairs(
         simhash(docs), max_hamming=SIMHASH_MAX_HAMMING
     ).select("doc_a", "doc_b")
-    emb = dedup_embedding_cosine(spark, sf_dir).select(
-        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    doc_ids = docs.select("doc_id")
+    emb = (
+        dedup_embedding_cosine(spark, sf_dir)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+        .join(doc_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+        .join(doc_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+        .select("doc_a", "doc_b")
     )
     pairs = mh.unionByName(sh).unionByName(emb).distinct()
     comp = connected_components(

@@ -837,21 +837,25 @@ WITH monthly AS (
            AS rev_x100
   FROM orders GROUP BY 1
 )
-SELECT ym, rev_x100,
-       lag(rev_x100, 12) OVER (ORDER BY ym) AS rev_prev_year_x100,
-       rev_x100 - lag(rev_x100, 12) OVER (ORDER BY ym) AS yoy_delta_x100
-FROM monthly
-ORDER BY ym
+SELECT m.ym, m.rev_x100,
+       p.rev_x100 AS rev_prev_year_x100,
+       m.rev_x100 - p.rev_x100 AS yoy_delta_x100
+FROM monthly m
+LEFT JOIN monthly p
+  ON p.ym = strftime(CAST(m.ym || '-01' AS DATE) - INTERVAL 12 MONTH,
+                     '%Y-%m')
+ORDER BY m.ym
 """
 
 
 @query("window_yoy_revenue", oracle=_YOY_ORACLE)
 def window_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly revenue with year-over-year comparison: month rollup,
-    then lag(12) over the month sequence -- the period-over-period
-    shape every finance dashboard runs. Revenue is exact x100 integer
-    sums, so deltas gate bit-for-bit; the window runs over |months|
-    rows (tiny), not the fact."""
+    then a calendar self-join on the month-minus-12 key (add_months),
+    NOT a positional lag(12) -- a positional lag silently compares the
+    wrong months whenever the series has a gap. Revenue is exact x100
+    integer sums, so deltas gate bit-for-bit; the self-join runs over
+    |months| rows (tiny, broadcast)."""
     o = load_table(spark, sf_dir, "orders")
     monthly = o.groupBy(
         F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
@@ -862,15 +866,25 @@ def window_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rev_x100"
         )
     )
-    w = W.orderBy("ym")
-    return monthly.select(
-        "ym",
-        "rev_x100",
-        F.lag("rev_x100", 12).over(w).alias("rev_prev_year_x100"),
-        (F.col("rev_x100") - F.lag("rev_x100", 12).over(w)).alias(
-            "yoy_delta_x100"
-        ),
-    ).orderBy("ym")
+    prev = monthly.select(
+        F.col("ym").alias("p_ym"), F.col("rev_x100").alias("p_rev_x100")
+    )
+    prev_key = F.date_format(
+        F.add_months(F.to_date(F.concat_ws("-", F.col("ym"), F.lit("01"))), -12),
+        "yyyy-MM",
+    )
+    return (
+        monthly.join(
+            F.broadcast(prev), prev.p_ym == prev_key, "left"
+        )
+        .select(
+            "ym",
+            "rev_x100",
+            F.col("p_rev_x100").alias("rev_prev_year_x100"),
+            (F.col("rev_x100") - F.col("p_rev_x100")).alias("yoy_delta_x100"),
+        )
+        .orderBy("ym")
+    )
 
 
 _DELAY_ORACLE = """
