@@ -1,0 +1,120 @@
+"""Plan lint over EVERY registered query: no scale-killers may ship.
+
+This makes the PLANS.md discipline self-enforcing as the registry grows:
+a new query that introduces (a) an unpartitioned WindowExec over
+unbounded input, (b) a CartesianProduct, or (c) a row-at-a-time Python
+eval outside the UDF-conformance module fails the build here, before it
+ever reaches a benchmark or the driver gate.
+
+Global windows are only acceptable over PROVABLY BOUNDED inputs (a
+|buckets|-row offset table, a |months| calendar rollup, a LIMITed
+top-k); each allowance below is reviewed and justified by name. A new
+query that needs one must be added here with its justification -- that
+review step is the point.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from ushas_spark import registry
+
+registry.load_all()
+
+# name -> (max unpartitioned logical Window nodes, reviewed justification)
+GLOBAL_WINDOW_OK: dict[str, tuple[int, str]] = {
+    "events_rfm_segments": (
+        3,
+        "bucketed-rank offsets: three windows over |buckets|-row count rollups",
+    ),
+    "events_pareto_concentration": (
+        1,
+        "bucketed-rank offsets: window over the |buckets|-row count rollup",
+    ),
+    "pipeline_global_sequence": (
+        1,
+        "bucketed-rank offsets: window over the |buckets|-row count rollup",
+    ),
+    "orders_open_backlog_daily": (
+        1,
+        "sweep-line running sum over the |days| calendar table (bounded)",
+    ),
+    "profile_join_keys": (
+        3,
+        "rank over a LIMITed hot-key table + two windows over the "
+        "frequency-of-frequencies rollup (|distinct multiplicities| rows)",
+    ),
+    "agg_equidepth_histogram": (
+        2,
+        "rank arithmetic over the per-value frequency rollup (documented "
+        "scalable quantile pattern)",
+    ),
+    "q15_top_supplier": (
+        1,
+        "MAX over the |suppliers|-row aggregate: one fact scan instead of "
+        "recomputing the CTE under a scalar subquery (documented)",
+    ),
+    "window_range_frame": (
+        1,
+        "exists precisely to conformance-test the global-RANGE SQL shape",
+    ),
+    "window_max_drawdown": (
+        2,
+        "cumulative sum + running max over the |months| equity curve",
+    ),
+    "sql_window_over_aggregate": (
+        1,
+        "conformance shape for SUM(COUNT(*)) OVER () (window.sql family)",
+    ),
+}
+
+# Python row/arrow eval is the conformance subject matter here, not a
+# hot-path accident.
+PY_EVAL_OK_MODULES = {"ushas_spark.queries.udfs"}
+
+_BATCH_QUERIES = [
+    name
+    for name, fn in registry.QUERIES.items()
+    # Streaming queries execute a real streaming job on invocation; their
+    # stateful plans are audited in tests/test_streaming.py instead.
+    if fn.__module__ != "ushas_spark.streaming.queries"
+]
+
+
+@pytest.mark.parametrize("name", sorted(_BATCH_QUERIES))
+def test_no_scale_killers_in_plan(spark, sf_dir, name):
+    fn = registry.QUERIES[name]
+    df = fn(spark, sf_dir)
+    qe = df._jdf.queryExecution()
+
+    nodes = json.loads(qe.optimizedPlan().toJSON())
+    global_windows = sum(
+        1
+        for n in nodes
+        if n["class"].endswith(".Window") and not n.get("partitionSpec")
+    )
+    allowed, why = GLOBAL_WINDOW_OK.get(name, (0, ""))
+    assert global_windows <= allowed, (
+        f"{name}: {global_windows} unpartitioned Window node(s) in the "
+        f"optimized plan (allowed {allowed}{': ' + why if why else ''}). "
+        "A global window funnels every row through one task at scale -- "
+        "use the bucketed-rank + broadcast-offset pattern "
+        "(queries/analytics.py _bucketed_rank), or add a reviewed "
+        "GLOBAL_WINDOW_OK entry if the input is provably bounded."
+    )
+
+    phys = qe.sparkPlan().toString()
+    assert "CartesianProduct" not in phys, (
+        f"{name}: CartesianProduct in the physical plan -- an O(N*M) "
+        "scale-killer; add an equi-condition or broadcast the small side."
+    )
+
+    if fn.__module__ not in PY_EVAL_OK_MODULES:
+        for marker in ("BatchEvalPython", "ArrowEvalPython"):
+            assert marker not in phys, (
+                f"{name}: {marker} in the physical plan outside the UDF "
+                "conformance module -- Python eval in a hot path; express "
+                "with built-in functions or mapInPandas."
+            )

@@ -774,20 +774,93 @@ ORDER BY r_score, f_score, m_score
 """
 
 
+def _bucketed_rank(
+    df: DataFrame,
+    key: str,
+    width: int,
+    asc: bool,
+    out: str,
+    tiebreak: str = "o_custkey",
+    cum_of: str | None = None,
+    cum_out: str = "_cum",
+) -> DataFrame:
+    """Global dense row_number by (key, tiebreak) WITHOUT a global
+    window: fixed-width range buckets of the key, per-bucket local
+    row_number, plus a broadcast cumulative-offset table over the tiny
+    |buckets|-row count rollup (the pipeline_global_sequence shape,
+    operators/pipeline.py). One hash shuffle; no task ever sees more
+    than one bucket's rows. With ``cum_of``, additionally emits the
+    global running SUM(cum_of) in the same order via the identical
+    per-bucket-prefix + broadcast-bucket-offset algebra."""
+    b = df.withColumn("_b", F.expr(f"{key} div {width}"))
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    if cum_of is not None:
+        aggs.append(F.sum(cum_of).alias("_s"))
+    counts = b.groupBy("_b").agg(*aggs)
+    w_off = W.orderBy(F.col("_b").asc() if asc else F.col("_b").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    off_cols = ["_b", (F.sum("_n").over(w_off) - F.col("_n")).alias("_off")]
+    if cum_of is not None:
+        off_cols.append((F.sum("_s").over(w_off) - F.col("_s")).alias("_soff"))
+    offsets = counts.select(*off_cols)
+    w_local = W.partitionBy("_b").orderBy(
+        F.col(key).asc() if asc else F.col(key).desc(), tiebreak
+    )
+    ranked = b.withColumn("_rn", F.row_number().over(w_local))
+    if cum_of is not None:
+        ranked = ranked.withColumn(
+            "_csum",
+            F.sum(cum_of).over(
+                w_local.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+    joined = ranked.join(F.broadcast(offsets), "_b").withColumn(
+        out, F.col("_off") + F.col("_rn")
+    )
+    if cum_of is not None:
+        joined = joined.withColumn(
+            cum_out, F.col("_soff") + F.col("_csum")
+        ).drop("_soff", "_csum")
+    return joined.drop("_b", "_rn", "_off")
+
+
+def _ntile_from_rank(rn: str, n: str, k: int):
+    """NTILE(k) from a global 1-based rank and the total row count, in
+    exact integer arithmetic: the first (n % k) buckets hold
+    (n div k)+1 rows, the rest (n div k) -- identical to the SQL
+    NTILE contract, but computable row-locally once rank is known."""
+    q = F.expr(f"{n} div {k}")
+    r = F.col(n) % k
+    cut = r * (q + 1)
+    lo = F.expr(f"({rn} + {n} div {k}) div ({n} div {k} + 1)")
+    hi = r + F.expr(
+        f"({rn} - ({n} % {k}) * ({n} div {k} + 1) + {n} div {k} - 1) "
+        f"div ({n} div {k})"
+    )
+    return F.when(F.col(rn) <= cut, lo).otherwise(hi).cast("long")
+
+
 @query("events_rfm_segments", oracle=_RFM_ORACLE)
 def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: quintile scores for recency (days
     since last order, inverted so recent = 5), frequency (order count)
     and monetary (lifetime spend), rolled up to segment sizes -- the
-    classic CRM cube. Ties in every NTILE are broken by custkey, so
+    classic CRM cube. Ties in every quintile are broken by custkey, so
     bucket assignment is deterministic on both engines; spend is exact
     x100 integers.
 
-    Scale shape: one per-customer aggregate, then three NTILE windows.
-    The windows are GLOBAL (single-partition) -- fine for quintiles
-    over per-customer rollups (|customers| << |orders|); for a
-    billion-customer table swap NTILE for the rank-arithmetic bucketing
-    used by agg_equidepth_histogram, which shuffles by value instead.
+    Scale shape: one per-customer aggregate, then three DISTRIBUTED
+    quintile assignments. There is NO global NTILE window: each metric
+    gets a global rank via fixed-width range buckets + per-bucket
+    row_number + a broadcast cumulative-offset table
+    (_bucketed_rank, the pipeline_global_sequence pattern), and the
+    quintile is then pure integer arithmetic on (rank, N)
+    (_ntile_from_rank, the exact NTILE contract). Three hash shuffles
+    over per-customer rollups; the only windows run over |buckets|-row
+    count tables and within buckets -- survives a billion customers.
+    The oracle states the contract as plain NTILEs; both formulations
+    must agree row-for-row.
     """
     o = load_table(spark, sf_dir, "orders")
     max_date = o.agg(F.max("o_orderdate").alias("maxd"))
@@ -808,17 +881,17 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_x100",
         )
     )
-    scored = base.select(
+    n_df = base.agg(F.count(F.lit(1)).alias("n_cust"))
+    ranked = _bucketed_rank(base, "recency_days", 64, asc=False, out="r_rn")
+    ranked = _bucketed_rank(ranked, "frequency", 4, asc=True, out="f_rn")
+    ranked = _bucketed_rank(
+        ranked, "monetary_x100", 10_000_000, asc=True, out="m_rn"
+    )
+    scored = ranked.crossJoin(F.broadcast(n_df)).select(
         "o_custkey",
-        F.ntile(5)
-        .over(W.orderBy(F.col("recency_days").desc(), "o_custkey"))
-        .cast("long").alias("r_score"),
-        F.ntile(5)
-        .over(W.orderBy("frequency", "o_custkey"))
-        .cast("long").alias("f_score"),
-        F.ntile(5)
-        .over(W.orderBy("monetary_x100", "o_custkey"))
-        .cast("long").alias("m_score"),
+        _ntile_from_rank("r_rn", "n_cust", 5).alias("r_score"),
+        _ntile_from_rank("f_rn", "n_cust", 5).alias("f_score"),
+        _ntile_from_rank("m_rn", "n_cust", 5).alias("m_score"),
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")
@@ -1237,27 +1310,37 @@ def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind capacity planning and whale analysis (and the cumulative
     companion of profile_gini_impurity's point statistic).
 
-    Scale shape: the ranking and cumulative windows run over the
-    PER-USER rollup (|users| rows, shuffled once), never the event
-    fact; decile assignment is pure integer arithmetic so both engines
-    bucket identically; output is 10 rows.
+    Scale shape: NO global window anywhere. The per-user rollup
+    (|users| rows, one shuffle) is ranked by activity via
+    _bucketed_rank -- fixed-width range buckets + per-bucket
+    row_number/prefix-sum + a broadcast |buckets|-row offset table --
+    which also yields the global cumulative event count in the same
+    pass; n_users/total come from a broadcast 1-row aggregate. Decile
+    assignment is pure integer arithmetic so both engines bucket
+    identically; output is 10 rows. Survives a billion users where the
+    old global row_number + running-sum window would funnel every
+    per-user row through one task.
     """
     e = load_table(spark, sf_dir, "events")
     per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
-    w_rank = W.orderBy(F.col("n").desc(), "user_id")
-    w_all = W.partitionBy()
-    ranked = per_user.select(
-        "n",
-        F.row_number().over(w_rank).alias("rnk"),
-        F.count(F.lit(1)).over(w_all).alias("n_users"),
-        F.sum("n").over(w_all).alias("total"),
+    totals = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("n").alias("total")
     )
-    w_cum = W.orderBy("rnk").rowsBetween(W.unboundedPreceding, W.currentRow)
-    cum = ranked.select(
+    ranked = _bucketed_rank(
+        per_user,
+        key="n",
+        width=8,
+        asc=False,
+        out="rnk",
+        tiebreak="user_id",
+        cum_of="n",
+        cum_out="cum_events",
+    )
+    cum = ranked.crossJoin(F.broadcast(totals)).select(
         "rnk",
         "n_users",
         "total",
-        F.sum("n").over(w_cum).alias("cum_events"),
+        "cum_events",
         F.expr("(rnk * 10 - 1) div n_users").alias("decile"),
     )
     return (
