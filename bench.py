@@ -87,6 +87,12 @@ HEADLINE = [
     "entity_fuzzy_match_blocked",
     "events_ohlc_hourly",
     "events_rfm_segments",
+    # round 4: remaining iterative/graph + merge + analytics/text heads
+    "graph_triangle_count",
+    "graph_kcore_summary",
+    "merge_scd2_upsert",
+    "events_attribution_last_touch",
+    "text_collocations",
 ]
 
 ITERATIONS = 3  # best-of-N, after one untimed warm-up
