@@ -692,3 +692,191 @@ def sql_string_cast_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
     stringCastAndExpressions.sql, cast.sql): whitespace-tolerant
     numeric parsing, date round-trip, boolean literals."""
     return _sql(spark, sf_dir, _STRING_CASTS)
+
+
+_NULL_PROP = """
+SELECT CAST(NULL + 1 AS BIGINT)                    AS null_plus,
+       CAST(NULL * 0 AS BIGINT)                    AS null_times_zero,
+       CAST(FALSE AND NULL AS BOOLEAN)             AS false_and_null,
+       CAST(TRUE OR NULL AS BOOLEAN)               AS true_or_null,
+       CAST((NULL AND TRUE) IS NULL AS BOOLEAN)    AS null_and_true_unknown,
+       CAST(COALESCE(NULL, NULL, 7) AS BIGINT)     AS coalesce_chain,
+       CAST(NULLIF(3, 3) AS BIGINT)                AS nullif_equal,
+       CAST(NULLIF(3, 4) AS BIGINT)                AS nullif_differs,
+       CAST(NULL IS NULL AS BOOLEAN)               AS is_null,
+       CAST(('a' || CAST(NULL AS STRING)) IS NULL AS BOOLEAN)
+                                                   AS concat_null_propagates
+"""
+
+
+@query("sql_null_propagation", oracle=_NULL_PROP)
+def sql_null_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL propagation through arithmetic, three-valued boolean logic
+    (FALSE AND NULL = FALSE, TRUE OR NULL = TRUE), COALESCE/NULLIF
+    (null-propagation.sql, null-handling.sql)."""
+    return _sql(spark, sf_dir, _NULL_PROP)
+
+
+_PREDICATES = """
+SELECT CAST(SUM(CASE WHEN o_totalprice BETWEEN 1000 AND 2000
+                THEN 1 ELSE 0 END) AS BIGINT)                AS n_between,
+       CAST(SUM(CASE WHEN o_orderpriority LIKE '_-URGENT'
+                THEN 1 ELSE 0 END) AS BIGINT)                AS n_like_underscore,
+       CAST(SUM(CASE WHEN o_orderpriority ILIKE 'x%'
+                THEN 1 ELSE 0 END) AS BIGINT)                AS n_ilike,
+       CAST(SUM(CASE WHEN '50%' LIKE '50!%' ESCAPE '!'
+                THEN 1 ELSE 0 END) AS BIGINT)                AS n_escaped_like,
+       CAST(SUM(CASE WHEN o_orderstatus IS DISTINCT FROM 'O'
+                THEN 1 ELSE 0 END) AS BIGINT)                AS n_is_distinct
+FROM orders
+"""
+
+
+@query("sql_predicate_functions", oracle=_PREDICATES)
+def sql_predicate_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate battery: BETWEEN, LIKE with _ wildcard, ILIKE, LIKE
+    with a custom ESCAPE character, IS DISTINCT FROM
+    (predicate-functions.sql, like-all/any family)."""
+    return _sql(spark, sf_dir, _PREDICATES)
+
+
+_TVF_RANGE = """
+SELECT CAST(t.id AS BIGINT) AS id,
+       CAST(t.id * t.id AS BIGINT) AS square
+FROM range(0, 10) AS t(id)
+WHERE t.id % 2 = 0
+ORDER BY t.id
+"""
+
+
+@query("sql_table_valued_range", oracle=_TVF_RANGE)
+def sql_table_valued_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """range() as a table-valued function with a column alias list
+    (table-valued-functions.sql)."""
+    return _sql(spark, sf_dir, _TVF_RANGE)
+
+
+_INLINE_TABLE = """
+SELECT t.grp, CAST(SUM(t.v) AS BIGINT) AS total
+FROM (VALUES ('a', 1), ('a', 2), ('b', 3), ('b', NULL)) AS t(grp, v)
+GROUP BY t.grp
+ORDER BY t.grp
+"""
+
+
+@query("sql_inline_table_alias", oracle=_INLINE_TABLE)
+def sql_inline_table_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES table with a full column alias list, including a
+    NULL cell that must type-join with the column (inline-table.sql,
+    table-aliases.sql)."""
+    return _sql(spark, sf_dir, _INLINE_TABLE)
+
+
+_OPERATORS_MISC = """
+SELECT CAST(5 & 3 AS BIGINT)        AS bit_and,
+       CAST(5 | 3 AS BIGINT)        AS bit_or,
+       CAST(~5 AS BIGINT)           AS bit_not,
+       CAST(-(-7) AS BIGINT)        AS double_negate,
+       CAST(ABS(-42) AS BIGINT)     AS abs_neg,
+       CAST(GREATEST(1, NULL, 3) AS BIGINT) AS greatest_skips_null,
+       CAST(LEAST(CAST(NULL AS INT), CAST(NULL AS INT)) AS BIGINT)
+                                    AS least_all_null
+"""
+
+
+@query("sql_operator_misc", oracle=_OPERATORS_MISC)
+def sql_operator_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise &, |, ~, unary minus, GREATEST/LEAST null-skipping
+    (operators.sql). XOR and shifts are engine-divergent spellings
+    (Spark ^ is xor, DuckDB ^ is power) -- covered engine-specifically
+    in expr_math_battery."""
+    return _sql(spark, sf_dir, _OPERATORS_MISC)
+
+
+_COMPARATOR = """
+SELECT CAST('abc' < 'abd' AS BOOLEAN)    AS str_lt,
+       CAST('abc' < 'ab'  AS BOOLEAN)    AS prefix_gt,
+       CAST('B' < 'a' AS BOOLEAN)        AS case_matters_binary,
+       CAST('' < 'a' AS BOOLEAN)         AS empty_lowest,
+       CAST(GREATEST('apple', 'pear', 'fig') AS STRING) AS greatest_str
+"""
+
+
+@query("sql_string_comparators", oracle=_COMPARATOR)
+def sql_string_comparators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary string comparison semantics: lexicographic order, prefix
+    ordering, case significance under the default binary collation
+    (comparator.sql)."""
+    return _sql(spark, sf_dir, _COMPARATOR)
+
+
+_STRUCT_SPARK = """
+SELECT s.o_orderstatus,
+       CAST(MAX(s.pair.price_x100) AS BIGINT) AS max_price_x100,
+       CAST(MIN(s.pair.key) AS BIGINT)        AS min_key
+FROM (
+  SELECT o_orderstatus,
+         struct(o_orderkey AS key,
+                CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_x100)
+           AS pair
+  FROM orders
+) s
+GROUP BY s.o_orderstatus
+ORDER BY s.o_orderstatus
+"""
+
+_STRUCT_ORACLE = """
+SELECT s.o_orderstatus,
+       CAST(MAX(s.pair.price_x100) AS BIGINT) AS max_price_x100,
+       CAST(MIN(s.pair.key) AS BIGINT)        AS min_key
+FROM (
+  SELECT o_orderstatus,
+         struct_pack(key := o_orderkey,
+                     price_x100 := CAST(ROUND(o_totalprice * 100) AS BIGINT))
+           AS pair
+  FROM orders
+) s
+GROUP BY s.o_orderstatus
+ORDER BY s.o_orderstatus
+"""
+
+
+@query("sql_struct_field_access", oracle=_STRUCT_ORACLE)
+def sql_struct_field_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction with named fields and dotted field access
+    through a subquery + aggregation (struct.sql). Construction syntax
+    is engine-specific (struct() vs struct_pack()); the access/agg
+    semantics under test are shared."""
+    return _sql(spark, sf_dir, _STRUCT_SPARK)
+
+
+_COUNT_VARIANTS_SPARK = """
+SELECT CAST(COUNT(*) AS BIGINT)                       AS count_star,
+       CAST(COUNT(1) AS BIGINT)                       AS count_one,
+       CAST(COUNT(c_acctbal) AS BIGINT)               AS count_col,
+       CAST(COUNT(DISTINCT c_nationkey, c_mktsegment) AS BIGINT)
+                                                      AS count_distinct_pair,
+       CAST((SELECT COUNT(*) FROM customer WHERE c_custkey < 0) AS BIGINT)
+                                                      AS count_empty
+FROM customer
+"""
+
+_COUNT_VARIANTS_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT)                       AS count_star,
+       CAST(COUNT(1) AS BIGINT)                       AS count_one,
+       CAST(COUNT(c_acctbal) AS BIGINT)               AS count_col,
+       CAST(COUNT(DISTINCT CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment)
+            AS BIGINT)                                AS count_distinct_pair,
+       CAST((SELECT COUNT(*) FROM customer WHERE c_custkey < 0) AS BIGINT)
+                                                      AS count_empty
+FROM customer
+"""
+
+
+@query("sql_count_variants", oracle=_COUNT_VARIANTS_ORACLE)
+def sql_count_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT forms (count.sql): star, literal, nullable column,
+    multi-column DISTINCT (Spark-native; the oracle spells it as a
+    concatenated key since DuckDB's COUNT(DISTINCT) is single-arg),
+    and COUNT over an empty relation = 0, not NULL."""
+    return _sql(spark, sf_dir, _COUNT_VARIANTS_SPARK)
