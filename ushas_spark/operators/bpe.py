@@ -175,3 +175,113 @@ def _bpe_oracle(n_merges: int = N_MERGES) -> str:
 def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First {N_MERGES} learned BPE merges over the documents corpus."""
     return bpe_train(spark, sf_dir)
+
+
+# ------------------------------------------------------- BPE APPLY stage
+def _oracle_parts(n_merges: int = N_MERGES) -> list[str]:
+    """The shared CTE chain: word histogram -> char symbols -> n_merges
+    rounds of (pair counts, argmax, corpus-wide merge)."""
+    parts = [
+        "w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM ("
+        "  SELECT unnest(string_split(text, ' ')) AS word FROM documents)"
+        "  WHERE word <> '' GROUP BY word)",
+        "s0 AS (SELECT word, n, list_transform("
+        "  generate_series(1, length(word)), i -> substr(word, i, 1)) AS s"
+        "  FROM w)",
+    ]
+    for t in range(n_merges):
+        parts.append(
+            f"p{t} AS (SELECT a, b, CAST(SUM(n) AS BIGINT) AS cnt FROM ("
+            f"  SELECT s[u.i] AS a, s[u.i + 1] AS b, n"
+            f"  FROM s{t}, LATERAL (SELECT unnest(CASE WHEN len(s) >= 2"
+            f"    THEN generate_series(1, len(s) - 1) ELSE [] END) AS i) u)"
+            f"  GROUP BY a, b)"
+        )
+        parts.append(
+            f"b{t} AS (SELECT a AS ba, b AS bb, cnt AS bcnt FROM p{t}"
+            f"  ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        parts.append(
+            f"s{t + 1} AS (SELECT word, n, {_sql_fold('s', 'ba', 'bb')} AS s"
+            f"  FROM s{t} CROSS JOIN b{t})"
+        )
+    return parts
+
+
+def _bpe_encode_oracle(n_merges: int = N_MERGES) -> str:
+    parts = _oracle_parts(n_merges)
+    parts.append(
+        "dw AS (SELECT source, w2.w AS word"
+        "  FROM documents, LATERAL (SELECT unnest(string_split(text, ' ')) AS w) w2"
+        "  WHERE w2.w <> '')"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT dw.source,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(v.s)) AS BIGINT) AS n_tokens,
+       CAST(100 * SUM(len(v.s)) // COUNT(*) AS BIGINT)
+         AS avg_tokens_per_word_x100
+FROM dw JOIN s{n_merges} v ON dw.word = v.word
+GROUP BY dw.source
+ORDER BY dw.source
+"""
+    )
+
+
+def bpe_vocab_segmentation(
+    spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
+) -> DataFrame:
+    """Final per-word symbol segmentation after ``n_merges`` learned
+    merges: (word, n, s) -- the tokenizer's vocabulary table. Identical
+    loop to :func:`bpe_train`, keeping the evolving symbol table rather
+    than the merge log."""
+    syms = _char_symbols(materialize(_word_histogram(spark, sf_dir)))
+    for _ in range(n_merges):
+        best = _best_pair(_pair_counts(syms))
+        syms = _apply_merge(syms, best)
+    return syms
+
+
+@query("text_bpe_encode", oracle=_bpe_encode_oracle())
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer's ENCODE stage: apply the {N_MERGES} learned merges
+    to the corpus and account tokens per source -- the
+    train-then-tokenize round trip every data pipeline runs before
+    packing sequences.
+
+    Scale shape: encoding never re-folds per occurrence. The merge loop
+    runs on the DISTINCT-word symbol table (|vocab| rows); each corpus
+    word occurrence then hash-joins to its finished segmentation by
+    word. At 100 TB the join shuffles by word with a vocab-sized build
+    side (millions of rows -- AQE picks broadcast vs shuffled-hash);
+    the corpus is touched once to explode words and once to join.
+    Exact integer outputs (counts + integer-div average) gate
+    bit-for-bit against the CTE-chain oracle replaying every round.
+    """
+    vocab = bpe_vocab_segmentation(spark, sf_dir).select(
+        "word", F.size("s").alias("n_tok")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    return (
+        words.join(vocab, "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_tokens",
+            F.expr("100 * n_tokens div n_words").alias(
+                "avg_tokens_per_word_x100"
+            ),
+        )
+        .orderBy("source")
+    )

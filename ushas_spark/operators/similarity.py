@@ -1052,3 +1052,56 @@ def sim_pairwise_distance_histogram(
         )
         .orderBy("bucket")
     )
+
+
+# ------------------------------------------------------- range search
+RANGE_TAU = 0.25  # cosine radius: ~10 true neighbours per query at test SFs
+
+_RANGE_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {N_QUERIES})
+SELECT qid, v.vec_id AS cand_id,
+       CAST(ROUND({sql_cosine("qe", "e")} * 1000000) AS BIGINT) AS sim_x1m
+FROM q JOIN v ON v.vec_id <> qid
+WHERE {sql_cosine("qe", "e")} >= {RANGE_TAU}
+ORDER BY qid, sim_x1m DESC, cand_id
+"""
+
+
+@query("sim_range_search", oracle=_RANGE_ORACLE)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (radius) search: every corpus vector with cosine >=
+    {RANGE_TAU} of each query -- the retrieval contract dedup
+    verification and recall evaluation need, where top-k's fixed cut
+    is wrong (a query may have 0 or 500 true neighbours).
+
+    Scale shape: identical to the brute-force scorer -- broadcast the
+    tiny query set, stream the corpus ONCE, filter by threshold
+    map-side. No per-query rank window at all (unlike top-k, range
+    search needs no global per-query ordering to define membership),
+    so the only shuffle is the final ORDER BY presentation sort. For
+    selective radii at 100 TB, swap the corpus scan for the LSH
+    bucket join of ann_lsh_topk and verify candidates exactly --
+    dedup_embedding_cosine IS that shape, query-free.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("e")
+    )
+    n = spark.sparkContext.defaultParallelism
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    c = emb.repartition(n).select(
+        F.col("vec_id").alias("cand_id"), F.col("e").alias("ce")
+    )
+    sim = cosine(F.col("qe"), F.col("ce"))
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter((F.col("cand_id") != F.col("qid")) & (sim >= RANGE_TAU))
+        .select(
+            "qid",
+            "cand_id",
+            F.round(sim * 1_000_000).cast("long").alias("sim_x1m"),
+        )
+        .orderBy("qid", F.col("sim_x1m").desc(), "cand_id")
+    )
