@@ -1013,3 +1013,141 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return assets.mapInPandas(op, schema=out_schema).orderBy("asset_id")
+
+
+_AHASH_MAX_D = 3  # 4 x 16-bit bands pigeonhole-guarantee radius <= 3
+
+_AHASH_NEAR_DUP_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id AS asset_id,
+         8 + doc_id % 9 AS w,
+         8 + doc_id % 7 AS h
+  FROM documents WHERE doc_id < {_PNG_N_ASSETS}
+), grid AS (
+  SELECT asset_id, w, h, gx.gx AS gx, gy.gy AS gy,
+         (gx.gx * w) // 8 AS sx, (gy.gy * h) // 8 AS sy
+  FROM p,
+       LATERAL (SELECT unnest(generate_series(0, 7)) AS gx) gx,
+       LATERAL (SELECT unnest(generate_series(0, 7)) AS gy) gy
+), lum AS (
+  SELECT asset_id, gx, gy,
+         (asset_id * 7 + sx * 3 + sy * 5) % 256
+         + (asset_id * 11 + sx * 2 + sy * 13) % 256
+         + (asset_id * 3 + sx * 17 + sy) % 256 AS l
+  FROM grid
+), tot AS (
+  SELECT asset_id, CAST(SUM(l) AS BIGINT) AS s FROM lum GROUP BY asset_id
+), bits AS (
+  SELECT l.asset_id, l.gx, l.gy,
+         CASE WHEN 64 * l.l > t.s THEN 1 ELSE 0 END AS bit
+  FROM lum l JOIN tot t ON l.asset_id = t.asset_id
+), ah AS (
+  SELECT asset_id,
+         CAST(SUM(CASE WHEN gy < 4 THEN bit * (1 << (gy * 8 + gx))
+                       ELSE 0 END) AS BIGINT) AS ahash_lo,
+         CAST(SUM(CASE WHEN gy >= 4 THEN bit * (1 << ((gy - 4) * 8 + gx))
+                       ELSE 0 END) AS BIGINT) AS ahash_hi
+  FROM bits GROUP BY asset_id
+), bands AS (
+  SELECT asset_id, ahash_lo, ahash_hi, band,
+         CASE band WHEN 0 THEN ahash_lo & 65535
+                   WHEN 1 THEN (ahash_lo >> 16) & 65535
+                   WHEN 2 THEN ahash_hi & 65535
+                   ELSE (ahash_hi >> 16) & 65535 END AS key
+  FROM ah, (VALUES (0), (1), (2), (3)) b(band)
+), cand AS (
+  SELECT DISTINCT a.asset_id AS asset_a, bb.asset_id AS asset_b,
+         a.ahash_lo AS lo_a, a.ahash_hi AS hi_a,
+         bb.ahash_lo AS lo_b, bb.ahash_hi AS hi_b
+  FROM bands a JOIN bands bb
+    ON a.band = bb.band AND a.key = bb.key AND a.asset_id < bb.asset_id
+)
+SELECT asset_a, asset_b,
+       CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
+            AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
+      <= {_AHASH_MAX_D}
+ORDER BY asset_a, asset_b
+"""
+
+
+@query("multimodal_ahash_near_dup", oracle=_AHASH_NEAR_DUP_ORACLE)
+def multimodal_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE detection: band the 64-bit perceptual
+    aHash into 4 x 16-bit keys, self-join on band equality (the
+    pigeonhole guarantees EVERY pair within Hamming {_AHASH_MAX_D}
+    shares at least one identical band -- the radius-3 contract is
+    exact, unlike best-effort wider radii), then verify candidates
+    with bit_count XOR in codegen. This closes the image arm of the
+    dedup story: MinHash for text, cosine for embeddings, banded
+    aHash for pixels -- same bucket-join shape, never all-pairs.
+
+    Scale shape: hashes are computed once (mapInPandas over the
+    decoded pixels) and materialized; the 4-band explode multiplies
+    the hash table x4, the band join buckets it, and verification
+    touches only candidates. The oracle replays decode -> grid ->
+    threshold -> pack -> band -> verify in pure integer SQL.
+    """
+    from ushas_spark.durability import materialize
+
+    ah = materialize(
+        multimodal_image_ahash(spark, sf_dir).select(
+            "asset_id", "ahash_lo", "ahash_hi"
+        )
+    )
+    band_key = [
+        F.col("ahash_lo").bitwiseAND(65535),
+        F.shiftright("ahash_lo", 16).bitwiseAND(65535),
+        F.col("ahash_hi").bitwiseAND(65535),
+        F.shiftright("ahash_hi", 16).bitwiseAND(65535),
+    ]
+    bands = ah.select(
+        "asset_id",
+        "ahash_lo",
+        "ahash_hi",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), k.alias("key"))
+                    for i, k in enumerate(band_key)
+                ]
+            )
+        ).alias("bk"),
+    ).select("asset_id", "ahash_lo", "ahash_hi", "bk.band", "bk.key")
+    right = bands.select(
+        F.col("asset_id").alias("asset_b"),
+        F.col("ahash_lo").alias("lo_b"),
+        F.col("ahash_hi").alias("hi_b"),
+        F.col("band").alias("band_b"),
+        F.col("key").alias("key_b"),
+    )
+    cand = (
+        bands.join(
+            right,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("key") == F.col("key_b"))
+            & (F.col("asset_id") < F.col("asset_b")),
+        )
+        .select(
+            F.col("asset_id").alias("asset_a"),
+            "asset_b",
+            F.col("ahash_lo").alias("lo_a"),
+            F.col("ahash_hi").alias("hi_a"),
+            "lo_b",
+            "hi_b",
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    ) + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    return (
+        cand.filter(hamming <= _AHASH_MAX_D)
+        .select(
+            "asset_a",
+            "asset_b",
+            hamming.cast("long").alias("hamming"),
+        )
+        .orderBy("asset_a", "asset_b")
+    )

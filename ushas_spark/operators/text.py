@@ -1033,3 +1033,4 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("lift_x1m").desc(), "tok_a", "tok_b"
     ).limit(COLLOC_TOP)
+
