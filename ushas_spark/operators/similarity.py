@@ -1105,3 +1105,203 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid", F.col("sim_x1m").desc(), "cand_id")
     )
+
+
+# ------------------------------------------- MMR diversified re-ranking
+MMR_K = 5  # diversified picks per query, greedily chosen from TOP_K
+
+_MMR_CAND = f"""
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT qid, v.vec_id AS cand_id, v.e AS ce,
+         CAST(ROUND({sql_cosine("qe", "e")} * 1000000) AS BIGINT) AS sim_x1m
+  FROM q JOIN v ON v.vec_id <> qid
+),
+cand AS (
+  SELECT qid, cand_id, ce, sim_x1m FROM (
+    SELECT qid, cand_id, ce, sim_x1m,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY sim_x1m DESC, cand_id) AS rnk
+    FROM scored) WHERE rnk <= {TOP_K}
+),
+cc AS (
+  SELECT a.qid, a.cand_id AS id_a, b.cand_id AS id_b,
+         CAST(ROUND({sql_cosine("a.ce", "b.ce")} * 1000000) AS BIGINT)
+           AS cc_x1m
+  FROM cand a JOIN cand b
+    ON a.qid = b.qid AND a.cand_id <> b.cand_id
+),
+sel0 AS (
+  SELECT qid, cand_id, sim_x1m, CAST(0 AS BIGINT) AS mmr_rank,
+         CAST(7 * sim_x1m AS BIGINT) AS score
+  FROM (SELECT qid, cand_id, sim_x1m,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY sim_x1m DESC, cand_id) AS rnk
+        FROM cand) WHERE rnk = 1
+)"""
+
+
+def _mmr_round_sql(r: int) -> str:
+    prev = " UNION ALL ".join(
+        f"SELECT * FROM sel{i}" for i in range(r)
+    )
+    return f"""
+all{r} AS ({prev}),
+pen{r} AS (
+  SELECT c.qid, c.cand_id, c.sim_x1m, MAX(cc.cc_x1m) AS pen_x1m
+  FROM cand c
+  JOIN cc ON cc.qid = c.qid AND cc.id_a = c.cand_id
+  JOIN all{r} s ON s.qid = cc.qid AND s.cand_id = cc.id_b
+  WHERE NOT EXISTS (SELECT 1 FROM all{r} x
+                    WHERE x.qid = c.qid AND x.cand_id = c.cand_id)
+  GROUP BY c.qid, c.cand_id, c.sim_x1m
+),
+sel{r} AS (
+  SELECT qid, cand_id, sim_x1m, CAST({r} AS BIGINT) AS mmr_rank, score
+  FROM (SELECT qid, cand_id, sim_x1m,
+               CAST(7 * sim_x1m - 3 * pen_x1m AS BIGINT) AS score,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY 7 * sim_x1m - 3 * pen_x1m DESC,
+                                           cand_id) AS rnk
+        FROM pen{r}) WHERE rnk = 1
+)"""
+
+
+def _mmr_oracle(k: int = MMR_K) -> str:
+    rounds = "".join("," + _mmr_round_sql(r) for r in range(1, k))
+    union = " UNION ALL ".join(f"SELECT * FROM sel{r}" for r in range(k))
+    return (
+        "WITH "
+        + _MMR_CAND
+        + rounds
+        + f"""
+SELECT qid, mmr_rank, cand_id, sim_x1m, score
+FROM ({union})
+ORDER BY qid, mmr_rank
+"""
+    )
+
+
+@query("sim_mmr_rerank", oracle=_mmr_oracle())
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick {MMR_K} of each query's {TOP_K} nearest
+    candidates, each round maximizing
+    lambda*sim(q,c) - (1-lambda)*max_sim(c, already-picked) with
+    lambda = 0.7 -- the diversified-retrieval pass RAG pipelines run
+    so near-duplicate passages don't crowd the context window. Scores
+    stay in exact integer algebra (7*sim_x1m - 3*pen_x1m; the /10 is
+    order-preserving and dropped), ties break on cand_id, so both
+    engines pick identical sets.
+
+    Scale shape: candidate generation is the broadcast-query top-k
+    (corpus touched once); everything after runs on |queries| x
+    {TOP_K} rows -- the candidate table and its pairwise-sim table are
+    materialized once, and each greedy round is a join + per-query
+    argmax window on that tiny table. Rounds are a fixed-count
+    DataFrame loop, no collect; at a billion queries every stage
+    shuffles on qid only.
+    """
+    from pyspark.sql import Window as W
+
+    from ushas_spark.durability import materialize
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e")
+    )
+    cand = materialize(
+        cosine_topk(q, emb)
+        .join(
+            emb.select(
+                F.col("vec_id").alias("cand_id"), F.col("e").alias("ce")
+            ),
+            "cand_id",
+        )
+        .select("qid", "cand_id", "ce", "sim_x1m")
+    )
+    cc = materialize(
+        cand.alias("a")
+        .join(
+            cand.select(
+                F.col("qid").alias("qid_b"),
+                F.col("cand_id").alias("id_b"),
+                F.col("ce").alias("ce_b"),
+            ),
+            (F.col("qid") == F.col("qid_b"))
+            & (F.col("cand_id") != F.col("id_b")),
+        )
+        .select(
+            "qid",
+            F.col("cand_id").alias("id_a"),
+            "id_b",
+            F.round(cosine(F.col("ce"), F.col("ce_b")) * 1_000_000)
+            .cast("long")
+            .alias("cc_x1m"),
+        )
+    )
+    w = W.partitionBy("qid")
+    first = (
+        cand.withColumn(
+            "rnk",
+            F.row_number().over(
+                w.orderBy(F.col("sim_x1m").desc(), "cand_id")
+            ),
+        )
+        .filter(F.col("rnk") == 1)
+        .select(
+            "qid",
+            "cand_id",
+            "sim_x1m",
+            F.lit(0).cast("long").alias("mmr_rank"),
+            (F.lit(7) * F.col("sim_x1m")).cast("long").alias("score"),
+        )
+    )
+    selected = first
+    for r in range(1, MMR_K):
+        sel_ids = selected.select("qid", F.col("cand_id").alias("sel_id"))
+        pen = (
+            cand.join(
+                sel_ids.withColumnRenamed("sel_id", "cand_id"),
+                ["qid", "cand_id"],
+                "left_anti",
+            )
+            .join(
+                cc,
+                (cc.qid == cand.qid) & (cc.id_a == cand.cand_id),
+                "inner",
+            )
+            .drop(cc.qid)
+            .join(
+                sel_ids.withColumnRenamed("sel_id", "id_b"),
+                ["qid", "id_b"],
+            )
+            .groupBy("qid", "cand_id", "sim_x1m")
+            .agg(F.max("cc_x1m").alias("pen_x1m"))
+        )
+        pick = (
+            pen.withColumn(
+                "score",
+                (F.lit(7) * F.col("sim_x1m") - F.lit(3) * F.col("pen_x1m"))
+                .cast("long"),
+            )
+            .withColumn(
+                "rnk",
+                F.row_number().over(
+                    w.orderBy(F.col("score").desc(), "cand_id")
+                ),
+            )
+            .filter(F.col("rnk") == 1)
+            .select(
+                "qid",
+                "cand_id",
+                "sim_x1m",
+                F.lit(r).cast("long").alias("mmr_rank"),
+                "score",
+            )
+        )
+        selected = selected.unionByName(pick)
+    return selected.orderBy("qid", "mmr_rank")
