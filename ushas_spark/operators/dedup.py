@@ -1182,3 +1182,128 @@ def dedup_ensemble_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     ).orderBy("doc_id")
+
+
+# ------------------------------------- MinHash estimator accuracy eval
+_MH_MATCH_SQL = " + ".join(
+    f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+    for i in range(N_HASHES)
+)
+
+_MH_EST_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({sql_shingles()}) AS shingle FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(shingle), 1, 15))::BIGINT % {MINHASH_PRIME} AS h31
+  FROM sh
+),
+sigs AS (
+  SELECT doc_id,
+         {_MH_COLS}
+  FROM hashed GROUP BY doc_id
+),
+bands AS (
+  {_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST({_MH_MATCH_SQL} AS BIGINT) AS n_sig_match
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+  GROUP BY 1, 2
+)
+SELECT e.doc_a, e.doc_b, e.n_sig_match,
+       CAST(1000 * e.n_sig_match // {N_HASHES} AS BIGINT) AS est_x1000,
+       CAST(ROUND(COALESCE(i.inter, 0) * 1000.0
+                  / (sa.n_sh + sb.n_sh - COALESCE(i.inter, 0))) AS BIGINT)
+         AS jac_x1000,
+       CAST(1000 * e.n_sig_match // {N_HASHES}
+            - CAST(ROUND(COALESCE(i.inter, 0) * 1000.0
+                   / (sa.n_sh + sb.n_sh - COALESCE(i.inter, 0))) AS BIGINT)
+            AS BIGINT) AS err_x1000
+FROM est e
+LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+JOIN sizes sa ON e.doc_a = sa.doc_id
+JOIN sizes sb ON e.doc_b = sb.doc_id
+ORDER BY e.doc_a, e.doc_b
+"""
+
+
+@query("dedup_minhash_estimate_eval", oracle=_MH_EST_ORACLE)
+def dedup_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR accuracy, pair by pair: for every LSH candidate,
+    the estimated Jaccard (fraction of agreeing signature components,
+    the E[match] = J identity MinHash is built on) next to the exact
+    Jaccard and the signed error -- the calibration readout that tells
+    you whether {N_HASHES} hashes are enough before trusting
+    signature-only dedup decisions at 100 TB. Complements
+    dedup_lsh_recall_eval (which scores the CANDIDATE GENERATOR;
+    this scores the ESTIMATOR on the surviving candidates).
+
+    Scale shape: estimates are one |pairs|-row double self-join of the
+    materialized signature table (integer equality sums, codegen);
+    exact Jaccard touches only candidate docs' shingle arrays
+    (array_intersect per pair -- no inverted-index re-shuffle). Both
+    universes here are UNCAPPED shingles, like the signatures
+    themselves, so estimator and truth measure the same sets."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = materialize(minhash_signatures(docs))
+    cand = lsh_candidates(sigs)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_HASHES)],
+    )
+    n_match = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("long")
+        for i in range(N_HASHES)
+    )
+    est = cand.join(sa, "doc_a").join(sb, "doc_b").select(
+        "doc_a", "doc_b", n_match.alias("n_sig_match")
+    )
+    sh = docs.select("doc_id", shingles().alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    exact = (
+        est.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_sig_match",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+        )
+    )
+    jac_x1000 = F.round(
+        F.col("inter") * 1000.0
+        / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    ).cast("long")
+    est_x1000 = F.expr(f"1000 * n_sig_match div {N_HASHES}")
+    return exact.select(
+        "doc_a",
+        "doc_b",
+        "n_sig_match",
+        est_x1000.alias("est_x1000"),
+        jac_x1000.alias("jac_x1000"),
+        (est_x1000 - jac_x1000).cast("long").alias("err_x1000"),
+    ).orderBy("doc_a", "doc_b")
