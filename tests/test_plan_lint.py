@@ -25,14 +25,8 @@ registry.load_all()
 
 # name -> (max unpartitioned logical Window nodes, reviewed justification)
 GLOBAL_WINDOW_OK: dict[str, tuple[int, str]] = {
-    "events_rfm_segments": (
-        3,
-        "bucketed-rank offsets: three windows over |buckets|-row count rollups",
-    ),
-    "events_pareto_concentration": (
-        1,
-        "bucketed-rank offsets: window over the |buckets|-row count rollup",
-    ),
+    # events_rfm_segments / events_pareto_concentration need NO allowance:
+    # their bucket prefix sums are broadcast theta self-joins, not windows.
     "pipeline_global_sequence": (
         1,
         "bucketed-rank offsets: window over the |buckets|-row count rollup",

@@ -791,19 +791,36 @@ def _bucketed_rank(
     operators/pipeline.py). One hash shuffle; no task ever sees more
     than one bucket's rows. With ``cum_of``, additionally emits the
     global running SUM(cum_of) in the same order via the identical
-    per-bucket-prefix + broadcast-bucket-offset algebra."""
+    per-bucket-prefix + broadcast-bucket-offset algebra.
+
+    The bucket prefix sums are a broadcast THETA self-join over the
+    |buckets|-row table rather than an ORDER BY window: same result,
+    but zero unpartitioned WindowExec nodes (so runs never emit the
+    'No Partition Defined' warning the plan lint polices, and the
+    O(|buckets|^2) join is over tens of rows)."""
     b = df.withColumn("_b", F.expr(f"{key} div {width}"))
     aggs = [F.count(F.lit(1)).alias("_n")]
     if cum_of is not None:
         aggs.append(F.sum(cum_of).alias("_s"))
     counts = b.groupBy("_b").agg(*aggs)
-    w_off = W.orderBy(F.col("_b").asc() if asc else F.col("_b").desc()).rowsBetween(
-        W.unboundedPreceding, W.currentRow
+    prior_cols = [
+        F.col("_b").alias("_pb"),
+        F.col("_n").alias("_pn"),
+    ] + ([F.col("_s").alias("_ps")] if cum_of is not None else [])
+    prior = counts.select(*prior_cols)
+    strictly_before = (
+        F.col("_pb") < F.col("_b") if asc else F.col("_pb") > F.col("_b")
     )
-    off_cols = ["_b", (F.sum("_n").over(w_off) - F.col("_n")).alias("_off")]
+    grp = ["_b", "_n"] + (["_s"] if cum_of is not None else [])
+    off_aggs = [F.coalesce(F.sum("_pn"), F.lit(0)).alias("_off")]
     if cum_of is not None:
-        off_cols.append((F.sum("_s").over(w_off) - F.col("_s")).alias("_soff"))
-    offsets = counts.select(*off_cols)
+        off_aggs.append(F.coalesce(F.sum("_ps"), F.lit(0)).alias("_soff"))
+    offsets = (
+        counts.join(F.broadcast(prior), strictly_before, "left")
+        .groupBy(*grp)
+        .agg(*off_aggs)
+        .drop("_n", "_s")
+    )
     w_local = W.partitionBy("_b").orderBy(
         F.col(key).asc() if asc else F.col(key).desc(), tiebreak
     )
@@ -881,6 +898,12 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_x100",
         )
     )
+    from ushas_spark.durability import materialize
+
+    # The base rollup feeds three rank passes (each reading it twice:
+    # bucket counts + the per-bucket window) plus the N aggregate --
+    # materialize once so orders is scanned and aggregated exactly once.
+    base = materialize(base)
     n_df = base.agg(F.count(F.lit(1)).alias("n_cust"))
     ranked = _bucketed_rank(base, "recency_days", 64, asc=False, out="r_rn")
     ranked = _bucketed_rank(ranked, "frequency", 4, asc=True, out="f_rn")
@@ -1321,8 +1344,12 @@ def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     old global row_number + running-sum window would funnel every
     per-user row through one task.
     """
+    from ushas_spark.durability import materialize
+
     e = load_table(spark, sf_dir, "events")
-    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    per_user = materialize(
+        e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    )
     totals = per_user.agg(
         F.count(F.lit(1)).alias("n_users"), F.sum("n").alias("total")
     )
