@@ -556,3 +556,116 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bucket", "lo_degree", "n_nodes", "min_d", "max_d")
         .orderBy("bucket")
     )
+
+
+# ----------------------------------------------- link prediction (CN)
+LP_DEG_CAP = 64  # wedge centers above this degree are skipped (hubs)
+LP_TOP = 20
+
+_LINKPRED_ORACLE = f"""
+WITH pl AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM pl a JOIN pl b ON a.ok = b.ok AND a.pk < b.pk
+), adj AS (
+  SELECT u AS w, v AS n FROM edges UNION ALL SELECT v, u FROM edges
+), deg AS (
+  SELECT w AS node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY w
+), centers AS (
+  SELECT a.w, a.n FROM adj a JOIN deg ON a.w = deg.node
+  WHERE deg.d <= {LP_DEG_CAP}
+), cn AS (
+  SELECT a.n AS pa, b.n AS pb, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM centers a JOIN centers b ON a.w = b.w AND a.n < b.n
+  GROUP BY 1, 2
+), nonadj AS (
+  SELECT c.* FROM cn c
+  WHERE NOT EXISTS (SELECT 1 FROM edges e
+                    WHERE e.u = c.pa AND e.v = c.pb)
+)
+SELECT na.pa, na.pb, na.n_common,
+       da.d AS deg_a, db.d AS deg_b,
+       CAST(ROUND(1000000.0 * na.n_common / (da.d + db.d - na.n_common))
+            AS BIGINT) AS jaccard_x1m
+FROM nonadj na
+JOIN deg da ON na.pa = da.node
+JOIN deg db ON na.pb = db.node
+ORDER BY na.n_common DESC, na.pa, na.pb
+LIMIT {LP_TOP}
+"""
+
+
+@query("graph_link_prediction", oracle=_LINKPRED_ORACLE)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction on the part co-purchase graph:
+    the {LP_TOP} strongest NOT-yet-adjacent part pairs by number of
+    shared neighbors (plus neighborhood-Jaccard as an exact-integer
+    tiebreaker signal) -- the classic "customers also bought"
+    candidate generator and the simplest graph-ML feature.
+
+    Scale shape: common-neighbor counting is inherently a per-center
+    neighbor-pair fanout (O(d^2) per node), which no orientation trick
+    removes -- so hub centers above degree {LP_DEG_CAP} are SKIPPED
+    (standard practice: a part in every order predicts nothing, and
+    the cap bounds the wedge join at {LP_DEG_CAP}^2 rows per center;
+    mirrored exactly in the oracle, and full degrees still feed the
+    Jaccard denominator). One groupBy on the (a, b) pair key, one
+    anti join against the edge list, TakeOrdered for the top slice.
+    """
+    pl = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = pl.alias("a"), pl.alias("b")
+    edges = materialize(
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+    )
+    adj = edges.select(F.col("u").alias("w"), F.col("v").alias("n")).unionAll(
+        edges.select(F.col("v").alias("w"), F.col("u").alias("n"))
+    )
+    deg = adj.groupBy(F.col("w").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    centers = adj.join(
+        deg.filter(F.col("d") <= LP_DEG_CAP).select("node"),
+        adj.w == F.col("node"),
+    ).select("w", "n")
+    ca = centers.select("w", F.col("n").alias("pa"))
+    cb = centers.select(F.col("w").alias("w2"), F.col("n").alias("pb"))
+    cn = (
+        ca.join(cb, (F.col("w") == F.col("w2")) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    nonadj = cn.join(
+        edges.select(F.col("u").alias("pa"), F.col("v").alias("pb")),
+        ["pa", "pb"],
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("pa"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("node").alias("pb"), F.col("d").alias("deg_b"))
+    return (
+        nonadj.join(da, "pa")
+        .join(db, "pb")
+        .select(
+            "pa",
+            "pb",
+            "n_common",
+            "deg_a",
+            "deg_b",
+            F.round(
+                F.lit(1_000_000.0)
+                * F.col("n_common")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_common"))
+            ).cast("long").alias("jaccard_x1m"),
+        )
+        .orderBy(F.col("n_common").desc(), "pa", "pb")
+        .limit(LP_TOP)
+    )

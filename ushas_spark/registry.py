@@ -54,6 +54,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # never burn on by-design "err" rows (_ROWS_ONLY_TAIL).
 _PRIORITY_NAMES: list[str] = []
 
+# Queries ADDED this round (never in any module the gate has half-walked):
+# rank them behind every older never-checked query so the ~50-slot prefix
+# certifies round-3 work first; these get their turn next round.
+_DEFER_NEW = {
+    "text_bpe_encode",
+    "sim_range_search",
+    "sim_mmr_rerank",
+    "multimodal_ahash_near_dup",
+    "dedup_minhash_estimate_eval",
+    "graph_link_prediction",
+}
+
 # No-oracle-by-design queries (golden/property-tested locally): keep them
 # permanently at the back of the walk order.
 _ROWS_ONLY_TAIL = {
@@ -172,6 +184,8 @@ def _reorder() -> None:
             return (9, 0, 0)
         if name in _PRIORITY_NAMES:
             return (0, _PRIORITY_NAMES.index(name), 0)
+        if name in _DEFER_NEW:
+            return (1, len(_MODULE_ORDER), 0)
         green = 1 if name in _DRIVER_GREEN else 0
         mod = getattr(fn, "__module__", "")
         try:
