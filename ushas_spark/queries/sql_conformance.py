@@ -880,3 +880,19 @@ def sql_count_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     concatenated key since DuckDB's COUNT(DISTINCT) is single-arg),
     and COUNT over an empty relation = 0, not NULL."""
     return _sql(spark, sf_dir, _COUNT_VARIANTS_SPARK)
+
+
+_ORDER_BY_ALL = """
+SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@query("sql_order_by_all", oracle=_ORDER_BY_ALL)
+def sql_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ALL (sort by every select-list column left to right) --
+    the Spark 4 / DuckDB shared shorthand, completing GROUP BY ALL
+    (sql_group_by_all); same text runs on both engines."""
+    return _sql(spark, sf_dir, _ORDER_BY_ALL)
