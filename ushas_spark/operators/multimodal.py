@@ -1151,3 +1151,151 @@ def multimodal_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("asset_a", "asset_b")
     )
+
+
+# ----------------------------------------- audio fingerprint near-dup
+_AFP_WINDOWS = 32  # energy windows -> 32-bit signature
+_AFP_MAX_D = 3     # 4 x 8-bit bands: pigeonhole-complete for Hamming <= 3
+
+_AFP_ORACLE = f"""
+WITH a AS (
+  SELECT doc_id AS asset_id, 64 + doc_id % 64 AS n
+  FROM documents WHERE doc_id < {_WAV_N_ASSETS}
+), s AS (
+  SELECT asset_id, n, i.i AS i,
+         abs((asset_id * 31 + i.i * 7) % 2001 - 1000) AS e
+  FROM a, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) i
+), tot AS (
+  SELECT asset_id, CAST(SUM(e) AS BIGINT) AS total FROM s GROUP BY asset_id
+), win AS (
+  SELECT s.asset_id, w.w AS w, CAST(SUM(s.e) AS BIGINT) AS we
+  FROM s, LATERAL (SELECT unnest(generate_series(0, {_AFP_WINDOWS - 1})) AS w) w
+  WHERE s.i >= (w.w * s.n) // {_AFP_WINDOWS}
+    AND s.i < ((w.w + 1) * s.n) // {_AFP_WINDOWS}
+  GROUP BY s.asset_id, w.w
+), sig AS (
+  SELECT win.asset_id,
+         CAST(SUM(CASE WHEN {_AFP_WINDOWS} * win.we > tot.total
+                       THEN (1 << win.w) ELSE 0 END) AS BIGINT) AS fp
+  FROM win JOIN tot ON win.asset_id = tot.asset_id
+  GROUP BY win.asset_id
+), bands AS (
+  SELECT asset_id, fp, band, (fp >> (8 * band)) & 255 AS key
+  FROM sig, (VALUES (0), (1), (2), (3)) b(band)
+), cand AS (
+  SELECT DISTINCT a.asset_id AS asset_a, bb.asset_id AS asset_b,
+         a.fp AS fp_a, bb.fp AS fp_b
+  FROM bands a JOIN bands bb
+    ON a.band = bb.band AND a.key = bb.key AND a.asset_id < bb.asset_id
+), verified AS (
+  SELECT CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming,
+         asset_a, asset_b
+  FROM cand
+  WHERE bit_count(xor(fp_a, fp_b)) <= {_AFP_MAX_D}
+)
+SELECT hamming,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(MIN(asset_a * 1000000 + asset_b) AS BIGINT) AS example_pair
+FROM verified
+GROUP BY hamming
+ORDER BY hamming
+"""
+
+
+@query("multimodal_audio_fingerprint", oracle=_AFP_ORACLE)
+def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate AUDIO detection: decode each WAV (real stdlib
+    codec), fold the PCM stream into {_AFP_WINDOWS} equal energy
+    windows, threshold each window against the clip mean (exact
+    integer compare {_AFP_WINDOWS}*e > total) into a 32-bit
+    fingerprint, then find Hamming-close clips via 4 x 8-bit band
+    buckets (pigeonhole-complete for radius {_AFP_MAX_D}) -- the audio
+    arm of the near-dup story, same banded shape as MinHash (text),
+    cosine-LSH (embeddings) and aHash (images). Output is the verified
+    pair histogram by distance with a deterministic example pair.
+
+    Scale shape: one mapInPandas decode pass (per-asset work, the only
+    honest place for a codec), signatures materialized, then the x4
+    band explode + bucket join + bit_count verify all in codegen.
+    The oracle replays synthesis -> windowing -> threshold -> band ->
+    verify in pure integer SQL."""
+    import io
+    import struct
+    import wave
+
+    from ushas_spark.durability import materialize
+
+    assets = synthesize_wav_assets(spark, sf_dir)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    n = w.getnframes()
+                    samples = struct.unpack(f"<{n}h", w.readframes(n))
+                e = [abs(s) for s in samples]
+                total = sum(e)
+                fp = 0
+                for w_i in range(_AFP_WINDOWS):
+                    lo = w_i * n // _AFP_WINDOWS
+                    hi = (w_i + 1) * n // _AFP_WINDOWS
+                    if _AFP_WINDOWS * sum(e[lo:hi]) > total:
+                        fp |= 1 << w_i
+                rows.append({"asset_id": aid, "fp": fp})
+            yield pd.DataFrame(rows, columns=["asset_id", "fp"])
+
+    sig = materialize(
+        assets.mapInPandas(op, schema="asset_id bigint, fp bigint")
+    )
+    bands = sig.select(
+        "asset_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("fp", 8 * b)
+                        .bitwiseAND(255)
+                        .alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("asset_id", "fp", "bk.band", "bk.key")
+    right = bands.select(
+        F.col("asset_id").alias("asset_b"),
+        F.col("fp").alias("fp_b"),
+        F.col("band").alias("band_b"),
+        F.col("key").alias("key_b"),
+    )
+    cand = (
+        bands.join(
+            right,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("key") == F.col("key_b"))
+            & (F.col("asset_id") < F.col("asset_b")),
+        )
+        .select(
+            F.col("asset_id").alias("asset_a"),
+            "asset_b",
+            F.col("fp").alias("fp_a"),
+            "fp_b",
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.filter(hamming <= _AFP_MAX_D)
+        .select(hamming.cast("long").alias("hamming"), "asset_a", "asset_b")
+        .groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(
+                F.col("asset_a") * 1_000_000 + F.col("asset_b")
+            ).alias("example_pair"),
+        )
+        .orderBy("hamming")
+    )

@@ -64,6 +64,8 @@ _DEFER_NEW = {
     "multimodal_ahash_near_dup",
     "dedup_minhash_estimate_eval",
     "graph_link_prediction",
+    "sql_order_by_all",
+    "multimodal_audio_fingerprint",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
