@@ -401,3 +401,53 @@ def test_fuzzy_blocking_50k_names_planted_typos(spark):
     }
     missing = planted - got
     assert not missing, f"{len(missing)} planted pairs missed"
+
+
+def test_bucketed_rank_ntile_equivalence_500k(spark):
+    """The distributed quintile machinery (fixed-width range buckets +
+    per-bucket row_number + broadcast theta-join prefix sums,
+    queries/analytics.py _bucketed_rank/_ntile_from_rank) must
+    reproduce the global NTILE contract EXACTLY at volume, on a skewed
+    key with heavy ties -- the case where rank arithmetic subtly
+    drifting by one row would silently misplace a whole tie-group."""
+    from pyspark.sql import Window as W
+
+    from ushas_spark.queries.analytics import _bucketed_rank, _ntile_from_rank
+
+    n = 500_000
+    base = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("o_custkey"),
+            # Zipf-ish skewed, heavily tied metric.
+            (F.pow(F.col("id") % 1000 + 1, 2.0)).cast("long").alias("metric"),
+        )
+    )
+    ranked = _bucketed_rank(base, "metric", 50_000, asc=True, out="rn")
+    n_df = base.agg(F.count(F.lit(1)).alias("n_rows"))
+    got = (
+        ranked.crossJoin(F.broadcast(n_df))
+        .select(
+            "o_custkey",
+            _ntile_from_rank("rn", "n_rows", 5).alias("bucket"),
+        )
+    )
+    expect = base.select(
+        "o_custkey",
+        F.ntile(5)
+        .over(W.orderBy("metric", "o_custkey"))
+        .cast("long")
+        .alias("bucket"),
+    )
+    diff = got.join(expect, "o_custkey").filter(
+        got.bucket != expect.bucket
+    )
+    assert diff.count() == 0
+    # And the machinery itself must not plan a global window.
+    import json
+
+    nodes = json.loads(got._jdf.queryExecution().optimizedPlan().toJSON())
+    assert not any(
+        nd["class"].endswith(".Window") and not nd.get("partitionSpec")
+        for nd in nodes
+    )
