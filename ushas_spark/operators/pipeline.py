@@ -933,3 +933,82 @@ def pipeline_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("n_tokens"))
         .orderBy("source", "split")
     )
+
+
+# ------------------------------------------------ epoch mixture planning
+MIX_TOKEN_BUDGET = 500_000  # target training tokens for the plan
+
+_MIXTURE_ORACLE = f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
+           AS n_tokens,
+         CAST(20 + {sql_hash60("source")} % 60 AS BIGINT) AS weight_x100
+  FROM documents
+  GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(weight_x100) AS BIGINT) AS w_total FROM per_src
+)
+SELECT p.source, p.n_docs, p.n_tokens, p.weight_x100,
+       CAST({MIX_TOKEN_BUDGET} * p.weight_x100 // t.w_total AS BIGINT)
+         AS target_tokens,
+       CAST(100 * ({MIX_TOKEN_BUDGET} * p.weight_x100 // t.w_total)
+            // p.n_tokens AS BIGINT) AS epochs_x100,
+       CASE WHEN {MIX_TOKEN_BUDGET} * p.weight_x100 // t.w_total > p.n_tokens
+            THEN 1 ELSE 0 END AS needs_repetition
+FROM per_src p CROSS JOIN tot t
+ORDER BY p.source
+"""
+
+
+@query("pipeline_epoch_mixture", oracle=_MIXTURE_ORACLE)
+def pipeline_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture planning: given per-source token inventories,
+    per-source mixture weights and a total token budget, compute each
+    source's target token allocation and the repetition factor
+    (epochs) needed to meet it -- the Pile/DoReMi-style planning table
+    a run reads before sampling, with needs_repetition flagging
+    sources whose allocation exceeds their inventory (up-sampled
+    epochs > 1). Weights here derive deterministically from the source
+    name hash (20..79) so both engines compute identical plans without
+    a config channel; production swaps in learned or hand-set weights
+    -- the algebra (all integer div, exact cross-engine) is unchanged.
+
+    Scale shape: ONE corpus scan (map-side token count + rollup to
+    |sources| rows), then pure arithmetic on the tiny plan table with
+    its 1-row weight total broadcast. The plan feeds
+    pipeline_importance_resample / pipeline_quota_sample for the
+    actual sampling pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", r"\s+")).cast("long")).alias("n_tokens"),
+    ).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.lit(20) + hash60(F.col("source")) % 60).alias("weight_x100"),
+    )
+    tot = per_src.agg(F.sum("weight_x100").alias("w_total"))
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "weight_x100",
+            F.expr(
+                f"{MIX_TOKEN_BUDGET} * weight_x100 div w_total"
+            ).alias("target_tokens"),
+            F.expr(
+                f"100 * ({MIX_TOKEN_BUDGET} * weight_x100 div w_total)"
+                " div n_tokens"
+            ).alias("epochs_x100"),
+            F.expr(
+                f"CASE WHEN {MIX_TOKEN_BUDGET} * weight_x100 div w_total"
+                " > n_tokens THEN 1 ELSE 0 END"
+            ).cast("long").alias("needs_repetition"),
+        )
+        .orderBy("source")
+    )

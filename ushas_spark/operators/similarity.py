@@ -1305,3 +1305,99 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         selected = selected.unionByName(pick)
     return selected.orderBy("qid", "mmr_rank")
+
+
+# --------------------------------------------- ANN recall@k evaluation
+_ANN_RECALL_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT qid, v.vec_id AS cand_id,
+         CAST(ROUND({sql_cosine("qe", "e")} * 1000000) AS BIGINT) AS sim_x1m
+  FROM q JOIN v ON v.vec_id <> qid
+),
+truth AS (
+  SELECT qid, cand_id FROM (
+    SELECT qid, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY sim_x1m DESC, cand_id) AS rnk
+    FROM scored) WHERE rnk <= {TOP_K}
+),
+b AS (
+  {" UNION ALL ".join(
+      f"SELECT vec_id, e, {t} AS tbl, {_sql_bucket('e', tp)} AS bucket FROM v"
+      for t, tp in enumerate(_tables(_PLANES))
+  )}
+),
+qb AS (SELECT vec_id AS qid, e AS qe, tbl AS qtbl, bucket AS qbucket
+       FROM b WHERE vec_id < {N_QUERIES}),
+cand AS (
+  SELECT DISTINCT qb.qid, b.vec_id AS cand_id, qb.qe, b.e
+  FROM b JOIN qb ON b.tbl = qb.qtbl AND b.bucket = qb.qbucket
+              AND b.vec_id <> qb.qid
+),
+ann AS (
+  SELECT qid, cand_id FROM (
+    SELECT qid, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY CAST(ROUND({sql_cosine("qe", "e")}
+                                            * 1000000) AS BIGINT) DESC,
+                                       cand_id) AS rnk
+    FROM cand) WHERE rnk <= {TOP_K}
+)
+SELECT t.qid,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       CAST(SUM(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hit,
+       CAST(1000 * SUM(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+            // COUNT(*) AS BIGINT) AS recall_at_k_x1000
+FROM truth t
+LEFT JOIN ann a ON a.qid = t.qid AND a.cand_id = t.cand_id
+GROUP BY t.qid
+ORDER BY t.qid
+"""
+
+
+@query("sim_ann_recall_at_k", oracle=_ANN_RECALL_ORACLE)
+def sim_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of the multi-table LSH ANN index against the
+    exact brute-force top-{TOP_K}, PER QUERY -- the acceptance metric
+    that decides N_TABLES/PLANES_PER_TABLE before an index is trusted
+    in production (companion to dedup_lsh_recall_eval, which scores
+    the MinHash band scheme). Integer hit counts and an integer-div
+    recall, so the gate compares exactly.
+
+    Scale shape: both arms are the already-scalable operators (one
+    broadcast-query corpus scan for truth; bucket-pruned LSH join for
+    the ANN arm); the comparison itself is one |queries| x k left join.
+    In production the truth arm runs on a hash-sampled query slice --
+    the shape is unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e")
+    )
+    truth = cosine_topk(q, emb).select("qid", "cand_id")
+    ann = ann_lsh_topk(emb).select(
+        F.col("qid").alias("a_qid"), F.col("cand_id").alias("a_cand")
+    )
+    joined = truth.join(
+        ann,
+        (F.col("qid") == F.col("a_qid")) & (F.col("cand_id") == F.col("a_cand")),
+        "left",
+    )
+    return (
+        joined.groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.col("a_cand").isNotNull().cast("long")).alias("n_hit"),
+        )
+        .select(
+            "qid",
+            "k",
+            "n_hit",
+            F.expr("1000 * n_hit div k").alias("recall_at_k_x1000"),
+        )
+        .orderBy("qid")
+    )

@@ -66,6 +66,8 @@ _DEFER_NEW = {
     "graph_link_prediction",
     "sql_order_by_all",
     "multimodal_audio_fingerprint",
+    "sim_ann_recall_at_k",
+    "pipeline_epoch_mixture",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
