@@ -68,6 +68,7 @@ _DEFER_NEW = {
     "multimodal_audio_fingerprint",
     "sim_ann_recall_at_k",
     "pipeline_epoch_mixture",
+    "streaming_cdc_upsert",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them

@@ -359,3 +359,100 @@ def streaming_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ops.run_to_memory(bars, "t_ohlc", output_mode="complete")
     return out.orderBy("w_start", "event_type")
+
+
+_STREAM_CDC_ORACLE = """
+WITH log AS (
+  SELECT user_id AS key,
+         event_id AS seq,
+         CASE event_id % 10
+           WHEN 0 THEN 'D' WHEN 1 THEN 'I' ELSE 'U' END AS op,
+         CAST(ROUND(value * 10000) AS BIGINT) AS val_x10000
+  FROM events
+), latest AS (
+  SELECT key, seq, op, val_x10000 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+    FROM log) WHERE rn = 1
+)
+SELECT key, CAST(seq AS BIGINT) AS last_seq, val_x10000
+FROM latest WHERE op <> 'D'
+ORDER BY key
+"""
+
+
+@query("streaming_cdc_upsert", oracle=_STREAM_CDC_ORACLE)
+def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC upsert via foreachBatch merge -- the
+    Hudi/Delta-style pattern of maintaining a latest-wins snapshot
+    table from a change stream (companion to the batch
+    merge_cdc_apply). The event feed is re-laid as FOUR files streamed
+    one per micro-batch (maxFilesPerTrigger=1), so the merge genuinely
+    runs incrementally; each batch unions into the running state and
+    re-derives latest-wins per key, with DELETE TOMBSTONES RETAINED in
+    state -- retention is what makes the merge associative and
+    commutative, so the final snapshot is independent of how rows
+    split across batches (a dropped tombstone would let a
+    smaller-sequence update in a later batch resurrect the key).
+    State is materialized per batch (plan truncation, exactly the
+    iterative-operator policy in durability.py).
+
+    A finite replay of this stream must equal the batch answer -- the
+    oracle is the plain latest-wins SQL over the whole log."""
+    import tempfile
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from ushas_spark.durability import materialize
+    from ushas_spark.io import load_table
+
+    feed = tempfile.mkdtemp(prefix="ushas_cdc_feed_")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    events.repartition(4).write.mode("overwrite").parquet(feed)
+
+    log_stream = (
+        spark.readStream.schema("event_id bigint, user_id bigint, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .select(
+            F.col("user_id").alias("key"),
+            F.col("event_id").alias("seq"),
+            F.when(F.col("event_id") % 10 == 0, "D")
+            .when(F.col("event_id") % 10 == 1, "I")
+            .otherwise("U")
+            .alias("op"),
+            F.round(F.col("value") * 10000).cast("long").alias("val_x10000"),
+        )
+    )
+
+    state = {
+        "df": spark.createDataFrame(
+            [], "key bigint, seq bigint, op string, val_x10000 bigint"
+        )
+    }
+    w = W.partitionBy("key").orderBy(F.col("seq").desc())
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        merged = (
+            state["df"]
+            .unionByName(batch)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        state["df"] = materialize(merged)
+
+    q = log_stream.writeStream.outputMode("update").foreachBatch(merge).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    return (
+        state["df"]
+        .where(F.col("op") != "D")
+        .select("key", F.col("seq").alias("last_seq"), "val_x10000")
+        .orderBy("key")
+    )
