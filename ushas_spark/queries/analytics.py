@@ -1712,3 +1712,110 @@ def events_funnel_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week")
     )
+
+
+# ------------------------------------------------ Holt linear forecast
+_HOLT_FOLD_SQL = (
+    "(acc, x) -> ["
+    " CAST(floor((20 * x[1] + 80 * (acc[1] + acc[2])) / 100.0) AS BIGINT),"
+    " CAST(floor((10 * (CAST(floor((20 * x[1] + 80 * (acc[1] + acc[2]))"
+    " / 100.0) AS BIGINT) - acc[1]) + 90 * acc[2]) / 100.0) AS BIGINT)]"
+)
+
+_HOLT_ORACLE = f"""
+WITH monthly AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS ym,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_x100
+  FROM orders GROUP BY 1
+), arr AS (
+  SELECT max(ym) AS last_ym,
+         list_transform(list_sort(list(ym || '|' || lpad(CAST(rev_x100 AS VARCHAR), 18, '0'))),
+                        s -> CAST(split_part(s, '|', 2) AS BIGINT)) AS ys
+  FROM monthly
+), fold AS (
+  SELECT last_ym,
+         list_reduce(
+           list_prepend([ys[1], ys[2] - ys[1]],
+                        list_transform(ys[3:], y -> [y, CAST(0 AS BIGINT)])),
+           {_HOLT_FOLD_SQL}) AS lt
+  FROM arr
+)
+SELECT last_ym,
+       lt[1] AS level_x100,
+       lt[2] AS trend_x100,
+       lt[1] + 1 * lt[2] AS forecast_1_x100,
+       lt[1] + 2 * lt[2] AS forecast_2_x100,
+       lt[1] + 3 * lt[2] AS forecast_3_x100
+FROM fold
+"""
+
+
+@query("events_forecast_holt", oracle=_HOLT_ORACLE)
+def events_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + trend) over the
+    monthly revenue series, with a 3-month-ahead linear forecast --
+    the first-line timeseries forecaster. Smoothing (alpha=0.2,
+    beta=0.1) runs in EXACT integer arithmetic: x100 revenue, updates
+    floor-divided identically on both engines (floor(x/100.0) -- a
+    truncating integer div would disagree with DuckDB's floor-div on
+    negative trends), so level/trend/forecasts gate bit-for-bit; the
+    oracle replays the identical fold via list_reduce.
+
+    Scale shape: one fact rollup to |months| rows, then a driver-free
+    fold over the tiny sorted array inside a single-row aggregate --
+    no global window, no collect; the fact table is touched once.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "ym"
+        )
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "rev_x100"
+        )
+    )
+    arr = monthly.agg(
+        F.max("ym").alias("last_ym"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ym"), F.col("rev_x100")))
+            ),
+            lambda s: s["rev_x100"],
+        ).alias("ys"),
+    )
+    ys = F.col("ys")
+    init = F.array(
+        F.element_at(ys, 1),
+        F.element_at(ys, 2) - F.element_at(ys, 1),
+    )
+    rest = F.slice(ys, 3, F.greatest(F.size(ys) - 2, F.lit(0)))
+
+    def step(acc, y):
+        lvl = F.floor(
+            (20 * y + 80 * (F.element_at(acc, 1) + F.element_at(acc, 2)))
+            / 100.0
+        ).cast("long")
+        trend = F.floor(
+            (
+                10 * (lvl - F.element_at(acc, 1))
+                + 90 * F.element_at(acc, 2)
+            )
+            / 100.0
+        ).cast("long")
+        return F.array(lvl, trend)
+
+    folded = arr.select(
+        "last_ym", F.aggregate(rest, init, step).alias("lt")
+    )
+    lvl = F.element_at(F.col("lt"), 1)
+    trd = F.element_at(F.col("lt"), 2)
+    return folded.select(
+        "last_ym",
+        lvl.alias("level_x100"),
+        trd.alias("trend_x100"),
+        (lvl + 1 * trd).alias("forecast_1_x100"),
+        (lvl + 2 * trd).alias("forecast_2_x100"),
+        (lvl + 3 * trd).alias("forecast_3_x100"),
+    )

@@ -69,6 +69,7 @@ _DEFER_NEW = {
     "sim_ann_recall_at_k",
     "pipeline_epoch_mixture",
     "streaming_cdc_upsert",
+    "events_forecast_holt",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
