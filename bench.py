@@ -93,6 +93,10 @@ HEADLINE = [
     "merge_scd2_upsert",
     "events_attribution_last_touch",
     "text_collocations",
+    "sim_mmr_rerank",
+    "multimodal_ahash_near_dup",
+    "graph_link_prediction",
+    "text_bpe_encode",
 ]
 
 ITERATIONS = 3  # best-of-N, after one untimed warm-up
