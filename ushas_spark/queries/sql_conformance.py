@@ -896,3 +896,56 @@ def sql_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Spark 4 / DuckDB shared shorthand, completing GROUP BY ALL
     (sql_group_by_all); same text runs on both engines."""
     return _sql(spark, sf_dir, _ORDER_BY_ALL)
+
+
+_LITERALS_SPARK = """
+SELECT CAST(DATE '1996-07-04' AS STRING)              AS date_lit,
+       CAST(TIMESTAMP '1996-07-04 12:30:00' AS STRING) AS ts_lit,
+       CAST(1.5e3 AS DOUBLE)                          AS exp_double,
+       CAST(.5 AS DOUBLE)                             AS bare_fraction,
+       CAST(1e-2 AS DOUBLE)                           AS neg_exponent,
+       hex(X'4142')                                   AS hex_binary,
+       CAST(9223372036854775807 AS BIGINT)            AS max_bigint
+"""
+
+# Spark's X'..' binary literal spells as from_hex() in DuckDB.
+_LITERALS_ORACLE = _LITERALS_SPARK.replace("X'4142'", "from_hex('4142')")
+
+
+@query("sql_literal_battery", oracle=_LITERALS_ORACLE)
+def sql_literal_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed and numeric literal parsing (literals.sql): DATE/TIMESTAMP
+    typed literals, exponent and bare-fraction numerics, hex binary
+    (engine-specific spelling, identical bytes), BIGINT boundary."""
+    return _sql(spark, sf_dir, _LITERALS_SPARK)
+
+
+_REGEX_COLS_ORACLE = """
+SELECT o_orderkey, o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+WHERE o_orderkey <= 100
+GROUP BY o_orderkey, o_custkey
+ORDER BY o_orderkey
+"""
+
+
+@query("sql_quoted_regex_columns", oracle=_REGEX_COLS_ORACLE)
+def sql_quoted_regex_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-identifier REGEX column expansion (query_regex_column.sql;
+    HiveQL surface behind spark.sql.parser.quotedRegexColumnNames):
+    `o_.*key` selects every matching column. The conf is flipped only
+    around this statement; the oracle states the expansion explicitly."""
+    register_views(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.parser.quotedRegexColumnNames", "false")
+    spark.conf.set("spark.sql.parser.quotedRegexColumnNames", "true")
+    try:
+        return spark.sql(
+            """
+SELECT o_orderkey, o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT `o_.*key` FROM orders WHERE o_orderkey <= 100) t
+GROUP BY o_orderkey, o_custkey
+ORDER BY o_orderkey
+"""
+        )
+    finally:
+        spark.conf.set("spark.sql.parser.quotedRegexColumnNames", prev)

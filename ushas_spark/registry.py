@@ -70,6 +70,8 @@ _DEFER_NEW = {
     "pipeline_epoch_mixture",
     "streaming_cdc_upsert",
     "events_forecast_holt",
+    "sql_literal_battery",
+    "sql_quoted_regex_columns",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
