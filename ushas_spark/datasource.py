@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
 )
@@ -107,3 +108,90 @@ class SyntheticDataSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(SyntheticDataSource)
+
+
+# ------------------------------------------------------- write support
+class _CollectingWriter(DataSourceWriter):
+    """DataSourceWriter: each executor task writes its partition's rows
+    to a per-task spill file under the (driver-provided) sink directory
+    and reports (n_rows, checksum) back through its commit message --
+    the WriteSupport/WriterCommitMessage protocol of the reference's
+    DSv2 (sql/core/src/main/java/org/apache/spark/sql/sources/v2/
+    writer/DataSourceWriter.java) in its PySpark form."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+        from pyspark.sql.datasource import WriterCommitMessage
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        n = 0
+        checksum = 0
+        rows = []
+        for row in iterator:
+            n += 1
+            checksum = (checksum + int(row[0]) * 31 + int(row[1])) % MIX_MOD
+            rows.append([int(row[0]), int(row[1])])
+        fname = os.path.join(self.path, f"part-{pid}-{uuid.uuid4().hex}.json")
+        with open(fname, "w", encoding="utf-8") as fh:
+            json.dump(rows, fh)
+
+        class Msg(WriterCommitMessage):
+            pass
+
+        m = Msg()
+        m.n_rows = n
+        m.checksum = checksum
+        m.file = fname
+        return m
+
+    def commit(self, messages):
+        import json
+        import os
+
+        total = sum(m.n_rows for m in messages)
+        with open(
+            os.path.join(self.path, "_SUCCESS.json"), "w", encoding="utf-8"
+        ) as fh:
+            json.dump(
+                {
+                    "n_rows": total,
+                    "n_tasks": len(messages),
+                    "checksums": sorted(m.checksum for m in messages),
+                },
+                fh,
+            )
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if getattr(m, "file", None) and os.path.exists(m.file):
+                os.remove(m.file)
+
+
+class SyntheticSinkDataSource(DataSource):
+    """Write-side companion source (`ushas_sink`): append-mode batch
+    writes fan out per partition, commit on the driver aggregates the
+    task messages -- the full DSv2 write protocol in Python."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ushas_sink"
+
+    def schema(self) -> str:
+        return "k bigint, v bigint"
+
+    def writer(self, schema, overwrite: bool):
+        return _CollectingWriter(self.options)
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(SyntheticSinkDataSource)
