@@ -949,3 +949,31 @@ ORDER BY o_orderkey
         )
     finally:
         spark.conf.set("spark.sql.parser.quotedRegexColumnNames", prev)
+
+
+_REPARTITION_HINT = """
+SELECT /*+ REPARTITION(8, o_custkey) */
+       o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 10
+ORDER BY o_custkey
+"""
+
+_REPARTITION_HINT_ORACLE = """
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 10
+ORDER BY o_custkey
+"""
+
+
+@query("sql_repartition_hint", oracle=_REPARTITION_HINT_ORACLE)
+def sql_repartition_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPARTITION(n, cols) hint through the parser (hints.sql /
+    ResolveHints): a partitioning directive must never change results
+    -- the oracle is the hint-free statement. (The broadcast-hint
+    analog is sql_join_hint_broadcast; plan effects of explicit
+    repartitioning are asserted in tests/test_plans.py.)"""
+    return _sql(spark, sf_dir, _REPARTITION_HINT)

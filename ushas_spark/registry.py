@@ -72,6 +72,7 @@ _DEFER_NEW = {
     "events_forecast_holt",
     "sql_literal_battery",
     "sql_quoted_regex_columns",
+    "sql_repartition_hint",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
