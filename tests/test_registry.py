@@ -72,3 +72,13 @@ def test_all_registering_modules_have_an_order_entry():
         f"modules registering queries but absent from _MODULE_ORDER "
         f"(they fall to the back unordered): {sorted(missing)}"
     )
+
+
+def test_defer_new_names_exist_and_are_not_green():
+    stale = registry._DEFER_NEW - set(registry.QUERIES)
+    assert not stale, f"_DEFER_NEW names not in registry: {sorted(stale)}"
+    greened = registry._DEFER_NEW & registry._DRIVER_GREEN
+    assert not greened, (
+        f"_DEFER_NEW queries are driver-green -- drop them from the defer "
+        f"set during rotation: {sorted(greened)}"
+    )
