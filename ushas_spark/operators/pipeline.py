@@ -1012,3 +1012,113 @@ def pipeline_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------------ snapshot / shard diff
+DIFF_SHARDS = 32
+
+_SNAPDIFF_ORACLE = f"""
+WITH a AS (
+  SELECT doc_id,
+         {sql_hash60("CAST(doc_id AS VARCHAR)")} % {DIFF_SHARDS} AS shard,
+         md5(substr(text, 1, length(text) - (CASE WHEN doc_id % 5 = 0
+                                                  THEN 1 ELSE 0 END)))
+           AS digest
+  FROM documents WHERE doc_id % 17 <> 0
+), b AS (
+  SELECT doc_id,
+         {sql_hash60("CAST(doc_id AS VARCHAR)")} % {DIFF_SHARDS} AS shard,
+         md5(text) AS digest
+  FROM documents
+), joined AS (
+  SELECT COALESCE(a.shard, b.shard) AS shard,
+         CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN a.digest <> b.digest THEN 'modified'
+              ELSE 'unchanged' END AS status
+  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+)
+SELECT shard,
+       CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_added,
+       CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       CAST(SUM(CASE WHEN status = 'modified' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_modified,
+       CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unchanged,
+       CAST(CASE WHEN SUM(CASE WHEN status <> 'unchanged' THEN 1 ELSE 0 END)
+                      > 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS needs_rebuild
+FROM joined
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+@query("pipeline_snapshot_diff", oracle=_SNAPDIFF_ORACLE)
+def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-rebuild planning: diff two corpus snapshots at the
+    SHARD level -- per shard, how many documents were added, removed,
+    or content-modified since the last run, and whether the shard
+    needs rebuilding at all. This is the primitive that turns a 100 TB
+    full reprocess into an incremental one: downstream stages
+    (tokenize, dedup index, pack) re-run ONLY shards with
+    needs_rebuild = 1. Snapshot A is derived deterministically from
+    the corpus (every 17th doc missing = adds; every 5th doc's digest
+    computed over a truncated body = modifications) so both engines
+    replay the same diff.
+
+    Scale shape: each snapshot is one scan projecting (doc_id, shard,
+    digest); the diff is a single full outer join ON doc_id -- which
+    co-partitions both sides by the join key, so each shard's docs
+    meet on the same executors -- followed by a map-side-combinable
+    rollup to |shards| rows. No all-pairs anything; digests (md5)
+    are codegen JVM expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (hash60(F.col("doc_id").cast("string")) % DIFF_SHARDS).alias(
+        "shard"
+    )
+    a = docs.filter(F.col("doc_id") % 17 != 0).select(
+        F.col("doc_id").alias("a_id"),
+        shard,
+        F.md5(
+            F.expr(
+                "substr(text, 1, length(text) - "
+                "(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END))"
+            )
+        ).alias("a_digest"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("b_id"),
+        shard.alias("b_shard"),
+        F.md5("text").alias("b_digest"),
+    )
+    joined = a.join(b, a.a_id == b.b_id, "full_outer").select(
+        F.coalesce("shard", "b_shard").alias("shard"),
+        F.when(F.col("a_id").isNull(), "added")
+        .when(F.col("b_id").isNull(), "removed")
+        .when(F.col("a_digest") != F.col("b_digest"), "modified")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    changed = (F.col("status") != "unchanged").cast("long")
+    return (
+        joined.groupBy("shard")
+        .agg(
+            F.sum((F.col("status") == "added").cast("long")).alias("n_added"),
+            F.sum((F.col("status") == "removed").cast("long")).alias(
+                "n_removed"
+            ),
+            F.sum((F.col("status") == "modified").cast("long")).alias(
+                "n_modified"
+            ),
+            F.sum((F.col("status") == "unchanged").cast("long")).alias(
+                "n_unchanged"
+            ),
+            F.when(F.sum(changed) > 0, 1).otherwise(0).cast("long").alias(
+                "needs_rebuild"
+            ),
+        )
+        .orderBy("shard")
+    )

@@ -73,6 +73,7 @@ _DEFER_NEW = {
     "sql_literal_battery",
     "sql_quoted_regex_columns",
     "sql_repartition_hint",
+    "pipeline_snapshot_diff",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
