@@ -198,3 +198,138 @@ def compact_files(
     df = spark.read.parquet(src_dir)
     df.repartition(n_files).write.mode("overwrite").parquet(dst_dir)
     return n_files
+
+
+# ---------------------------------------------- bitmap shard index
+IDX_SHARDS = 16     # files/shards the fact is laid out into
+IDX_WORDS = 16      # 63-bit words per shard bitmap -> 1008 bit positions
+IDX_BITS = IDX_WORDS * 63
+IDX_PROBES = 25     # probe keys: o_custkey < 25
+
+_BITMAP_ORACLE = f"""
+WITH base AS (
+  SELECT ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+           % {IDX_SHARDS} AS shard,
+         ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+           % {IDX_BITS} AS p,
+         o_custkey
+  FROM orders
+), words AS (
+  SELECT shard, p // 63 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS bits
+  FROM base GROUP BY shard, p // 63
+), probes AS (
+  SELECT DISTINCT o_custkey AS probe_key,
+         ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+           % {IDX_BITS} AS p
+  FROM orders WHERE o_custkey < {IDX_PROBES}
+), cand AS (
+  SELECT pr.probe_key, w.shard
+  FROM probes pr
+  JOIN words w ON w.word = pr.p // 63
+              AND (w.bits & (CAST(1 AS BIGINT) << CAST(pr.p % 63 AS INT)))
+                  <> 0
+), truth AS (
+  SELECT DISTINCT b.o_custkey AS probe_key, b.shard
+  FROM base b WHERE b.o_custkey < {IDX_PROBES}
+)
+SELECT p.probe_key,
+       CAST((SELECT COUNT(*) FROM cand c
+             WHERE c.probe_key = p.probe_key) AS BIGINT) AS n_candidate_shards,
+       CAST((SELECT COUNT(*) FROM truth t
+             WHERE t.probe_key = p.probe_key) AS BIGINT) AS n_true_shards,
+       CAST((SELECT COUNT(*) FROM truth t
+             WHERE t.probe_key = p.probe_key
+               AND NOT EXISTS (SELECT 1 FROM cand c
+                               WHERE c.probe_key = t.probe_key
+                                 AND c.shard = t.shard)) AS BIGINT)
+         AS n_missed
+FROM (SELECT DISTINCT probe_key FROM probes) p
+ORDER BY p.probe_key
+"""
+
+
+@query("layout_bitmap_index", oracle=_BITMAP_ORACLE)
+def layout_bitmap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping BITMAP INDEX in pure SQL: each of {IDX_SHARDS}
+    fact shards summarises its join keys into a {IDX_BITS}-bit
+    membership bitmap ({IDX_WORDS} x 63-bit words, bit_or-aggregated
+    -- 63 bits per word because a 1<<63 BIGINT shift overflows
+    portably), and point-lookup probes consult ONLY the tiny
+    (shard, word) bitmap table to decide which shards to read -- the
+    same skip-index contract as parquet bloom filters / Z-order
+    row-group stats (layout_zorder_histogram), built and probed as
+    DataFrames. n_missed must be 0 for every probe: a membership
+    bitmap can false-positive (extra candidate shards = wasted reads,
+    priced by n_candidate_shards - n_true_shards) but NEVER
+    false-negative.
+
+    Scale shape: index build is one scan + a rollup to at most
+    |shards| x |words| rows (tiny, broadcastable); each probe is a
+    broadcast join against that table -- no fact access at all until
+    the chosen shards are read."""
+    orders = load_table(spark, sf_dir, "orders")
+    from ushas_spark.operators.dedup import hash60
+
+    base = orders.select(
+        (hash60(F.col("o_orderkey").cast("string")) % IDX_SHARDS).alias(
+            "shard"
+        ),
+        (hash60(F.col("o_custkey").cast("string")) % IDX_BITS).alias("p"),
+        "o_custkey",
+    )
+    words = base.groupBy(
+        "shard", F.expr("p div 63").alias("word")
+    ).agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 63 AS INT)))")
+        .alias("bits")
+    )
+    probes = (
+        orders.filter(F.col("o_custkey") < IDX_PROBES)
+        .select(F.col("o_custkey").alias("probe_key"))
+        .distinct()
+        .withColumn(
+            "p", hash60(F.col("probe_key").cast("string")) % IDX_BITS
+        )
+    )
+    cand = probes.join(
+        F.broadcast(words),
+        (F.col("word") == F.expr("p div 63"))
+        & (
+            F.expr(
+                "(bits & shiftleft(CAST(1 AS BIGINT), CAST(p % 63 AS INT)))"
+            )
+            != 0
+        ),
+    ).select("probe_key", "shard")
+    truth = (
+        base.filter(F.col("o_custkey") < IDX_PROBES)
+        .select(F.col("o_custkey").alias("probe_key"), "shard")
+        .distinct()
+    )
+    n_cand = cand.groupBy("probe_key").agg(
+        F.count(F.lit(1)).alias("n_candidate_shards")
+    )
+    n_true = truth.groupBy("probe_key").agg(
+        F.count(F.lit(1)).alias("n_true_shards")
+    )
+    missed = (
+        truth.join(cand, ["probe_key", "shard"], "left_anti")
+        .groupBy("probe_key")
+        .agg(F.count(F.lit(1)).alias("n_missed"))
+    )
+    return (
+        probes.select("probe_key")
+        .join(n_cand, "probe_key", "left")
+        .join(n_true, "probe_key", "left")
+        .join(missed, "probe_key", "left")
+        .select(
+            "probe_key",
+            F.coalesce("n_candidate_shards", F.lit(0)).alias(
+                "n_candidate_shards"
+            ),
+            F.coalesce("n_true_shards", F.lit(0)).alias("n_true_shards"),
+            F.coalesce("n_missed", F.lit(0)).alias("n_missed"),
+        )
+        .orderBy("probe_key")
+    )

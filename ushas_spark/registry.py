@@ -74,6 +74,7 @@ _DEFER_NEW = {
     "sql_quoted_regex_columns",
     "sql_repartition_hint",
     "pipeline_snapshot_diff",
+    "layout_bitmap_index",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
