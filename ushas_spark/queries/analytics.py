@@ -1819,3 +1819,133 @@ def events_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         (lvl + 2 * trd).alias("forecast_2_x100"),
         (lvl + 3 * trd).alias("forecast_3_x100"),
     )
+
+
+# ------------------------------------------------ CUSUM changepoint
+_CUSUM_STEP_SQL = (
+    "(acc, x) -> ["
+    " acc[1] + 1,"
+    " acc[2] + (x[1] * n - total),"
+    " CASE WHEN abs(acc[2] + (x[1] * n - total)) > acc[4]"
+    "      THEN acc[1] + 1 ELSE acc[3] END,"
+    " CASE WHEN abs(acc[2] + (x[1] * n - total)) > acc[4]"
+    "      THEN abs(acc[2] + (x[1] * n - total)) ELSE acc[4] END,"
+    " CASE WHEN abs(acc[2] + (x[1] * n - total)) > acc[4]"
+    "      THEN CASE WHEN acc[2] + (x[1] * n - total) >= 0"
+    "                THEN 1 ELSE -1 END"
+    "      ELSE acc[5] END]"
+)
+
+_CUSUM_ORACLE = f"""
+WITH monthly AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS ym,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_x100
+  FROM orders GROUP BY 1
+), arr AS (
+  SELECT list_transform(list_sort(list(ym || '|'
+                 || lpad(CAST(rev_x100 AS VARCHAR), 18, '0'))),
+                 s -> split_part(s, '|', 1)) AS yms,
+         list_transform(list_sort(list(ym || '|'
+                 || lpad(CAST(rev_x100 AS VARCHAR), 18, '0'))),
+                 s -> CAST(split_part(s, '|', 2) AS BIGINT)) AS ys
+  FROM monthly
+), stats AS (
+  SELECT yms, ys, CAST(len(ys) AS BIGINT) AS n,
+         CAST(list_sum(ys) AS BIGINT) AS total
+  FROM arr
+), fold AS (
+  SELECT yms, n,
+         list_reduce(
+           list_prepend([CAST(0 AS BIGINT), 0, 0, -1, 0],
+                        list_transform(ys, y -> [y, CAST(0 AS BIGINT),
+                                                 0, 0, 0])),
+           {_CUSUM_STEP_SQL}) AS st
+  FROM stats
+)
+SELECT n AS n_months,
+       st[3] AS cp_index,
+       yms[CAST(st[3] AS INT)] AS cp_month,
+       st[4] AS max_abs_cusum_xn,
+       st[5] AS direction
+FROM fold
+"""
+
+
+@query("events_changepoint_cusum", oracle=_CUSUM_ORACLE)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the monthly revenue series: the
+    month where the cumulative deviation from the series mean peaks in
+    magnitude -- the standard first answer to "when did the level
+    shift?". All arithmetic is EXACT integers: deviations are scaled
+    by n (y*n - total) so the mean never becomes a fraction, and the
+    argmax fold carries (index, cusum, best_index, best_abs, sign)
+    through one deterministic pass, replayed identically by DuckDB's
+    list_reduce.
+
+    Scale shape: one fact rollup to |months| rows, then a single-row
+    aggregate folding the tiny sorted array -- no global window, no
+    collect, fact touched once (same scale story as
+    events_forecast_holt)."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "ym"
+        )
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "rev_x100"
+        )
+    )
+    arr = monthly.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("ym"), F.col("rev_x100")))
+        ).alias("pairs")
+    ).select(
+        F.transform(F.col("pairs"), lambda s: s["ym"]).alias("yms"),
+        F.transform(F.col("pairs"), lambda s: s["rev_x100"]).alias("ys"),
+    )
+    stats = arr.select(
+        "yms",
+        "ys",
+        F.size("ys").cast("long").alias("n"),
+        F.aggregate(
+            "ys", F.lit(0).cast("long"), lambda a, y: a + y
+        ).alias("total"),
+    )
+
+    def step(acc, x):
+        i = F.element_at(acc, 1) + 1
+        c = F.element_at(acc, 2) + (
+            x * F.col("n") - F.col("total")
+        )
+        better = F.abs(c) > F.element_at(acc, 4)
+        return F.array(
+            i,
+            c,
+            F.when(better, i).otherwise(F.element_at(acc, 3)),
+            F.when(better, F.abs(c)).otherwise(F.element_at(acc, 4)),
+            F.when(
+                better, F.when(c >= 0, F.lit(1)).otherwise(F.lit(-1))
+            ).otherwise(F.element_at(acc, 5)).cast("long"),
+        )
+
+    init = F.array(
+        F.lit(0).cast("long"),
+        F.lit(0).cast("long"),
+        F.lit(0).cast("long"),
+        F.lit(-1).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    folded = stats.select(
+        "yms", "n", F.aggregate("ys", init, step).alias("st")
+    )
+    return folded.select(
+        F.col("n").alias("n_months"),
+        F.element_at("st", 3).alias("cp_index"),
+        F.element_at(
+            F.col("yms"), F.element_at("st", 3).cast("int")
+        ).alias("cp_month"),
+        F.element_at("st", 4).alias("max_abs_cusum_xn"),
+        F.element_at("st", 5).alias("direction"),
+    )

@@ -75,6 +75,7 @@ _DEFER_NEW = {
     "sql_repartition_hint",
     "pipeline_snapshot_diff",
     "layout_bitmap_index",
+    "events_changepoint_cusum",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
