@@ -161,26 +161,155 @@ def tpcds_data(spark, tmp_path_factory):
 
 def _positional(pdf: pd.DataFrame) -> pd.DataFrame:
     # Engines name unaliased aggregates differently (count_star() vs
-    # count(1)); results are compared by POSITION, values exactly.
+    # count(1)); results are compared by POSITION. Integer columns are
+    # widened to float64 on both sides because DuckDB surfaces
+    # SUM(INT) as HUGEINT -> float64 while Spark keeps BIGINT; every
+    # value in these fixtures is far below 2**53, so the comparison
+    # stays exact.
     out = pdf.copy()
     out.columns = [f"c{j}" for j in range(len(pdf.columns))]
+    for c in out.columns:
+        if out[c].dtype.kind in ("i", "u"):
+            out[c] = out[c].astype("float64")
     return out
+
+
+def _run_both(spark, paths: dict, sql: str, label: str) -> None:
+    spark_pdf = spark.sql(sql).toPandas()
+    con = duckdb.connect()
+    try:
+        for table, path in paths.items():
+            con.execute(
+                f'CREATE VIEW "{table}" AS '
+                f"SELECT * FROM read_parquet('{path}')"
+            )
+        duck_pdf = con.execute(sql).fetchdf()
+    finally:
+        con.close()
+    assert len(spark_pdf) > 0, f"{label}: empty result -- fixture too sparse"
+    problems = compare_frames(_positional(spark_pdf), _positional(duck_pdf))
+    assert not problems, f"{label}: " + "; ".join(problems)
 
 
 @pytest.mark.parametrize("name", QUERIES)
 def test_tpcds_query_executes_exactly(spark, tpcds_data, name):
     with open(os.path.join(RES, f"{name}.sql"), encoding="utf-8") as fh:
         sql = fh.read()
-    spark_pdf = spark.sql(sql).toPandas()
-    con = duckdb.connect()
-    try:
-        for table, path in tpcds_data.items():
-            con.execute(
-                f"CREATE VIEW {table} AS SELECT * FROM read_parquet('{path}')"
-            )
-        duck_pdf = con.execute(sql).fetchdf()
-    finally:
-        con.close()
-    assert len(spark_pdf) > 0, f"{name}: empty result -- fixture too sparse"
-    problems = compare_frames(_positional(spark_pdf), _positional(duck_pdf))
-    assert not problems, f"{name}: " + "; ".join(problems)
+    _run_both(spark, tpcds_data, sql, name)
+
+
+# --------------------------------------------------------------- SSB
+SSB_SUITE = (
+    "/root/reference/sql/core/src/test/scala/org/apache/spark/sql/"
+    "SSBQuerySuite.scala"
+)
+SSB_RES = "/root/reference/sql/core/src/test/resources/ssb"
+SSB_QUERIES = ["1.1", "1.2", "1.3", "2.1"]
+SSB_TABLES = {
+    "date": 120,
+    "part": 60,
+    "supplier": 30,
+    "customer": 30,
+    "lineorder": 6000,
+}
+SSB_PK = {
+    "date": "d_datekey",
+    "part": "p_partkey",
+    "supplier": "s_suppkey",
+    "customer": "c_custkey",
+}
+SSB_FK_TARGET = {
+    "lo_orderdate": ("date", 120),
+    "lo_commitdate": ("date", 120),
+    "lo_partkey": ("part", 60),
+    "lo_suppkey": ("supplier", 30),
+    "lo_custkey": ("customer", 30),
+}
+_SSB_REGIONS = ["AMERICA", "ASIA", "EUROPE", "AFRICA", "MIDDLE EAST"]
+SSB_SPECIAL = {
+    # date: 120 rows = two 5-year calendars of months; derived fields
+    # kept mutually consistent so conjunctive filters are satisfiable.
+    "d_year": lambda i: 1993 + (i // 12) % 5,
+    "d_yearmonthnum": lambda i: (1993 + (i // 12) % 5) * 100 + 1 + i % 12,
+    "d_weeknuminyear": lambda i: 1 + (i // 3) % 52,  # week 6 lands in 1994
+    "d_month": lambda i: f"month_{1 + i % 12}",
+    # part/supplier/customer attribute vocabularies covering the
+    # queries' constants (MFGR#12, AMERICA).
+    "p_category": lambda i: f"MFGR#{10 + i % 5}",
+    "p_brand1": lambda i: f"MFGR#{i % 40}",
+    "p_mfgr": lambda i: f"MFGR#{1 + i % 5}",
+    "s_region": lambda i: _SSB_REGIONS[i % 5],
+    "c_region": lambda i: _SSB_REGIONS[(i + 2) % 5],
+    "s_nation": lambda i: f"nation_{i % 10}",
+    "c_nation": lambda i: f"nation_{(i + 3) % 10}",
+    # lineorder measures sized to the SSB filter ranges.
+    "lo_discount": lambda i: i % 11,
+    "lo_quantity": lambda i: 1 + i % 50,
+}
+
+
+def _ssb_ddl_columns() -> dict[str, list[tuple[str, str]]]:
+    with open(SSB_SUITE, encoding="utf-8") as fh:
+        src = fh.read()
+    out: dict[str, list[tuple[str, str]]] = {}
+    for block in re.findall(r'"""(.*?)"""', src, flags=re.DOTALL):
+        text = " ".join(
+            line.split("|", 1)[1] if "|" in line else line
+            for line in block.splitlines()
+        )
+        m = re.match(r"\s*CREATE TABLE `(\w+)` \((.*)\)\s*USING parquet", text)
+        if not m or m.group(1) not in SSB_TABLES:
+            continue
+        out[m.group(1)] = re.findall(
+            r"`(\w+)`\s+([A-Z]+(?:\(\d+,\d+\))?)", m.group(2)
+        )
+    assert set(out) == set(SSB_TABLES)
+    return out
+
+
+def _ssb_cell(table: str, col: str, typ: str, i: int):
+    if col in SSB_SPECIAL:
+        return SSB_SPECIAL[col](i)
+    if col == SSB_PK.get(table):
+        return i + 1
+    if col in SSB_FK_TARGET:
+        return 1 + _mix(i, col) % SSB_FK_TARGET[col][1]
+    t = typ.upper()
+    if t in ("INT", "BIGINT", "SMALLINT"):
+        return (i * 7 + len(col)) % 1000
+    if t == "STRING":
+        return f"{col}_{i % 20}"
+    raise AssertionError(f"unhandled type {typ} for {table}.{col}")
+
+
+@pytest.fixture(scope="module")
+def ssb_data(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("ssb_exec")
+    cols_by_table = _ssb_ddl_columns()
+    paths = {}
+    for table, n in SSB_TABLES.items():
+        cols = cols_by_table[table]
+        pdf = pd.DataFrame(
+            {
+                col: [_ssb_cell(table, col, typ, i) for i in range(n)]
+                for col, typ in cols
+            }
+        )
+        path = str(root / f"{table}.parquet")
+        pdf.to_parquet(path)
+        paths[table] = path
+        spark.read.parquet(path).createOrReplaceTempView(table)
+    yield paths
+    for table in SSB_TABLES:
+        spark.catalog.dropTempView(table)
+
+
+@pytest.mark.parametrize("name", SSB_QUERIES)
+def test_ssb_query_executes_exactly(spark, ssb_data, name):
+    """Star Schema Benchmark execution sample: the flat filter-sum
+    queries (1.x) and the two-dim rollup (2.1) run end-to-end on both
+    engines over the same parquet (reference surface:
+    SSBQuerySuite.scala -- compile-only there; executed here)."""
+    with open(os.path.join(SSB_RES, f"{name}.sql"), encoding="utf-8") as fh:
+        sql = fh.read()
+    _run_both(spark, ssb_data, sql, f"ssb-{name}")
