@@ -1949,3 +1949,65 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("st", 4).alias("max_abs_cusum_xn"),
         F.element_at("st", 5).alias("direction"),
     )
+
+
+# ------------------------------------------------ seasonal indices
+_SEASONAL_ORACLE = """
+WITH monthly AS (
+  SELECT EXTRACT(YEAR FROM o_orderdate) AS y,
+         EXTRACT(MONTH FROM o_orderdate) AS m,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_x100
+  FROM orders GROUP BY 1, 2
+), per_month AS (
+  SELECT m,
+         CAST(COUNT(*) AS BIGINT) AS n_years,
+         CAST(SUM(rev_x100) // COUNT(*) AS BIGINT) AS avg_rev_x100
+  FROM monthly GROUP BY m
+), overall AS (
+  SELECT CAST(SUM(rev_x100) // COUNT(*) AS BIGINT) AS g FROM monthly
+)
+SELECT CAST(p.m AS BIGINT) AS month, p.n_years, p.avg_rev_x100,
+       CAST(1000000 * p.avg_rev_x100 // o.g AS BIGINT) AS seasonal_index_x1m
+FROM per_month p CROSS JOIN overall o
+ORDER BY month
+"""
+
+
+@query("events_seasonal_index", oracle=_SEASONAL_ORACLE)
+def events_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonal indices: each calendar month's average
+    monthly revenue relative to the overall monthly average (x1m) --
+    the multiplicative-decomposition seasonal factor, and the
+    companion input to events_forecast_holt (deseasonalise, smooth,
+    reseasonalise). Integer-div averages keep both engines exact.
+
+    Scale shape: one fact rollup to (year, month), a 12-row re-rollup,
+    and a broadcast 1-row overall average. Fact touched once."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "rev_x100"
+        )
+    )
+    per_month = monthly.groupBy("m").agg(
+        F.count(F.lit(1)).alias("n_years"),
+        F.expr("sum(rev_x100) div count(1)").alias("avg_rev_x100"),
+    )
+    overall = monthly.agg(
+        F.expr("sum(rev_x100) div count(1)").alias("g")
+    )
+    return (
+        per_month.crossJoin(F.broadcast(overall))
+        .select(
+            F.col("m").cast("long").alias("month"),
+            "n_years",
+            "avg_rev_x100",
+            F.expr("1000000 * avg_rev_x100 div g").alias(
+                "seasonal_index_x1m"
+            ),
+        )
+        .orderBy("month")
+    )

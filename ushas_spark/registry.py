@@ -76,6 +76,7 @@ _DEFER_NEW = {
     "pipeline_snapshot_diff",
     "layout_bitmap_index",
     "events_changepoint_cusum",
+    "events_seasonal_index",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
