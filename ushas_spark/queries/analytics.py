@@ -2011,3 +2011,127 @@ def events_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ------------------------------------------------ Gini coefficient
+_GINI_ORACLE = """
+WITH per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id
+), ranked AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n, user_id) AS rnk
+  FROM per_user
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(n) AS BIGINT) AS total,
+         CAST(SUM(rnk * n) AS BIGINT) AS weighted
+  FROM ranked
+)
+SELECT n_users, total,
+       CAST((2000000 * weighted) // (n_users * total)
+            - (1000000 * (n_users + 1)) // n_users AS BIGINT) AS gini_x1m
+FROM agg
+"""
+
+
+@query("events_gini_coefficient", oracle=_GINI_ORACLE)
+def events_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of per-user activity -- the single-number
+    inequality companion to events_pareto_concentration's curve, via
+    the rank formula G = 2*sum(i*y_i)/(n*sum(y)) - (n+1)/n over
+    ascending ranks. The global rank comes from the DISTRIBUTED
+    bucketed-rank machinery (_bucketed_rank) -- no single-partition
+    window -- and the formula is evaluated in pure integer arithmetic
+    (x1m, floor-div in the same order on both engines).
+
+    Scale shape: per-user rollup (one shuffle), bucketed rank (one
+    more), then a 1-row aggregate. Survives a billion users."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    ranked = _bucketed_rank(
+        per_user, key="n", width=8, asc=True, out="rnk", tiebreak="user_id"
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n").alias("total"),
+        F.sum(F.col("rnk") * F.col("n")).alias("weighted"),
+    )
+    return agg.select(
+        "n_users",
+        "total",
+        (
+            F.expr("(2000000 * weighted) div (n_users * total)")
+            - F.expr("(1000000 * (n_users + 1)) div n_users")
+        ).cast("long").alias("gini_x1m"),
+    )
+
+
+# ------------------------------------------------ Benford's-law audit
+# Expected first-digit frequencies log10(1 + 1/d), scaled x1m and
+# hard-coded as integers so both engines compare against identical
+# constants (no cross-engine log10 evaluation).
+_BENFORD_X1M = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910,
+    5: 79181, 6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {v}" for d, v in _BENFORD_X1M.items()
+)
+
+_BENFORD_ORACLE = f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS d
+  FROM orders
+  WHERE o_totalprice > 0
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM digits)
+SELECT d AS first_digit,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       CAST(1000000 * COUNT(*) // MAX(t.n) AS BIGINT) AS observed_x1m,
+       CAST(CASE d {_BENFORD_CASE} END AS BIGINT) AS benford_x1m,
+       CAST(1000000 * COUNT(*) // MAX(t.n)
+            - CASE d {_BENFORD_CASE} END AS BIGINT) AS deviation_x1m
+FROM digits CROSS JOIN tot t
+GROUP BY d
+ORDER BY d
+"""
+
+
+@query("agg_benford_first_digit", oracle=_BENFORD_ORACLE)
+def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order amounts -- the
+    data-quality / fraud screen: observed first-digit frequencies next
+    to the log10(1+1/d) expectation (hard-coded x1m integers, so no
+    cross-engine transcendental evaluation) and the signed deviation.
+    First digits come from the exact x100 integer amounts' decimal
+    rendering, identical on both engines.
+
+    Scale shape: one scan, map-side digit extraction, 9-row rollup
+    with a broadcast 1-row total."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("d")
+    )
+    tot = digits.agg(F.count(F.lit(1)).alias("n"))
+    expected = F.expr(f"CASE d {_BENFORD_CASE} END").cast("long")
+    return (
+        digits.crossJoin(F.broadcast(tot))
+        .groupBy("d", "n")
+        .agg(F.count(F.lit(1)).alias("n_values"))
+        .select(
+            F.col("d").alias("first_digit"),
+            "n_values",
+            F.expr("1000000 * n_values div n").alias("observed_x1m"),
+            expected.alias("benford_x1m"),
+            (F.expr("1000000 * n_values div n") - expected).alias(
+                "deviation_x1m"
+            ),
+        )
+        .orderBy("first_digit")
+    )

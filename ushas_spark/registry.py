@@ -77,6 +77,8 @@ _DEFER_NEW = {
     "layout_bitmap_index",
     "events_changepoint_cusum",
     "events_seasonal_index",
+    "events_gini_coefficient",
+    "agg_benford_first_digit",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
