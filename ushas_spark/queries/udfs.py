@@ -284,3 +284,61 @@ def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, t.pos
         """
     )
+
+
+_UDTF_ANALYZE_ORACLE = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS s
+  FROM documents WHERE doc_id < 5
+)
+SELECT doc_id,
+       CAST(i.i AS INT) - 1 AS pos,
+       s[i.i] AS g1,
+       s[i.i + 1] AS g2
+FROM t, LATERAL (SELECT unnest(CASE WHEN len(s) >= 2
+                               THEN generate_series(1, len(s) - 1)
+                               ELSE [] END) AS i) i
+ORDER BY doc_id, pos
+"""
+
+
+@query("udf_python_udtf_analyze", oracle=_UDTF_ANALYZE_ORACLE)
+def udf_python_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 `analyze()`): the output schema
+    is computed at ANALYSIS time from a constant argument -- here
+    ngram width n produces columns g1..gn -- the dynamic-schema table
+    function the fixed `returnType` UDTF (udf_python_udtf) cannot
+    express. The reference's generator surface has no analog; this is
+    a deliberate engine upgrade. Called with n=2; the oracle states
+    the bigram expansion in plain SQL."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class NGrams:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            assert isinstance(n.value, int) and n.value >= 1
+            fields = [T.StructField("pos", T.IntegerType())]
+            fields += [
+                T.StructField(f"g{i + 1}", T.StringType())
+                for i in range(n.value)
+            ]
+            return AnalyzeResult(schema=T.StructType(fields))
+
+        def eval(self, text: str, n: int):
+            toks = [t for t in __import__("re").split(r"\s+", text)]
+            for i in range(len(toks) - n + 1):
+                yield (i, *toks[i : i + n])
+
+    spark.udtf.register("ushas_ngrams", udtf(NGrams))
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.g1, t.g2
+        FROM documents d, LATERAL ushas_ngrams(d.text, 2) t
+        WHERE d.doc_id < 5
+        ORDER BY d.doc_id, t.pos
+        """
+    )

@@ -79,6 +79,7 @@ _DEFER_NEW = {
     "events_seasonal_index",
     "events_gini_coefficient",
     "agg_benford_first_digit",
+    "udf_python_udtf_analyze",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
