@@ -977,3 +977,29 @@ def sql_repartition_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
     analog is sql_join_hint_broadcast; plan effects of explicit
     repartitioning are asserted in tests/test_plans.py.)"""
     return _sql(spark, sf_dir, _REPARTITION_HINT)
+
+
+_SETOP_NULLS = """
+SELECT 'intersect' AS op, x FROM (
+  SELECT x FROM (VALUES (1), (NULL), (3)) t(x)
+  INTERSECT
+  SELECT x FROM (VALUES (NULL), (3), (4)) s(x)
+)
+UNION ALL
+SELECT 'except' AS op, x FROM (
+  SELECT x FROM (VALUES (1), (NULL), (3)) t(x)
+  EXCEPT
+  SELECT x FROM (VALUES (NULL), (4)) s(x)
+)
+ORDER BY op, x NULLS FIRST
+"""
+
+
+@query("sql_setop_null_semantics", oracle=_SETOP_NULLS)
+def sql_setop_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL equality in set operations (intersect-all.sql /
+    except.sql): unlike `=`, INTERSECT and EXCEPT treat NULLs as
+    EQUAL (group semantics), so NULL survives the intersect and is
+    removed by the except -- identical three-valued-logic carve-out on
+    both engines."""
+    return _sql(spark, sf_dir, _SETOP_NULLS)

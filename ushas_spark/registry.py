@@ -80,6 +80,7 @@ _DEFER_NEW = {
     "events_gini_coefficient",
     "agg_benford_first_digit",
     "udf_python_udtf_analyze",
+    "sql_setop_null_semantics",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
