@@ -1299,3 +1299,112 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hamming")
     )
+
+
+_IMG_CLUSTER_ORACLE = f"""
+WITH RECURSIVE p AS (
+  SELECT doc_id AS asset_id,
+         8 + doc_id % 9 AS w,
+         8 + doc_id % 7 AS h
+  FROM documents WHERE doc_id < {_PNG_N_ASSETS}
+), grid AS (
+  SELECT asset_id, w, h, gx.gx AS gx, gy.gy AS gy,
+         (gx.gx * w) // 8 AS sx, (gy.gy * h) // 8 AS sy
+  FROM p,
+       LATERAL (SELECT unnest(generate_series(0, 7)) AS gx) gx,
+       LATERAL (SELECT unnest(generate_series(0, 7)) AS gy) gy
+), lum AS (
+  SELECT asset_id, gx, gy,
+         (asset_id * 7 + sx * 3 + sy * 5) % 256
+         + (asset_id * 11 + sx * 2 + sy * 13) % 256
+         + (asset_id * 3 + sx * 17 + sy) % 256 AS l
+  FROM grid
+), tot AS (
+  SELECT asset_id, CAST(SUM(l) AS BIGINT) AS s FROM lum GROUP BY asset_id
+), bits AS (
+  SELECT l.asset_id, l.gx, l.gy,
+         CASE WHEN 64 * l.l > t.s THEN 1 ELSE 0 END AS bit
+  FROM lum l JOIN tot t ON l.asset_id = t.asset_id
+), ah AS (
+  SELECT asset_id,
+         CAST(SUM(CASE WHEN gy < 4 THEN bit * (1 << (gy * 8 + gx))
+                       ELSE 0 END) AS BIGINT) AS ahash_lo,
+         CAST(SUM(CASE WHEN gy >= 4 THEN bit * (1 << ((gy - 4) * 8 + gx))
+                       ELSE 0 END) AS BIGINT) AS ahash_hi
+  FROM bits GROUP BY asset_id
+), bands AS (
+  SELECT asset_id, ahash_lo, ahash_hi, band,
+         CASE band WHEN 0 THEN ahash_lo & 65535
+                   WHEN 1 THEN (ahash_lo >> 16) & 65535
+                   WHEN 2 THEN ahash_hi & 65535
+                   ELSE (ahash_hi >> 16) & 65535 END AS key
+  FROM ah, (VALUES (0), (1), (2), (3)) b(band)
+), pairs AS (
+  SELECT DISTINCT a.asset_id AS a, bb.asset_id AS b
+  FROM bands a JOIN bands bb
+    ON a.band = bb.band AND a.key = bb.key AND a.asset_id < bb.asset_id
+  WHERE bit_count(xor(a.ahash_lo, bb.ahash_lo))
+        + bit_count(xor(a.ahash_hi, bb.ahash_hi)) <= {_AHASH_MAX_D}
+), edges AS (
+  SELECT a AS s, b AS d FROM pairs UNION ALL SELECT b, a FROM pairs
+), reach(id, label) AS (
+  SELECT asset_id, asset_id FROM ah
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.id
+), comp AS (
+  SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id
+), sizes AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM comp GROUP BY cluster_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(CASE WHEN n_members > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_clusters,
+       CAST(SUM(CASE WHEN n_members > 1 THEN n_members ELSE 0 END)
+            AS BIGINT) AS n_dup_assets,
+       CAST(MAX(n_members) AS BIGINT) AS largest_cluster,
+       CAST(SUM(n_members) - COUNT(*) AS BIGINT) AS n_removable
+FROM sizes
+"""
+
+
+@query("multimodal_image_dedup_clusters", oracle=_IMG_CLUSTER_ORACLE)
+def multimodal_image_dedup_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Image-level dedup CLUSTERS: the banded-aHash near-dup pairs
+    (multimodal_ahash_near_dup) resolved into connected components by
+    hash-min label propagation, summarised to the numbers a curation
+    run acts on -- how many visual-duplicate groups exist, how many
+    assets they absorb, and how many files deduplication would remove
+    (keep-one-per-cluster). Completes the image arm end to end:
+    decode -> perceptual hash -> banded pairs -> clusters, exactly the
+    text tier's shape (dedup_cluster_components).
+
+    Oracle: the full decode -> hash -> band -> verify chain plus a
+    recursive-CTE components replay -- the whole pipeline gates as one
+    unit."""
+    from ushas_spark.operators.dedup import connected_components
+    from ushas_spark.durability import materialize
+
+    pairs = materialize(
+        multimodal_ahash_near_dup(spark, sf_dir).select("asset_a", "asset_b")
+    )
+    assets = (
+        documents_as_assets(spark, sf_dir)
+        .select(F.col("asset_id"))
+        .filter(F.col("asset_id") < _PNG_N_ASSETS)
+    )
+    comp = connected_components(
+        assets, pairs, id_col="asset_id", src="asset_a", dst="asset_b"
+    )
+    sizes = comp.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum((F.col("n_members") > 1).cast("long")).alias("n_dup_clusters"),
+        F.sum(
+            F.when(F.col("n_members") > 1, F.col("n_members")).otherwise(0)
+        ).alias("n_dup_assets"),
+        F.max("n_members").alias("largest_cluster"),
+        (F.sum("n_members") - F.count(F.lit(1))).alias("n_removable"),
+    )

@@ -444,3 +444,81 @@ def profile_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("col_a", "col_b")
+
+
+# ------------------------------------------- run fingerprint (reproducibility)
+# Canonical per-row serialisations: every column rendered to a string
+# with an exact, engine-shared rule (dates ISO, money as x100 ints), so
+# the row hash -- and therefore the table fingerprint -- is identical
+# across engines, partitionings, runs, and backfills.
+_FP_CANON = {
+    "orders": (
+        "CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING), "
+        "o_orderstatus, CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) "
+        "AS STRING), CAST(CAST(o_orderdate AS DATE) AS STRING), "
+        "o_orderpriority"
+    ),
+    "nation": (
+        "CAST(n_nationkey AS STRING), n_name, CAST(n_regionkey AS STRING)"
+    ),
+    "documents": (
+        "CAST(doc_id AS STRING), source, CAST(n_chars AS STRING), md5(text)"
+    ),
+}
+
+_FP_MOD = 2147483647
+
+
+def _fp_oracle() -> str:
+    parts = []
+    for t, cols in _FP_CANON.items():
+        duck_cols = cols.replace("AS STRING", "AS VARCHAR")
+        parts.append(
+            f"SELECT '{t}' AS table_name,"
+            f" CAST(COUNT(*) AS BIGINT) AS n_rows,"
+            f" CAST(SUM(('0x' || substring(md5(concat_ws('|', {duck_cols})),"
+            f" 1, 15))::BIGINT % {_FP_MOD}) % {_FP_MOD} AS BIGINT)"
+            f" AS fingerprint FROM {t}"
+        )
+    return (
+        "SELECT * FROM ("
+        + " UNION ALL ".join(parts)
+        + ") ORDER BY table_name"
+    )
+
+
+@query("profile_run_fingerprint", oracle=_fp_oracle())
+def profile_run_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content FINGERPRINT of the corpus: per table, row count plus an
+    order-independent checksum (sum mod p of a 60-bit md5 over each
+    row's canonical serialisation) -- the re-run/backfill verification
+    primitive: two pipeline runs produced identical data iff their
+    fingerprint tables match, with no row-by-row diff and no ordering
+    assumptions. Canonicalisation rules (ISO dates, x100 money ints,
+    md5 of long text) make the hash engine-portable, so the oracle
+    computes the identical fingerprint from the same parquet.
+
+    Scale shape: one scan per table, map-side hash + commutative sum
+    (any partitioning, any order), 1 row out per table. At 100 TB this
+    is the cheapest possible equality certificate between snapshots
+    (companion: pipeline_snapshot_diff localises WHERE they differ)."""
+    from ushas_spark.operators.dedup import hash60
+
+    outs = []
+    for t, cols in _FP_CANON.items():
+        df = load_table(spark, sf_dir, t)
+        canon = F.concat_ws("|", *[F.expr(c) for c in cols.split(", ")])
+        outs.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.sum(hash60(canon) % _FP_MOD) % _FP_MOD).alias(
+                    "fingerprint"
+                ),
+            ).select(
+                F.lit(t).alias("table_name"), "n_rows", "fingerprint"
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("table_name")

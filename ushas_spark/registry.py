@@ -81,6 +81,8 @@ _DEFER_NEW = {
     "agg_benford_first_digit",
     "udf_python_udtf_analyze",
     "sql_setop_null_semantics",
+    "profile_run_fingerprint",
+    "multimodal_image_dedup_clusters",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
