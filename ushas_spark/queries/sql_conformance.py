@@ -1003,3 +1003,77 @@ def sql_setop_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     removed by the except -- identical three-valued-logic carve-out on
     both engines."""
     return _sql(spark, sf_dir, _SETOP_NULLS)
+
+
+_SCRIPTING_ORACLE = """
+SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_x100
+FROM orders WHERE o_orderkey <= 10 ORDER BY o_orderkey
+"""
+
+
+@query("sql_scripting_block", oracle=_SCRIPTING_ORACLE)
+def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 BEGIN ... END with DECLARE): a compound
+    statement declares a local variable and the final SELECT -- the
+    block's result -- reads it. Absent from the reference's 2.4 parser
+    entirely (a deliberate engine upgrade); the oracle states the
+    inlined equivalent."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+BEGIN
+  DECLARE key_cap INT DEFAULT 10;
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_x100
+  FROM orders WHERE o_orderkey <= key_cap ORDER BY o_orderkey;
+END
+"""
+    )
+
+
+_EXEC_IMM_ORACLE = """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders WHERE o_totalprice > 150000
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@query("sql_execute_immediate", oracle=_EXEC_IMM_ORACLE)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE with a ? parameter (Spark 4 dynamic SQL): the
+    statement text is a value, the threshold arrives via USING -- the
+    safe-templating surface; oracle is the bound equivalent."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+EXECUTE IMMEDIATE
+  'SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+   FROM orders WHERE o_totalprice > ?
+   GROUP BY o_orderstatus ORDER BY o_orderstatus'
+  USING 150000
+"""
+    )
+
+
+_SESSION_VAR_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_small
+FROM orders WHERE o_totalprice < 50000
+"""
+
+
+@query("sql_session_variable", oracle=_SESSION_VAR_ORACLE)
+def sql_session_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session variables (Spark 4 DECLARE VARIABLE / SET VAR): declared
+    OR REPLACE for idempotence across gate invocations, set, then read
+    inside a query -- parameterisation without string templating."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE ushas_price_cap DOUBLE DEFAULT 0.0"
+    )
+    spark.sql("SET VAR ushas_price_cap = 50000.0")
+    return spark.sql(
+        """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_small
+FROM orders WHERE o_totalprice < ushas_price_cap
+"""
+    )

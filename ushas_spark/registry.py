@@ -83,6 +83,9 @@ _DEFER_NEW = {
     "sql_setop_null_semantics",
     "profile_run_fingerprint",
     "multimodal_image_dedup_clusters",
+    "sql_scripting_block",
+    "sql_execute_immediate",
+    "sql_session_variable",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
