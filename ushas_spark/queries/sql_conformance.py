@@ -1077,3 +1077,63 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_small
 FROM orders WHERE o_totalprice < ushas_price_cap
 """
     )
+
+
+_PIPE_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_x100
+FROM orders
+WHERE o_orderkey <= 5000
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@query("sql_pipe_syntax", oracle=_PIPE_ORACLE)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0 `|>` operators, the GoogleSQL-style
+    linear composition): FROM |> WHERE |> AGGREGATE ... GROUP BY
+    |> ORDER BY -- a parser surface that simply does not exist in the
+    reference's 2.4 grammar; the oracle is the traditional spelling."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+FROM orders
+|> WHERE o_orderkey <= 5000
+|> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_x100
+   GROUP BY o_orderstatus
+|> ORDER BY o_orderstatus
+"""
+    )
+
+
+_NAMED_PARAM_ORACLE = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+WHERE o_totalprice BETWEEN 100000 AND 200000
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("sql_named_parameters", oracle=_NAMED_PARAM_ORACLE)
+def sql_named_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named parameter binding (Spark 3.4+ `spark.sql(..., args=...)`
+    with :name markers): values bind as literals at parse time --
+    injection-safe parameterisation at the API level; oracle is the
+    bound equivalent."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+WHERE o_totalprice BETWEEN :lo AND :hi
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+        args={"lo": 100000, "hi": 200000},
+    )

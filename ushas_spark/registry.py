@@ -86,6 +86,8 @@ _DEFER_NEW = {
     "sql_scripting_block",
     "sql_execute_immediate",
     "sql_session_variable",
+    "sql_pipe_syntax",
+    "sql_named_parameters",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
