@@ -342,3 +342,40 @@ def test_lineage_nary_union_through_scd2_merge(spark, sf_dir):
     assert ("bal_x100", "c_acctbal") in edges, sorted(edges)
     assert ("bal_x100", "o_totalprice") in edges, sorted(edges)
     assert ("valid_to", "o_orderdate") in edges, sorted(edges)
+
+
+def test_cross_query_impact_analysis(spark, sf_dir):
+    """Impact analysis ACROSS queries -- the question lineage systems
+    exist to answer ("if lineitem.l_extendedprice changes semantics,
+    which downstream outputs are affected?"): extract lineage for a
+    set of registered queries, invert the per-query edge lists into a
+    (table, column) -> [(query, output_column)] impact map, and check
+    the revenue-derived outputs are attributed while count-only
+    outputs are not."""
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    probe = [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q6_forecast_revenue",
+        "q13_customer_distribution",
+    ]
+    impact: dict[tuple[str, str], set[tuple[str, str]]] = {}
+    for name in probe:
+        g = lineage(queries[name](spark, sf_dir))
+        for out_col, table, src_col in g.edges():
+            impact.setdefault((table, src_col), set()).add((name, out_col))
+
+    hit = impact.get(("lineitem", "l_extendedprice"), set())
+    hit_queries = {q for q, _ in hit}
+    # Revenue formulas in q1/q3/q6 all read l_extendedprice...
+    assert {"q1_pricing_summary", "q3_shipping_priority",
+            "q6_forecast_revenue"} <= hit_queries
+    # ...while q13 (order-count distribution) never touches lineitem.
+    assert "q13_customer_distribution" not in hit_queries
+    # And the specific q1 outputs derived from it are named.
+    q1_cols = {c for q, c in hit if q == "q1_pricing_summary"}
+    assert {"sum_base_price", "sum_disc_price", "sum_charge"} <= q1_cols
+    # Count-only q1 outputs must NOT be attributed to the price column.
+    assert "count_order" not in q1_cols
