@@ -2135,3 +2135,119 @@ def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_digit")
     )
+
+
+# ------------------------------------------------ similar user paths
+PATHS_N_PROBES = 5
+PATHS_TOP_K = 5
+
+_SIMILAR_PATHS_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id,
+         list_transform(
+           list_sort(list(lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR), 20, '0')
+                          || '|' || lpad(CAST(event_id AS VARCHAR), 12, '0')
+                          || '|' || event_type)),
+           s -> split_part(s, '|', 3)) AS types
+  FROM events GROUP BY user_id
+), grams AS (
+  SELECT user_id,
+         list_distinct(CASE WHEN len(types) >= 2 THEN
+           [types[i] || '>' || types[i+1]
+            FOR i IN generate_series(1, len(types) - 1)]
+           ELSE [] END) AS g
+  FROM seq
+), probe AS (
+  SELECT user_id AS probe_user, g AS pg FROM grams
+  WHERE user_id < {PATHS_N_PROBES}
+), scored AS (
+  SELECT p.probe_user, c.user_id AS cand_user,
+         CAST(ROUND(1000.0 * len(list_intersect(p.pg, c.g))
+              / (len(p.pg) + len(c.g) - len(list_intersect(p.pg, c.g))))
+           AS BIGINT) AS jac_x1000
+  FROM probe p JOIN grams c ON c.user_id <> p.probe_user
+  WHERE len(p.pg) + len(c.g) > 0
+    AND len(list_intersect(p.pg, c.g)) > 0
+)
+SELECT probe_user, cand_user, jac_x1000, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_user
+                               ORDER BY jac_x1000 DESC, cand_user) AS rnk
+  FROM scored)
+WHERE rnk <= {PATHS_TOP_K}
+ORDER BY probe_user, rnk
+"""
+
+
+@query("events_similar_paths", oracle=_SIMILAR_PATHS_ORACLE)
+def events_similar_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral TRAJECTORY similarity: for each probe user, the
+    {PATHS_TOP_K} users with the most similar clickstream -- paths
+    reduced to transition-bigram sets ('view>cart'), compared by exact
+    Jaccard (x1000 integers), ranked per probe. The sequence-retrieval
+    companion to the vector tier (sim_*): same broadcast-probe shape,
+    set overlap instead of cosine.
+
+    Scale shape: one shuffle builds per-user ordered sequences
+    (sort_array over collect_list -- no per-user window pass), bigram
+    sets stay as arrays (array_intersect in codegen, no explode
+    shuffle), the {PATHS_N_PROBES}-row probe side broadcasts, and
+    ranking partitions by probe. With a LOW-cardinality event alphabet
+    an inverted bigram index cannot prune (every user shares common
+    transitions) -- the honest plan IS the broadcast linear scan; for
+    rich alphabets (URLs, SKUs) swap in the DF-capped inverted-index
+    candidate generation of dedup_ngram_jaccard unchanged."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    seq = e.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ).alias("types")
+    )
+    n = F.size("types")
+    grams = seq.select(
+        "user_id",
+        F.when(
+            n >= 2,
+            F.array_distinct(
+                F.zip_with(
+                    F.slice("types", 1, n - 1),
+                    F.slice("types", 2, n - 1),
+                    lambda a, b: F.concat_ws(">", a, b),
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("g"),
+    )
+    probe = grams.filter(F.col("user_id") < PATHS_N_PROBES).select(
+        F.col("user_id").alias("probe_user"), F.col("g").alias("pg")
+    )
+    inter = F.size(F.array_intersect("pg", "g"))
+    union = F.size("pg") + F.size("g") - inter
+    scored = (
+        grams.crossJoin(F.broadcast(probe))
+        .filter(
+            (F.col("user_id") != F.col("probe_user"))
+            & (union > 0)
+            & (inter > 0)
+        )
+        .select(
+            "probe_user",
+            F.col("user_id").alias("cand_user"),
+            F.round(F.lit(1000.0) * inter / union).cast("long").alias(
+                "jac_x1000"
+            ),
+        )
+    )
+    w = W.partitionBy("probe_user").orderBy(
+        F.col("jac_x1000").desc(), "cand_user"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= PATHS_TOP_K)
+        .orderBy("probe_user", "rnk")
+    )

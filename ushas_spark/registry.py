@@ -88,6 +88,7 @@ _DEFER_NEW = {
     "sql_session_variable",
     "sql_pipe_syntax",
     "sql_named_parameters",
+    "events_similar_paths",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
