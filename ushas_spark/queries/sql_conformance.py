@@ -1137,3 +1137,64 @@ ORDER BY o_orderpriority
 """,
         args={"lo": 100000, "hi": 200000},
     )
+
+
+_UNPIVOT_SQL = """
+SELECT o_orderstatus, metric, CAST(v AS BIGINT) AS v
+FROM (
+  SELECT o_orderstatus,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+         CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+  FROM orders GROUP BY o_orderstatus
+) t
+UNPIVOT (v FOR metric IN (n_orders, n_customers, max_key))
+ORDER BY o_orderstatus, metric
+"""
+
+
+@query("sql_unpivot_syntax", oracle=_UNPIVOT_SQL)
+def sql_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UNPIVOT clause (Spark 3.4+; the parser-level dual of
+    sql_pivot_syntax and the SQL spelling of melt_unpivot_api): wide
+    per-status metrics rotate into (metric, value) rows -- same text
+    runs on both engines."""
+    return _sql(spark, sf_dir, _UNPIVOT_SQL)
+
+
+_COLLATION_ORACLE = """
+SELECT lower(o_orderpriority) AS priority_ci,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)
+              ELSE lower(o_orderpriority) END AS o_orderpriority
+  FROM orders
+)
+GROUP BY lower(o_orderpriority)
+ORDER BY priority_ci
+"""
+
+
+@query("sql_collation_lcase", oracle=_COLLATION_ORACLE)
+def sql_collation_lcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4 COLLATE UTF8_LCASE): grouping under a
+    case-insensitive collation merges 'URGENT' and 'urgent' WITHOUT
+    rewriting the expression -- the engine-level collation the
+    reference's 2.4 binary-only comparator lacks. Mixed-case input is
+    synthesised deterministically; the oracle states the lower()
+    rewrite (group keys rendered lowercase so both engines emit
+    identical key strings)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT lower(o_orderpriority COLLATE UTF8_LCASE) AS priority_ci,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)
+              ELSE lower(o_orderpriority) END AS o_orderpriority
+  FROM orders
+)
+GROUP BY o_orderpriority COLLATE UTF8_LCASE
+ORDER BY priority_ci
+"""
+    )

@@ -89,6 +89,8 @@ _DEFER_NEW = {
     "sql_pipe_syntax",
     "sql_named_parameters",
     "events_similar_paths",
+    "sql_unpivot_syntax",
+    "sql_collation_lcase",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
