@@ -1198,3 +1198,52 @@ GROUP BY o_orderpriority COLLATE UTF8_LCASE
 ORDER BY priority_ci
 """
     )
+
+
+_ANSI_STR_SPARK = """
+SELECT TRIM(BOTH 'x' FROM 'xxhixx')            AS trim_both,
+       TRIM(LEADING ' ' FROM '  pad')          AS trim_leading,
+       TRIM(TRAILING '.' FROM 'end..')         AS trim_trailing,
+       CAST(POSITION('SQL' IN 'Spark SQL') AS BIGINT) AS pos_in,
+       SUBSTRING('hello' FROM 2 FOR 3)         AS substr_from_for,
+       OVERLAY('Spark SQL' PLACING '_' FROM 6) AS overlay_str
+"""
+
+# DuckDB has no OVERLAY; the oracle states its concat/substr expansion.
+_ANSI_STR_ORACLE = _ANSI_STR_SPARK.replace(
+    "OVERLAY('Spark SQL' PLACING '_' FROM 6)",
+    "substr('Spark SQL', 1, 5) || '_' || substr('Spark SQL', 7)",
+)
+
+
+@query("sql_ansi_string_syntax", oracle=_ANSI_STR_ORACLE)
+def sql_ansi_string_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI keyword-form string functions (string-functions.sql): TRIM
+    BOTH/LEADING/TRAILING ... FROM, POSITION ... IN,
+    SUBSTRING ... FROM ... FOR, OVERLAY ... PLACING ... FROM -- the
+    grammar productions, not just the function-call spellings."""
+    return _sql(spark, sf_dir, _ANSI_STR_SPARK)
+
+
+_IDENTIFIER_ORACLE = """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@query("sql_identifier_clause", oracle=_IDENTIFIER_ORACLE)
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER() clause (Spark 3.5+): table and column names arrive
+    as string values resolved at analysis time -- SQL-injection-safe
+    templating of identifiers, absent from the 2.4 grammar; the oracle
+    is the literal spelling."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT IDENTIFIER('o_orderstatus') AS o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM IDENTIFIER('orders')
+GROUP BY IDENTIFIER('o_orderstatus')
+ORDER BY o_orderstatus
+"""
+    )

@@ -91,6 +91,8 @@ _DEFER_NEW = {
     "events_similar_paths",
     "sql_unpivot_syntax",
     "sql_collation_lcase",
+    "sql_ansi_string_syntax",
+    "sql_identifier_clause",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
