@@ -48,10 +48,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # union, _DRIVER_GREEN below; r03 was 50/50 green). The never-checked
 # prefix this round: analytics (24), streaming (10), the round-3 operator
 # modules (entity/clustering/graph/mergeop/layout/bpe/profiling, 19),
-# then sources (9), sql_conformance (18), misc, and the non-green
-# leftovers of the r02-checked operator modules. The 5 rows-only
-# (no-oracle) queries are pinned to the absolute tail so driver slots
-# never burn on by-design "err" rows (_ROWS_ONLY_TAIL).
+# then sources (9), sql_conformance, misc, and the non-green leftovers
+# of the r02-checked operator modules. The 5 rows-only (no-oracle)
+# queries are pinned to the absolute tail so driver slots never burn on
+# by-design "err" rows (_ROWS_ONLY_TAIL).
+# ROUND-5 TODO: run `python tools/rotation.py CORRECTNESS_r04.json` --
+# it prints the greens to fold into _DRIVER_GREEN, flags red rows, and
+# lists what remains unchecked. Then EMPTY the _DEFER_NEW set (its ~30
+# round-4 queries become the next never-checked tier; rank them via a
+# module reorder or keep defer-listing newer work behind them).
 _PRIORITY_NAMES: list[str] = []
 
 # Queries ADDED this round (never in any module the gate has half-walked):
