@@ -342,3 +342,42 @@ def udf_python_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, t.pos
         """
     )
+
+
+_ARROW_UDF_ORACLE = """
+SELECT o_orderkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_x100,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) % 97 AS price_mod97
+FROM orders
+WHERE o_orderkey <= 500
+ORDER BY o_orderkey
+"""
+
+
+@query("udf_arrow_scalar", oracle=_ARROW_UDF_ORACLE)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-NATIVE scalar UDF (Spark 4.1 @arrow_udf): the function
+    receives and returns pyarrow.Array -- zero pandas conversion, the
+    lowest-overhead Python boundary Spark offers, one tier below the
+    pandas UDF (udf_pandas_scalar). Exact integer arithmetic via
+    pyarrow.compute, so the oracle gates bit-for-bit."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pyspark.sql.functions import ArrowUDFType, arrow_udf
+
+    # functionType passed explicitly: this module uses postponed
+    # annotation evaluation, which stringifies the pa.Array hints the
+    # decorator would otherwise introspect.
+    @arrow_udf("bigint", ArrowUDFType.SCALAR)
+    def price_x100(v):
+        return pc.cast(pc.round(pc.multiply(v, 100.0)), pa.int64())
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    return (
+        o.select(
+            "o_orderkey", price_x100(F.col("o_totalprice")).alias("price_x100")
+        )
+        .withColumn("price_mod97", F.col("price_x100") % 97)
+        .orderBy("o_orderkey")
+    )

@@ -98,6 +98,7 @@ _DEFER_NEW = {
     "sql_collation_lcase",
     "sql_ansi_string_syntax",
     "sql_identifier_clause",
+    "udf_arrow_scalar",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
