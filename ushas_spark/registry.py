@@ -99,6 +99,7 @@ _DEFER_NEW = {
     "sql_ansi_string_syntax",
     "sql_identifier_clause",
     "udf_arrow_scalar",
+    "udf_arrow_udtf",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
@@ -143,6 +144,7 @@ _MODULE_ORDER = [
     "ushas_spark.queries.setops",
     "ushas_spark.queries.subqueries",
     "ushas_spark.queries.udfs",
+    "ushas_spark.queries.arrow_ext",
     "ushas_spark.queries.expressions",
     "ushas_spark.queries.joins",
     "ushas_spark.queries.aggregates",
@@ -243,6 +245,7 @@ def load_all() -> None:
     from ushas_spark.queries import (  # noqa: F401
         aggregates,
         analytics,
+        arrow_ext,
         collections,
         coverage_fill,
         expressions,
