@@ -522,3 +522,68 @@ def profile_run_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("table_name")
+
+
+# --------------------------------------------------------- data card
+_DATACARD_ORACLE = """
+WITH t AS (
+  SELECT doc_id, source, text, n_chars,
+         len(regexp_split_to_array(text, '\\s+')) AS n_tok,
+         md5(text) AS digest
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(n_tok) // COUNT(*) AS BIGINT) AS avg_tokens_per_doc,
+       CAST(COUNT(*) - COUNT(DISTINCT digest) AS BIGINT) AS n_exact_dup_docs,
+       CAST(1000000 * (COUNT(*) - COUNT(DISTINCT digest)) // COUNT(*)
+            AS BIGINT) AS dup_rate_x1m,
+       CAST(SUM(CASE WHEN n_tok < 20 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_short_docs,
+       CAST(SUM(CASE WHEN n_tok > 1000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_long_docs,
+       CAST(MIN(n_tok) AS BIGINT) AS min_tokens,
+       CAST(MAX(n_tok) AS BIGINT) AS max_tokens
+FROM t
+"""
+
+
+@query("profile_data_card", oracle=_DATACARD_ORACLE)
+def profile_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automatic dataset DATA CARD: the one-row datasheet a corpus
+    release ships with -- volumes (docs / tokens / chars / sources),
+    exact-duplication rate, and length-distribution red flags (short
+    and very long tails), all exact integers. The deep dives hang off
+    it: dedup_* for the duplication number, text_quality_score /
+    text_lang_guess for content quality, text_pii_scrub for
+    compliance, pipeline_source_mix for balance.
+
+    Scale shape: ONE corpus scan; every statistic is map-side
+    combinable (count / sum / min / max / two distinct aggregates that
+    each shuffle once on digest / source). No Python anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        "n_chars",
+        F.size(F.split("text", r"\s+")).cast("long").alias("n_tok"),
+        F.md5("text").alias("digest"),
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.expr("sum(n_tok) div count(1)").alias("avg_tokens_per_doc"),
+        (F.count(F.lit(1)) - F.countDistinct("digest")).alias(
+            "n_exact_dup_docs"
+        ),
+        F.expr(
+            "1000000 * (count(1) - count(DISTINCT digest)) div count(1)"
+        ).alias("dup_rate_x1m"),
+        F.sum((F.col("n_tok") < 20).cast("long")).alias("n_short_docs"),
+        F.sum((F.col("n_tok") > 1000).cast("long")).alias("n_long_docs"),
+        F.min("n_tok").alias("min_tokens"),
+        F.max("n_tok").alias("max_tokens"),
+    )

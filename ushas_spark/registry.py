@@ -100,6 +100,7 @@ _DEFER_NEW = {
     "sql_identifier_clause",
     "udf_arrow_scalar",
     "udf_arrow_udtf",
+    "profile_data_card",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
