@@ -429,3 +429,35 @@ def test_python_datasource_write_path(spark, tmp_path):
             with open(os.path.join(out, f), encoding="utf-8") as fh:
                 spilled += len(json.load(fh))
     assert spilled == 1000
+
+
+def test_max_partition_bytes_splits_scan(spark, tmp_path):
+    """spark.sql.files.maxPartitionBytes actually governs scan
+    parallelism (the partition-sizing lever the 100 TB notes lean on):
+    one multi-megabyte parquet file must split into many input
+    partitions when the cap shrinks, and collapse to few when it
+    grows. Row-group sizing is forced small so the file is splittable."""
+    path = str(tmp_path / "wide.parquet")
+    (
+        spark.range(0, 400_000)
+        .selectExpr("id", "repeat(uuid(), 4) AS pad")
+        .coalesce(1)
+        .write.option("parquet.block.size", 262144)
+        .mode("overwrite")
+        .parquet(path)
+    )
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(1024 * 1024))
+        small = spark.read.parquet(path).rdd.getNumPartitions()
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes", str(1024 * 1024 * 1024)
+        )
+        large = spark.read.parquet(path).rdd.getNumPartitions()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    assert small >= 8, f"1MB cap produced only {small} partitions"
+    # With a large cap the planner still fans out to keep cores busy
+    # (spark.sql.files.minPartitionNum defaults to the parallelism), so
+    # assert the CAP effect, not an absolute floor.
+    assert small > large, f"cap had no effect: {small} vs {large}"
