@@ -2251,3 +2251,103 @@ def events_similar_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= PATHS_TOP_K)
         .orderBy("probe_user", "rnk")
     )
+
+
+# ------------------------------------------------ interval union time
+IV_WIDTH_US = 5 * 60 * 1_000_000  # each event opens a 5-minute interval
+
+_INTERVAL_UNION_ORACLE = f"""
+WITH iv AS (
+  SELECT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+         epoch_us(CAST(ts AS TIMESTAMP)) + {IV_WIDTH_US} AS e
+  FROM events
+), marked AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING)
+                   OR MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) IS NULL
+              THEN 1 ELSE 0 END AS new_block
+  FROM iv
+), blocks AS (
+  SELECT user_id, s, e,
+         SUM(new_block) OVER (PARTITION BY user_id ORDER BY s, e
+                              ROWS UNBOUNDED PRECEDING) AS block_id
+  FROM marked
+), merged AS (
+  SELECT user_id, block_id,
+         MIN(s) AS bs, MAX(e) AS be
+  FROM blocks GROUP BY user_id, block_id
+), per_user AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(SUM(be - bs) AS BIGINT) AS active_us
+  FROM merged GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(n_blocks) AS BIGINT) AS n_merged_intervals,
+       CAST(SUM(active_us) // 1000000 AS BIGINT) AS total_active_s,
+       CAST(MAX(active_us) // 1000000 AS BIGINT) AS max_user_active_s,
+       CAST(SUM(active_us) // COUNT(*) // 1000000 AS BIGINT)
+         AS avg_user_active_s
+FROM per_user
+"""
+
+
+@query("events_interval_union_time", oracle=_INTERVAL_UNION_ORACLE)
+def events_interval_union_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL UNION aggregation: every event opens a 5-minute
+    activity window; overlapping windows per user merge, and the
+    metric is the length of the UNION -- the correct "time actually
+    active" number naive sum-of-durations double-counts (the billing /
+    engagement-time primitive, and the measure sessionization
+    approximates). Merge detection is the classic running-max-of-ends
+    pass: an interval starts a new block iff its start exceeds the max
+    end among all earlier intervals (not just the previous one --
+    a long interval can swallow several later ones).
+
+    Scale shape: every window partitions BY USER (the lint-enforced
+    discipline); one shuffle on user_id, then the block rollup and a
+    constant-width summary. Exact epoch-microsecond integers end to
+    end."""
+    e = load_table(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (F.unix_micros(F.col("ts")) + IV_WIDTH_US).alias("e"),
+    )
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_max_e = F.max("e").over(w_prev)
+    marked = iv.withColumn(
+        "new_block",
+        (prev_max_e.isNull() | (F.col("s") > prev_max_e)).cast("long"),
+    )
+    w_cum = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    blocks = marked.withColumn("block_id", F.sum("new_block").over(w_cum))
+    merged = blocks.groupBy("user_id", "block_id").agg(
+        F.min("s").alias("bs"), F.max("e").alias("be")
+    )
+    per_user = merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.col("be") - F.col("bs")).alias("active_us"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_blocks").alias("n_merged_intervals"),
+        F.expr("sum(active_us) div 1000000").alias("total_active_s"),
+        F.expr("max(active_us) div 1000000").alias("max_user_active_s"),
+        F.expr("sum(active_us) div count(1) div 1000000").alias(
+            "avg_user_active_s"
+        ),
+    )

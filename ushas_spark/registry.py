@@ -101,6 +101,7 @@ _DEFER_NEW = {
     "udf_arrow_scalar",
     "udf_arrow_udtf",
     "profile_data_card",
+    "events_interval_union_time",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
