@@ -66,7 +66,7 @@ GLOBAL_WINDOW_OK: dict[str, tuple[int, str]] = {
 
 # Python row/arrow eval is the conformance subject matter here, not a
 # hot-path accident.
-PY_EVAL_OK_MODULES = {"ushas_spark.queries.udfs"}
+PY_EVAL_OK_MODULES = {"ushas_spark.queries.udfs", "ushas_spark.queries.arrow_ext"}
 
 _BATCH_QUERIES = [
     name
