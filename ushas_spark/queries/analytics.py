@@ -2351,3 +2351,81 @@ def events_interval_union_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_user_active_s"
         ),
     )
+
+
+# ------------------------------------------------ market concentration
+_HHI_ORACLE = """
+WITH rev AS (
+  SELECT s.s_nationkey,
+         l.l_suppkey,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                       AS BIGINT)) // 100000 AS BIGINT) AS v
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY s.s_nationkey, l.l_suppkey
+), per_nation AS (
+  SELECT r.s_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         CAST(SUM(v) AS BIGINT) AS total_v,
+         CAST(SUM(v * v) AS BIGINT) AS sum_sq
+  FROM rev r GROUP BY r.s_nationkey
+)
+SELECT n.n_name,
+       p.n_suppliers,
+       CAST(CASE WHEN p.total_v > 0
+                 THEN 1000000 * p.sum_sq // (p.total_v * p.total_v)
+                 ELSE NULL END AS BIGINT) AS hhi_x1m,
+       CAST(1000000 // p.n_suppliers AS BIGINT) AS perfect_competition_x1m
+FROM per_nation p JOIN nation n ON p.s_nationkey = n.n_nationkey
+ORDER BY n.n_name
+"""
+
+
+@query("supply_hhi_concentration", oracle=_HHI_ORACLE)
+def supply_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman market concentration of supplier revenue
+    within each nation -- the antitrust-style single number (1e6 =
+    monopoly, 1e6/n = perfect competition, printed alongside for
+    reference). The ratio sum(v^2)/sum(v)^2 is computed with ONE
+    integer division at the end, so no per-share float accumulates;
+    revenues are pre-scaled to thousands (div 100000 of the x100
+    cents) so the squared sums stay far inside BIGINT at any SF.
+
+    Scale shape: one fact rollup to (nation, supplier), a |nations|
+    re-rollup, broadcast nation-name join. Fact touched once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)"
+                " * 100) AS BIGINT)) div 100000 AS BIGINT)"
+            ).alias("v")
+        )
+    )
+    per_nation = rev.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("v").alias("total_v"),
+        F.sum(F.col("v") * F.col("v")).alias("sum_sq"),
+    )
+    return (
+        per_nation.join(
+            F.broadcast(n), per_nation.s_nationkey == n.n_nationkey
+        )
+        .select(
+            "n_name",
+            "n_suppliers",
+            F.when(
+                F.col("total_v") > 0,
+                F.expr("1000000 * sum_sq div (total_v * total_v)"),
+            )
+            .cast("long")
+            .alias("hhi_x1m"),
+            F.expr("1000000 div n_suppliers").alias(
+                "perfect_competition_x1m"
+            ),
+        )
+        .orderBy("n_name")
+    )

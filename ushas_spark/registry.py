@@ -102,6 +102,7 @@ _DEFER_NEW = {
     "udf_arrow_udtf",
     "profile_data_card",
     "events_interval_union_time",
+    "supply_hhi_concentration",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
