@@ -1034,3 +1034,75 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lift_x1m").desc(), "tok_a", "tok_b"
     ).limit(COLLOC_TOP)
 
+
+
+# --------------------------------------------------------- readability
+_READABILITY_ORACLE = """
+WITH t AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(text, '\\s+')) AS n_words,
+         len(regexp_extract_all(text, '[.!?]+')) AS n_sents,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_vgroups
+  FROM documents
+), scored AS (
+  SELECT source, n_words,
+         CASE WHEN n_words > 0 AND n_sents > 0 THEN
+           206835
+           - 1015 * n_words // n_sents
+           - 84600 * n_vgroups // n_words
+         ELSE NULL END AS flesch_x1000
+  FROM t
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(flesch_x1000) // COUNT(flesch_x1000) AS BIGINT)
+         AS avg_flesch_x1000,
+       CAST(MIN(flesch_x1000) AS BIGINT) AS min_flesch_x1000,
+       CAST(MAX(flesch_x1000) AS BIGINT) AS max_flesch_x1000
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("text_readability_score", oracle=_READABILITY_ORACLE)
+def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability per source: 206.835 - 1.015*(words/
+    sentence) - 84.6*(syllables/word), with vowel-group counts as the
+    standard syllable proxy and sentences counted by terminal
+    punctuation runs. Evaluated x1000 in INTEGER arithmetic (each term
+    floor-divided, same order both engines) -- another quality-filter
+    axis next to text_quality_score's length/stopword heuristics.
+
+    Scale shape: three regexp counts per row (codegen), one rollup by
+    source. No Python, fact touched once."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        F.size(F.split("text", r"\s+")).cast("long").alias("n_words"),
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")).cast("long").alias(
+            "n_sents"
+        ),
+        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+"))
+        .cast("long")
+        .alias("n_vgroups"),
+    )
+    score = F.when(
+        (F.col("n_words") > 0) & (F.col("n_sents") > 0),
+        F.lit(206835)
+        - F.expr("1015 * n_words div n_sents")
+        - F.expr("84600 * n_vgroups div n_words"),
+    )
+    return (
+        t.select("source", score.alias("flesch_x1000"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr(
+                "sum(flesch_x1000) div count(flesch_x1000)"
+            ).alias("avg_flesch_x1000"),
+            F.min("flesch_x1000").alias("min_flesch_x1000"),
+            F.max("flesch_x1000").alias("max_flesch_x1000"),
+        )
+        .orderBy("source")
+    )

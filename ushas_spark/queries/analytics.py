@@ -2429,3 +2429,99 @@ def supply_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# ------------------------------------------------ ABC classification
+_ABC_ORACLE = """
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS v
+  FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT l_partkey, v,
+         SUM(v) OVER (ORDER BY v DESC, l_partkey
+                      ROWS UNBOUNDED PRECEDING) AS cum_v,
+         SUM(v) OVER () AS total_v
+  FROM rev
+), classed AS (
+  SELECT l_partkey, v,
+         CASE WHEN 100 * (cum_v - v) < 80 * total_v THEN 'A'
+              WHEN 100 * (cum_v - v) < 95 * total_v THEN 'B'
+              ELSE 'C' END AS cls
+  FROM ranked
+)
+SELECT cls,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(v) AS BIGINT) AS revenue_x100,
+       CAST(1000000 * SUM(v) // MAX(t.total) AS BIGINT) AS revenue_share_x1m
+FROM classed
+CROSS JOIN (SELECT SUM(v) AS total FROM rev) t
+GROUP BY cls
+ORDER BY cls
+"""
+
+
+@query("supply_abc_classification", oracle=_ABC_ORACLE)
+def supply_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, class A =
+    items before the 80% cumulative-revenue line, B to 95%, C beyond
+    -- the warehouse-policy segmentation (count-few/count-often). A
+    part classifies by the revenue BEFORE it (cum - v), so the item
+    that crosses a boundary still belongs to the higher class, and
+    boundaries compare in exact integer cross-multiplication
+    (100*cum vs 80*total -- no percentage floats).
+
+    Scale shape: per-part rollup, then the global cumulative revenue
+    comes from the DISTRIBUTED bucketed machinery (_bucketed_rank with
+    cum_of) -- no single-partition window -- plus a broadcast 1-row
+    total; the oracle states the contract with plain windows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("long")
+        ).alias("v")
+    )
+    # Rank descending by revenue; reuse the distributed rank + running
+    # sum (key must be a column name: materialise v as the sort key).
+    ranked = _bucketed_rank(
+        rev.withColumnRenamed("l_partkey", "o_custkey"),
+        key="v",
+        width=10_000_000,
+        asc=False,
+        out="rnk",
+        cum_of="v",
+        cum_out="cum_v",
+    ).withColumnRenamed("o_custkey", "l_partkey")
+    total = rev.agg(F.sum("v").alias("total_v"))
+    classed = ranked.crossJoin(F.broadcast(total)).select(
+        "l_partkey",
+        "v",
+        "total_v",
+        F.when(
+            100 * (F.col("cum_v") - F.col("v")) < 80 * F.col("total_v"), "A"
+        )
+        .when(
+            100 * (F.col("cum_v") - F.col("v")) < 95 * F.col("total_v"), "B"
+        )
+        .otherwise("C")
+        .alias("cls"),
+    )
+    return (
+        classed.groupBy("cls", "total_v")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("v").alias("revenue_x100"),
+        )
+        .select(
+            "cls",
+            "n_parts",
+            "revenue_x100",
+            F.expr("1000000 * revenue_x100 div total_v").alias(
+                "revenue_share_x1m"
+            ),
+        )
+        .orderBy("cls")
+    )

@@ -103,6 +103,8 @@ _DEFER_NEW = {
     "profile_data_card",
     "events_interval_union_time",
     "supply_hhi_concentration",
+    "supply_abc_classification",
+    "text_readability_score",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
