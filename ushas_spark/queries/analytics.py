@@ -2525,3 +2525,74 @@ def supply_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cls")
     )
+
+
+# ------------------------------------------------ repurchase intervals
+_REPURCHASE_ORACLE = """
+WITH seq AS (
+  SELECT o_custkey, o_orderdate,
+         lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS prev_d
+  FROM orders
+), gaps AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', prev_d, o_orderdate) AS BIGINT) AS gap_days
+  FROM seq WHERE prev_d IS NOT NULL
+), per_cust AS (
+  SELECT o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(gap_days) // COUNT(*) AS BIGINT) AS avg_gap_days
+  FROM gaps GROUP BY o_custkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_repeat_customers,
+       CAST(SUM(n_gaps) AS BIGINT) AS n_intervals,
+       CAST(SUM(n_gaps * avg_gap_days) // SUM(n_gaps) AS BIGINT)
+         AS weighted_avg_gap_days,
+       CAST(MIN(avg_gap_days) AS BIGINT) AS min_avg_gap_days,
+       CAST(MAX(avg_gap_days) AS BIGINT) AS max_avg_gap_days,
+       CAST(SUM(CASE WHEN avg_gap_days <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_monthly_or_faster
+FROM per_cust
+"""
+
+
+@query("orders_repurchase_intervals", oracle=_REPURCHASE_ORACLE)
+def orders_repurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval analysis: per repeat customer, the days
+    between consecutive orders (per-customer lag window), rolled up to
+    the replenishment-cycle summary every retention model starts from
+    -- how many repeat customers, their weighted-average reorder gap,
+    and the monthly-or-faster cohort size. Integer day arithmetic and
+    floor-div averages keep both engines exact.
+
+    Scale shape: one per-customer window (partitioned shuffle on
+    custkey -- the lint-enforced discipline), two rollups. Fact
+    touched once."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.withColumn("prev_d", F.lag("o_orderdate").over(w))
+        .filter(F.col("prev_d").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff("o_orderdate", "prev_d").cast("long").alias(
+                "gap_days"
+            ),
+        )
+    )
+    per_cust = gaps.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.expr("sum(gap_days) div count(1)").alias("avg_gap_days"),
+    )
+    return per_cust.agg(
+        F.count(F.lit(1)).alias("n_repeat_customers"),
+        F.sum("n_gaps").alias("n_intervals"),
+        F.expr("sum(n_gaps * avg_gap_days) div sum(n_gaps)").alias(
+            "weighted_avg_gap_days"
+        ),
+        F.min("avg_gap_days").alias("min_avg_gap_days"),
+        F.max("avg_gap_days").alias("max_avg_gap_days"),
+        F.sum((F.col("avg_gap_days") <= 30).cast("long")).alias(
+            "n_monthly_or_faster"
+        ),
+    )

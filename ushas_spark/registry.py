@@ -105,6 +105,7 @@ _DEFER_NEW = {
     "supply_hhi_concentration",
     "supply_abc_classification",
     "text_readability_score",
+    "orders_repurchase_intervals",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
