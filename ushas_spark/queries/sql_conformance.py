@@ -1247,3 +1247,39 @@ GROUP BY IDENTIFIER('o_orderstatus')
 ORDER BY o_orderstatus
 """
     )
+
+
+_WITHIN_GROUP_SPARK = """
+SELECT o_orderstatus,
+       CAST(percentile_disc(0.5) WITHIN GROUP
+            (ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS median_price_x100,
+       listagg(DISTINCT o_orderpriority, '|') WITHIN GROUP
+            (ORDER BY o_orderpriority) AS priorities
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+_WITHIN_GROUP_ORACLE = """
+SELECT o_orderstatus,
+       CAST(percentile_disc(0.5) WITHIN GROUP
+            (ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS median_price_x100,
+       string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
+         AS priorities
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@query("sql_within_group_ordered_agg", oracle=_WITHIN_GROUP_ORACLE)
+def sql_within_group_ordered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set aggregates with WITHIN GROUP (Spark 4:
+    percentile_disc and LISTAGG ... WITHIN GROUP (ORDER BY), the ANSI
+    ordered-aggregate grammar the 2.4 reference lacks). percentile_disc
+    picks an actual member (no interpolation -- exact on integer
+    inputs); listagg's DuckDB spelling is string_agg with an ORDER BY
+    argument."""
+    return _sql(spark, sf_dir, _WITHIN_GROUP_SPARK)

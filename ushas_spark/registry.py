@@ -106,6 +106,7 @@ _DEFER_NEW = {
     "supply_abc_classification",
     "text_readability_score",
     "orders_repurchase_intervals",
+    "sql_within_group_ordered_agg",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
