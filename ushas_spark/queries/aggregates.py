@@ -918,3 +918,87 @@ def agg_grouping_id_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").asc_nulls_first(),
         )
     )
+
+
+_ROLLUP_SHARE_ORACLE = """
+WITH r AS (
+  SELECT o_orderstatus, o_orderpriority,
+         GROUPING(o_orderstatus) AS g_s, GROUPING(o_orderpriority) AS g_p,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_x100
+  FROM orders
+  GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+), tot AS (
+  SELECT rev_x100 AS grand FROM r WHERE g_s = 1 AND g_p = 1
+), parent AS (
+  SELECT o_orderstatus, rev_x100 AS status_rev
+  FROM r WHERE g_s = 0 AND g_p = 1
+)
+SELECT COALESCE(r.o_orderstatus, '(all)') AS status,
+       COALESCE(r.o_orderpriority, '(all)') AS priority,
+       r.rev_x100,
+       CAST(1000000 * r.rev_x100 // t.grand AS BIGINT) AS share_of_total_x1m,
+       CAST(CASE WHEN r.g_p = 0
+                 THEN 1000000 * r.rev_x100 // p.status_rev
+                 ELSE NULL END AS BIGINT) AS share_of_status_x1m
+FROM r
+CROSS JOIN tot t
+LEFT JOIN parent p ON r.o_orderstatus = p.o_orderstatus AND r.g_s = 0
+ORDER BY status, priority
+"""
+
+
+@query("agg_rollup_share_of_parent", oracle=_ROLLUP_SHARE_ORACLE)
+def agg_rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent percentages over a ROLLUP lattice: every
+    (status, priority) cell carries its share of the grand total AND
+    of its status subtotal -- the OLAP readout reports bolt onto every
+    rollup, computed by joining the lattice back to its own parent
+    levels (selected via GROUPING()) instead of re-scanning the fact.
+    Exact x1m integer shares.
+
+    Scale shape: ONE fact aggregation produces the whole lattice; the
+    share joins run lattice-to-lattice (|groups| rows, broadcast-able).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    r = o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "rev_x100"
+        ),
+        F.grouping("o_orderstatus").alias("g_s"),
+        F.grouping("o_orderpriority").alias("g_p"),
+    )
+    from ushas_spark.durability import materialize
+
+    r = materialize(r)
+    tot = r.filter((F.col("g_s") == 1) & (F.col("g_p") == 1)).select(
+        F.col("rev_x100").alias("grand")
+    )
+    parent = r.filter((F.col("g_s") == 0) & (F.col("g_p") == 1)).select(
+        F.col("o_orderstatus").alias("p_status"),
+        F.col("rev_x100").alias("status_rev"),
+    )
+    return (
+        r.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(parent),
+            (F.col("o_orderstatus") == F.col("p_status"))
+            & (F.col("g_s") == 0),
+            "left",
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "rev_x100",
+            F.expr("1000000 * rev_x100 div grand").alias(
+                "share_of_total_x1m"
+            ),
+            F.when(
+                F.col("g_p") == 0,
+                F.expr("1000000 * rev_x100 div status_rev"),
+            )
+            .cast("long")
+            .alias("share_of_status_x1m"),
+        )
+        .orderBy("status", "priority")
+    )

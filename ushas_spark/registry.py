@@ -107,6 +107,7 @@ _DEFER_NEW = {
     "text_readability_score",
     "orders_repurchase_intervals",
     "sql_within_group_ordered_agg",
+    "agg_rollup_share_of_parent",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
