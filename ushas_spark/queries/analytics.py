@@ -2596,3 +2596,60 @@ def orders_repurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_monthly_or_faster"
         ),
     )
+
+
+# ------------------------------------------------ new vs returning
+_NEW_RETURNING_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS first_ts
+  FROM events GROUP BY user_id
+), tagged AS (
+  SELECT CAST(date_trunc('day', CAST(e.ts AS TIMESTAMP)) AS DATE) AS day,
+         CASE WHEN date_trunc('day', CAST(e.ts AS TIMESTAMP))
+                   = date_trunc('day', f.first_ts)
+              THEN 1 ELSE 0 END AS is_new
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       CAST(SUM(is_new) AS BIGINT) AS n_new_user_events,
+       CAST(SUM(1 - is_new) AS BIGINT) AS n_returning_events,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM tagged
+GROUP BY day
+ORDER BY day
+"""
+
+
+@query("events_new_vs_returning", oracle=_NEW_RETURNING_ORACLE)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning split: an event is 'new' iff it falls on
+    its user's first-ever active day -- the acquisition/retention
+    mix every growth dashboard leads with. First-day attribution via
+    one per-user MIN aggregate joined back (co-partitioned on
+    user_id), not a window over the fact.
+
+    Scale shape: per-user rollup + same-key join (one shuffle pair on
+    user_id), then the daily rollup. Exact date arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    tagged = e.join(firsts, "user_id").select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        (
+            F.date_trunc("day", "ts") == F.date_trunc("day", "first_ts")
+        ).cast("long").alias("is_new"),
+    )
+    return (
+        tagged.groupBy("day")
+        .agg(
+            F.sum("is_new").alias("n_new_user_events"),
+            F.sum(1 - F.col("is_new")).alias("n_returning_events"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "n_new_user_events",
+            "n_returning_events",
+            "n_events",
+        )
+        .orderBy("day")
+    )

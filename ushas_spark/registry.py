@@ -108,6 +108,7 @@ _DEFER_NEW = {
     "orders_repurchase_intervals",
     "sql_within_group_ordered_agg",
     "agg_rollup_share_of_parent",
+    "events_new_vs_returning",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
