@@ -1283,3 +1283,47 @@ def sql_within_group_ordered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     inputs); listagg's DuckDB spelling is string_agg with an ORDER BY
     argument."""
     return _sql(spark, sf_dir, _WITHIN_GROUP_SPARK)
+
+
+_DATE_TRUNC_BATTERY = """
+SELECT CAST(CAST(date_trunc('year', o_orderdate) AS DATE) AS STRING) AS y,
+       CAST(CAST(date_trunc('quarter', o_orderdate) AS DATE) AS STRING) AS q,
+       CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS STRING)   AS m,
+       CAST(CAST(date_trunc('week', o_orderdate) AS DATE) AS STRING)    AS w,
+       CAST(CAST(date_trunc('day', o_orderdate) AS DATE) AS STRING)     AS d,
+       CAST(COUNT(*) AS BIGINT)                         AS n
+FROM orders
+WHERE o_orderkey <= 300
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY 1, 2, 3, 4, 5
+"""
+
+
+@query("sql_date_trunc_battery", oracle=_DATE_TRUNC_BATTERY)
+def sql_date_trunc_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc at every calendar granularity (datetime.sql): year /
+    quarter / month / ISO week (Monday start on both engines) / day,
+    grouped together so boundary rows pin the truncation rules."""
+    return _sql(spark, sf_dir, _DATE_TRUNC_BATTERY)
+
+
+_TRY_CAST_BATTERY = """
+SELECT TRY_CAST('42' AS BIGINT)        AS ok_int,
+       TRY_CAST('4x2' AS BIGINT)       AS bad_int,
+       TRY_CAST('3.5' AS DOUBLE)       AS ok_double,
+       TRY_CAST('' AS DOUBLE)          AS empty_double,
+       CAST(TRY_CAST('2020-02-30' AS DATE) AS STRING) AS bad_date,
+       CAST(TRY_CAST('2020-02-29' AS DATE) AS STRING) AS leap_date,
+       TRY_CAST('true' AS BOOLEAN)     AS true_bool,
+       CAST(TRY_CAST('maybe' AS BOOLEAN) IS NULL AS BOOLEAN) AS bad_bool_is_null
+"""
+
+
+@query("sql_try_cast_battery", oracle=_TRY_CAST_BATTERY)
+def sql_try_cast_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY_CAST semantics (cast.sql + ANSI mode's safe escape hatch):
+    malformed numerics, impossible calendar dates and unparseable
+    booleans become NULL instead of raising; valid leap-day parses.
+    (Spark additionally accepts 'yes'/'no' booleans -- an engine
+    extension deliberately left out of the shared battery.)"""
+    return _sql(spark, sf_dir, _TRY_CAST_BATTERY)

@@ -109,6 +109,8 @@ _DEFER_NEW = {
     "sql_within_group_ordered_agg",
     "agg_rollup_share_of_parent",
     "events_new_vs_returning",
+    "sql_date_trunc_battery",
+    "sql_try_cast_battery",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
