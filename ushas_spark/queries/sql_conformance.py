@@ -1327,3 +1327,26 @@ def sql_try_cast_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Spark additionally accepts 'yes'/'no' booleans -- an engine
     extension deliberately left out of the shared battery.)"""
     return _sql(spark, sf_dir, _TRY_CAST_BATTERY)
+
+
+_SUBQ_SELECT_LIST = """
+SELECT n.n_name,
+       CAST(EXISTS (SELECT 1 FROM supplier s
+                    WHERE s.s_nationkey = n.n_nationkey) AS BOOLEAN)
+         AS has_suppliers,
+       CAST(n.n_nationkey IN (SELECT c_nationkey FROM customer)
+            AS BOOLEAN) AS has_customers
+FROM nation n
+ORDER BY n.n_name
+"""
+
+
+@query("sql_subquery_in_select_list", oracle=_SUBQ_SELECT_LIST)
+def sql_subquery_in_select_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS and IN subqueries in the SELECT LIST (not WHERE): planned
+    as existence joins whose boolean lands in the projection --
+    the flag-column shape (exists-subquery family / scalar positions);
+    booleans are always TRUE/FALSE here (never NULL: EXISTS is
+    two-valued and the IN probe key is non-null), so the cross-engine
+    rendering is stable."""
+    return _sql(spark, sf_dir, _SUBQ_SELECT_LIST)

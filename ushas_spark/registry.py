@@ -111,6 +111,7 @@ _DEFER_NEW = {
     "events_new_vs_returning",
     "sql_date_trunc_battery",
     "sql_try_cast_battery",
+    "sql_subquery_in_select_list",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
