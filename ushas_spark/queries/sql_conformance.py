@@ -1350,3 +1350,23 @@ def sql_subquery_in_select_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-valued and the IN probe key is non-null), so the cross-engine
     rendering is stable."""
     return _sql(spark, sf_dir, _SUBQ_SELECT_LIST)
+
+
+_ROW_VALUE_CMP = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_after_cursor,
+       CAST(SUM(CASE WHEN (o_custkey, o_orderkey)
+                     IN ((CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+                         (CAST(2 AS BIGINT), CAST(7 AS BIGINT)))
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_tuple_in
+FROM orders
+WHERE (o_custkey, o_orderkey) > (CAST(750 AS BIGINT), CAST(0 AS BIGINT))
+"""
+
+
+@query("sql_row_value_comparison", oracle=_ROW_VALUE_CMP)
+def sql_row_value_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-value (tuple) comparisons: lexicographic (a, b) > (x, y) --
+    the KEYSET-PAGINATION predicate every cursor API builds on (resume
+    after a composite key without OR-chains) -- plus tuple IN over
+    composite literals. Same semantics both engines."""
+    return _sql(spark, sf_dir, _ROW_VALUE_CMP)

@@ -112,6 +112,7 @@ _DEFER_NEW = {
     "sql_date_trunc_battery",
     "sql_try_cast_battery",
     "sql_subquery_in_select_list",
+    "sql_row_value_comparison",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
