@@ -39,13 +39,15 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(RES), reason="reference resources not available"
 )
 
-QUERIES = ["q3", "q42", "q52", "q55", "q96"]
+QUERIES = ["q3", "q19", "q42", "q52", "q55", "q96"]
 TABLES = {
     "date_dim": 120,
     "item": 60,
     "time_dim": 60,
     "household_demographics": 60,
     "store": 60,
+    "customer": 60,
+    "customer_address": 60,
     "store_sales": 6000,
 }
 
@@ -65,6 +67,10 @@ SPECIAL = {
     "t_minute": lambda i: i % 60,
     "hd_dep_count": lambda i: i % 10,          # covers q96's 7
     "s_store_name": lambda i: "ese" if i % 3 == 0 else f"store_{i}",
+    # q19: zip prefixes must usually DIFFER between customer address and
+    # store (the query keeps cross-zip purchases).
+    "ca_zip": lambda i: str(10000 + (i * 7) % 90000),
+    "s_zip": lambda i: str(10000 + (i * 13 + 1) % 90000),
 }
 
 _PK = {
@@ -73,6 +79,8 @@ _PK = {
     "time_dim": "t_time_sk",
     "household_demographics": "hd_demo_sk",
     "store": "s_store_sk",
+    "customer": "c_customer_sk",
+    "customer_address": "ca_address_sk",
 }
 
 
@@ -204,7 +212,7 @@ SSB_SUITE = (
     "SSBQuerySuite.scala"
 )
 SSB_RES = "/root/reference/sql/core/src/test/resources/ssb"
-SSB_QUERIES = ["1.1", "1.2", "1.3", "2.1"]
+SSB_QUERIES = ["1.1", "1.2", "1.3", "2.1", "3.1", "4.1"]
 SSB_TABLES = {
     "date": 120,
     "part": 60,
