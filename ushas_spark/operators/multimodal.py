@@ -1408,3 +1408,154 @@ def multimodal_image_dedup_clusters(
         F.max("n_members").alias("largest_cluster"),
         (F.sum("n_members") - F.count(F.lit(1))).alias("n_removable"),
     )
+
+
+_AFP_CLUSTER_ORACLE = f"""
+WITH RECURSIVE a AS (
+  SELECT doc_id AS asset_id, 64 + doc_id % 64 AS n
+  FROM documents WHERE doc_id < {_WAV_N_ASSETS}
+), s AS (
+  SELECT asset_id, n, i.i AS i,
+         abs((asset_id * 31 + i.i * 7) % 2001 - 1000) AS e
+  FROM a, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) i
+), tot AS (
+  SELECT asset_id, CAST(SUM(e) AS BIGINT) AS total FROM s GROUP BY asset_id
+), win AS (
+  SELECT s.asset_id, w.w AS w, CAST(SUM(s.e) AS BIGINT) AS we
+  FROM s, LATERAL (SELECT unnest(generate_series(0, {_AFP_WINDOWS - 1})) AS w) w
+  WHERE s.i >= (w.w * s.n) // {_AFP_WINDOWS}
+    AND s.i < ((w.w + 1) * s.n) // {_AFP_WINDOWS}
+  GROUP BY s.asset_id, w.w
+), sig AS (
+  SELECT win.asset_id,
+         CAST(SUM(CASE WHEN {_AFP_WINDOWS} * win.we > tot.total
+                       THEN (1 << win.w) ELSE 0 END) AS BIGINT) AS fp
+  FROM win JOIN tot ON win.asset_id = tot.asset_id
+  GROUP BY win.asset_id
+), bands AS (
+  SELECT asset_id, fp, band, (fp >> (8 * band)) & 255 AS key
+  FROM sig, (VALUES (0), (1), (2), (3)) b(band)
+), pairs AS (
+  SELECT DISTINCT a2.asset_id AS pa, bb.asset_id AS pb
+  FROM bands a2 JOIN bands bb
+    ON a2.band = bb.band AND a2.key = bb.key AND a2.asset_id < bb.asset_id
+  WHERE bit_count(xor(a2.fp, bb.fp)) <= {_AFP_MAX_D}
+), edges AS (
+  SELECT pa AS s, pb AS d FROM pairs UNION ALL SELECT pb, pa FROM pairs
+), reach(id, label) AS (
+  SELECT asset_id, asset_id FROM sig
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.id
+), comp AS (
+  SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id
+), sizes AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM comp GROUP BY cluster_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(CASE WHEN n_members > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_clusters,
+       CAST(SUM(CASE WHEN n_members > 1 THEN n_members ELSE 0 END)
+            AS BIGINT) AS n_dup_assets,
+       CAST(MAX(n_members) AS BIGINT) AS largest_cluster,
+       CAST(SUM(n_members) - COUNT(*) AS BIGINT) AS n_removable
+FROM sizes
+"""
+
+
+@query("multimodal_audio_dedup_clusters", oracle=_AFP_CLUSTER_ORACLE)
+def multimodal_audio_dedup_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audio-level dedup CLUSTERS: the banded energy-fingerprint pairs
+    (multimodal_audio_fingerprint's candidate tier) resolved to
+    connected components and summarised for curation -- the audio arm
+    end to end (decode -> fingerprint -> banded pairs -> clusters),
+    mirroring multimodal_image_dedup_clusters so every modality ships
+    the same pipeline shape. On this synthetic corpus the near-clique
+    structure (homogeneous white-noise clips) collapses into few large
+    clusters -- exactly the pathology a curator needs surfaced before
+    trusting radius parameters on real audio.
+
+    Oracle: synthesis -> windowed energies -> threshold -> band ->
+    verify -> recursive-CTE components, gated as one unit."""
+    import io
+    import struct
+    import wave
+
+    from ushas_spark.durability import materialize
+    from ushas_spark.operators.dedup import connected_components
+
+    assets = synthesize_wav_assets(spark, sf_dir)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    n = w.getnframes()
+                    samples = struct.unpack(f"<{n}h", w.readframes(n))
+                e = [abs(s) for s in samples]
+                total = sum(e)
+                fp = 0
+                for w_i in range(_AFP_WINDOWS):
+                    lo = w_i * n // _AFP_WINDOWS
+                    hi = (w_i + 1) * n // _AFP_WINDOWS
+                    if _AFP_WINDOWS * sum(e[lo:hi]) > total:
+                        fp |= 1 << w_i
+                rows.append({"asset_id": aid, "fp": fp})
+            yield pd.DataFrame(rows, columns=["asset_id", "fp"])
+
+    sig = materialize(
+        assets.mapInPandas(op, schema="asset_id bigint, fp bigint")
+    )
+    bands = sig.select(
+        "asset_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("fp", 8 * b)
+                        .bitwiseAND(255)
+                        .alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("asset_id", "fp", "bk.band", "bk.key")
+    right = bands.select(
+        F.col("asset_id").alias("pb"),
+        F.col("fp").alias("fp_b"),
+        F.col("band").alias("band_b"),
+        F.col("key").alias("key_b"),
+    )
+    pairs = (
+        bands.join(
+            right,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("key") == F.col("key_b"))
+            & (F.col("asset_id") < F.col("pb")),
+        )
+        .filter(
+            F.bit_count(F.col("fp").bitwiseXOR(F.col("fp_b"))) <= _AFP_MAX_D
+        )
+        .select(F.col("asset_id").alias("pa"), "pb")
+        .distinct()
+    )
+    pairs = materialize(pairs)
+    comp = connected_components(
+        sig.select("asset_id"), pairs, id_col="asset_id", src="pa", dst="pb"
+    )
+    sizes = comp.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum((F.col("n_members") > 1).cast("long")).alias("n_dup_clusters"),
+        F.sum(
+            F.when(F.col("n_members") > 1, F.col("n_members")).otherwise(0)
+        ).alias("n_dup_assets"),
+        F.max("n_members").alias("largest_cluster"),
+        (F.sum("n_members") - F.count(F.lit(1))).alias("n_removable"),
+    )

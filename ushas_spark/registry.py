@@ -113,6 +113,7 @@ _DEFER_NEW = {
     "sql_try_cast_battery",
     "sql_subquery_in_select_list",
     "sql_row_value_comparison",
+    "multimodal_audio_dedup_clusters",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
