@@ -230,3 +230,85 @@ def cluster_kmeans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# --------------------------------------------------------- elbow sweep
+ELBOW_KS = (2, 4, 8)
+
+
+def _kmeans_oracle_ctes_ns(prefix: str, k: int, iters: int = ITERS) -> str:
+    """The per-k CTE chain with namespaced CTE names, so several k
+    sweeps coexist in one WITH clause."""
+    ids = ", ".join(str(c * INIT_STRIDE) for c in range(k))
+    parts = [
+        f"{prefix}c0 AS (SELECT CAST(vec_id / {INIT_STRIDE} AS INT) AS cid,"
+        f" e AS ce FROM emb WHERE vec_id IN ({ids}))",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"{prefix}a{i} AS ({_sql_assign('emb', f'{prefix}c{i}')})"
+        )
+        parts.append(
+            f"{prefix}c{i + 1} AS ({_sql_update(f'{prefix}a{i}')})"
+        )
+    parts.append(
+        f"{prefix}af AS ({_sql_assign('emb', f'{prefix}c{iters}')})"
+    )
+    return ",\n".join(parts)
+
+
+def _elbow_oracle() -> str:
+    parts = ["emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)"]
+    selects = []
+    for k in ELBOW_KS:
+        p = f"k{k}"
+        parts.append(_kmeans_oracle_ctes_ns(p, k))
+        selects.append(
+            f"SELECT {k} AS k,"
+            f" CAST(COUNT(*) AS BIGINT) AS n_vectors,"
+            f" CAST(SUM(ds) AS BIGINT) AS inertia_x1m,"
+            f" CAST(SUM(ds) // COUNT(*) AS BIGINT) AS avg_dist_x1m"
+            f" FROM {p}af"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT * FROM ("
+        + " UNION ALL ".join(selects)
+        + ") ORDER BY k"
+    )
+
+
+@query("cluster_kmeans_elbow", oracle=_elbow_oracle())
+def cluster_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ELBOW sweep: total within-cluster inertia after the same
+    deterministic Lloyd schedule at k = {2, 4, 8} -- the
+    model-selection readout that decides k before anyone trusts
+    cluster assignments. Each k runs the identical stride-initialised
+    exact-integer pipeline as cluster_kmeans_assign; the oracle
+    replays ALL THREE chains (every round of every k) in one
+    namespaced WITH clause -- the heaviest generated oracle in the
+    repo, and the reason the arithmetic had to be engine-exact.
+
+    Scale shape: k sweeps are independent (a real run launches them
+    concurrently); per sweep the corpus is scanned once per round with
+    broadcast centroids. Inertia sums are exact scaled integers, so
+    the elbow curve is bit-stable across engines and retries."""
+    rows = []
+    for k in ELBOW_KS:
+        a = kmeans_assign(spark, sf_dir, k=k)
+        rows.append(
+            a.agg(
+                F.count(F.lit(1)).alias("n_vectors"),
+                F.sum("dist_x1m").alias("inertia_x1m"),
+            ).select(
+                F.lit(k).cast("long").alias("k"),
+                "n_vectors",
+                "inertia_x1m",
+                F.expr("inertia_x1m div n_vectors").alias("avg_dist_x1m"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("k")

@@ -114,6 +114,7 @@ _DEFER_NEW = {
     "sql_subquery_in_select_list",
     "sql_row_value_comparison",
     "multimodal_audio_dedup_clusters",
+    "cluster_kmeans_elbow",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
