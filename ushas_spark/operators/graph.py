@@ -669,3 +669,137 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_common").desc(), "pa", "pb")
         .limit(LP_TOP)
     )
+
+
+# ---------------------------------------------- personalized PageRank
+PPR_SEED_CAP = 10  # seed set: customers with key < 10
+
+
+def _ppr_oracle(iters: int = ITERS, damping: float = DAMPING) -> str:
+    parts = [
+        "pairs AS (SELECT DISTINCT o_custkey AS cust,"
+        "                 l_suppkey + 1000000000 AS supp"
+        "          FROM orders JOIN lineitem ON o_orderkey = l_orderkey)",
+        "edges AS (SELECT cust AS src, supp AS dst FROM pairs"
+        "          UNION ALL SELECT supp, cust FROM pairs)",
+        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg"
+        "        FROM edges GROUP BY src)",
+        f"seeds AS (SELECT src AS node FROM deg"
+        f"          WHERE src < {PPR_SEED_CAP})",
+        "ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM seeds)",
+        "r0 AS (SELECT d.src AS node,"
+        "  CASE WHEN s.node IS NOT NULL THEN 1.0 / ns.n ELSE 0.0 END AS rank"
+        "  FROM deg d LEFT JOIN seeds s ON d.src = s.node CROSS JOIN ns)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"s{i} AS (SELECT e.dst AS node,"
+            f"  SUM(CAST(ROUND((r.rank / CAST(d.deg AS DOUBLE)) * {RANK_SCALE})"
+            f"      AS BIGINT)) AS sc"
+            f"  FROM r{i} r JOIN deg d ON r.node = d.src"
+            f"  JOIN edges e ON e.src = r.node GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{i + 1} AS (SELECT t.node,"
+            f"  CASE WHEN sd.node IS NOT NULL THEN {1.0 - damping} / ns.n"
+            f"       ELSE 0.0 END"
+            f"  + {damping} * (CAST(t.sc AS DOUBLE) / {float(RANK_SCALE)})"
+            f"    AS rank"
+            f"  FROM s{i} t LEFT JOIN seeds sd ON t.node = sd.node"
+            f"  CROSS JOIN ns)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT node,
+       CAST(ROUND(rank * {RANK_SCALE}) AS BIGINT) AS rank_x1e9,
+       CASE WHEN node >= 1000000000 THEN 'supplier' ELSE 'customer' END
+         AS node_type
+FROM r{iters}
+WHERE ROUND(rank * {RANK_SCALE}) > 0
+ORDER BY rank_x1e9 DESC, node
+LIMIT {TOP_N}
+"""
+    )
+
+
+@query("graph_personalized_pagerank", oracle=_ppr_oracle())
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank: random walks restart at a SEED SET (the
+    first {PPR_SEED_CAP} customers) instead of everywhere, so rank
+    measures proximity TO THOSE SEEDS -- the
+    recommendations-for-this-user / fraud-neighborhood primitive,
+    versus global importance (graph_pagerank_top). Same synchronous
+    exact-integer rounds; only the teleport term changes (mass
+    (1-d)/|S| on seeds, 0 elsewhere), and the oracle replays every
+    round with the same seed-aware algebra.
+
+    Scale shape: identical per-round cost to global PageRank (one
+    ranks ⋈ pre-partitioned-edges join + one groupBy); the seed set
+    is a broadcast membership join. Zero-rank nodes (unreached within
+    the walk horizon) are filtered before the top slice."""
+    edges = _edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ewd = materialize(edges.join(deg, "src").repartition("src"))
+    nodes = ewd.groupBy("src").agg(F.first("deg")).select(
+        F.col("src").alias("node")
+    )
+    seeds = nodes.filter(F.col("node") < PPR_SEED_CAP).select(
+        F.col("node").alias("seed")
+    )
+    n_seeds = materialize(seeds.agg(F.count(F.lit(1)).alias("ns")))
+    is_seed = F.col("seed").isNotNull()
+    ranks = (
+        nodes.join(F.broadcast(seeds), nodes.node == seeds.seed, "left")
+        .crossJoin(F.broadcast(n_seeds))
+        .select(
+            "node",
+            F.when(is_seed, F.lit(1.0) / F.col("ns").cast("double"))
+            .otherwise(0.0)
+            .alias("rank"),
+            "ns",
+        )
+    )
+    for _ in range(ITERS):
+        contrib = ranks.join(ewd, ranks.node == ewd.src).select(
+            F.col("dst").alias("node"),
+            F.round(
+                (F.col("rank") / F.col("deg").cast("double")) * RANK_SCALE
+            )
+            .cast("long")
+            .alias("c"),
+        )
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("sc"))
+        ranks = (
+            summed.join(
+                F.broadcast(seeds), summed.node == seeds.seed, "left"
+            )
+            .crossJoin(F.broadcast(n_seeds))
+            .select(
+                "node",
+                (
+                    F.when(
+                        is_seed,
+                        F.lit(1.0 - DAMPING) / F.col("ns").cast("double"),
+                    ).otherwise(0.0)
+                    + F.lit(DAMPING)
+                    * (F.col("sc").cast("double") / F.lit(float(RANK_SCALE)))
+                ).alias("rank"),
+                "ns",
+            )
+        )
+    return (
+        ranks.select(
+            "node",
+            F.round(F.col("rank") * RANK_SCALE).cast("long").alias(
+                "rank_x1e9"
+            ),
+            F.when(F.col("node") >= 1_000_000_000, "supplier")
+            .otherwise("customer")
+            .alias("node_type"),
+        )
+        .filter(F.col("rank_x1e9") > 0)
+        .orderBy(F.col("rank_x1e9").desc(), "node")
+        .limit(TOP_N)
+    )

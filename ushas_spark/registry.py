@@ -115,6 +115,7 @@ _DEFER_NEW = {
     "sql_row_value_comparison",
     "multimodal_audio_dedup_clusters",
     "cluster_kmeans_elbow",
+    "graph_personalized_pagerank",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
