@@ -803,3 +803,82 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_x1e9").desc(), "node")
         .limit(TOP_N)
     )
+
+
+# ---------------------------------------------------------- BFS hops
+BFS_MAX_HOPS = 4
+
+
+def _bfs_oracle(max_hops: int = BFS_MAX_HOPS) -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000000 AS supp
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), edges AS (
+  SELECT cust AS src, supp AS dst FROM pairs
+  UNION ALL SELECT supp, cust FROM pairs
+), walk(node, dist) AS (
+  SELECT CAST(0 AS BIGINT) AS node, 0 AS dist
+  UNION
+  SELECT e.dst, w.dist + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.dist < {max_hops}
+), dists AS (
+  SELECT node, CAST(MIN(dist) AS BIGINT) AS hops FROM walk GROUP BY node
+)
+SELECT hops,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(CASE WHEN node >= 1000000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_suppliers,
+       CAST(MIN(node) AS BIGINT) AS example_node
+FROM dists
+GROUP BY hops
+ORDER BY hops
+"""
+
+
+@query("graph_bfs_hops", oracle=_bfs_oracle())
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unweighted shortest-path BFS from a seed node (customer 0):
+    how many nodes sit at each hop distance <= {BFS_MAX_HOPS} -- the
+    blast-radius / supply-chain-exposure readout ("everything within
+    two intermediaries"). Frontier expansion is the iterative
+    DataFrame loop: each round joins the frontier against the
+    pre-partitioned edge table and keeps only NEWLY reached nodes
+    (anti join against the visited set), so a round's shuffle is
+    bounded by the frontier, not the graph; visited is materialized
+    per round (plan truncation). The oracle replays reachability as a
+    recursive CTE with MIN(dist).
+
+    Scale note: hop-limited BFS rounds = fixed round count; the
+    visited/frontier tables shuffle on node id only."""
+    edges = materialize(_edges(spark, sf_dir).repartition("src"))
+    visited = materialize(
+        edges.sparkSession.createDataFrame(
+            [(0, 0)], "node bigint, hops bigint"
+        )
+    )
+    frontier = visited
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        neighbors = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        fresh = neighbors.join(
+            visited.select("node"), "node", "left_anti"
+        ).select("node", F.lit(hop).cast("long").alias("hops"))
+        fresh = materialize(fresh)
+        visited = materialize(visited.unionByName(fresh))
+        frontier = fresh
+    return (
+        visited.groupBy("hops")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum((F.col("node") >= 1_000_000_000).cast("long")).alias(
+                "n_suppliers"
+            ),
+            F.min("node").alias("example_node"),
+        )
+        .orderBy("hops")
+    )

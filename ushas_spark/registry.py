@@ -116,6 +116,7 @@ _DEFER_NEW = {
     "multimodal_audio_dedup_clusters",
     "cluster_kmeans_elbow",
     "graph_personalized_pagerank",
+    "graph_bfs_hops",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
