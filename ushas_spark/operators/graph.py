@@ -882,3 +882,129 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hops")
     )
+
+
+# ---------------------------------------------------------- HITS
+HITS_ITERS = 3
+HITS_SCALE = 1_000_000_000
+
+
+def _hits_oracle(iters: int = HITS_ITERS) -> str:
+    parts = [
+        "pairs AS (SELECT DISTINCT o_custkey AS cust,"
+        " l_suppkey AS supp"
+        " FROM orders JOIN lineitem ON o_orderkey = l_orderkey)",
+        "h0 AS (SELECT cust, CAST(1000000000 AS BIGINT) AS h FROM"
+        " (SELECT DISTINCT cust FROM pairs))",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"ar{i} AS (SELECT p.supp, CAST(SUM(h.h) AS BIGINT) AS raw"
+            f" FROM pairs p JOIN h{i} h ON p.cust = h.cust GROUP BY p.supp)"
+        )
+        parts.append(
+            f"a{i} AS (SELECT supp, CAST(ROUND({HITS_SCALE}.0 * raw /"
+            f" (SELECT MAX(raw) FROM ar{i})) AS BIGINT) AS a FROM ar{i})"
+        )
+        parts.append(
+            f"hr{i} AS (SELECT p.cust, CAST(SUM(a.a) AS BIGINT) AS raw"
+            f" FROM pairs p JOIN a{i} a ON p.supp = a.supp GROUP BY p.cust)"
+        )
+        parts.append(
+            f"h{i + 1} AS (SELECT cust, CAST(ROUND({HITS_SCALE}.0 * raw /"
+            f" (SELECT MAX(raw) FROM hr{i})) AS BIGINT) AS h FROM hr{i})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT * FROM (
+  SELECT 'authority' AS role, supp AS node, a AS score_x1e9,
+         ROW_NUMBER() OVER (ORDER BY a DESC, supp) AS rnk
+  FROM a{iters - 1}
+  UNION ALL
+  SELECT 'hub' AS role, cust AS node, h AS score_x1e9,
+         ROW_NUMBER() OVER (ORDER BY h DESC, cust) AS rnk
+  FROM h{iters}
+)
+WHERE rnk <= 10
+ORDER BY role, rnk
+"""
+    )
+
+
+@query("graph_hits_hub_authority", oracle=_hits_oracle())
+def graph_hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg) on the bipartite trade graph: suppliers score
+    AUTHORITY (bought by well-connected customers), customers score
+    HUB (buying from authoritative suppliers) -- the
+    mutual-reinforcement dual of PageRank's single importance.
+    {HITS_ITERS} synchronous rounds; each round's max-normalisation
+    happens ONCE through a broadcast 1-row max (scores re-scaled to
+    x1e9 integers), so every cross-row sum is exact integer arithmetic
+    and the oracle replays all rounds bit-for-bit.
+
+    Scale shape: per round, two edge joins + two groupBys (the
+    bipartite halves), each shuffling score cells bounded by |V|; the
+    edge table is materialized once. Top-10 per role via
+    TakeOrdered-size windows over the |V|-row score tables,
+    partitioned by role in the final union."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = materialize(
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
+        )
+        .distinct()
+        .repartition("cust")
+    )
+    hubs = pairs.select("cust").distinct().select(
+        "cust", F.lit(HITS_SCALE).cast("long").alias("h")
+    )
+    auths = None
+    for _ in range(HITS_ITERS):
+        ar = pairs.join(hubs, "cust").groupBy("supp").agg(
+            F.sum("h").alias("raw")
+        )
+        amax = ar.agg(F.max("raw").alias("m"))
+        auths = ar.crossJoin(F.broadcast(amax)).select(
+            "supp",
+            F.round(F.lit(float(HITS_SCALE)) * F.col("raw") / F.col("m"))
+            .cast("long")
+            .alias("a"),
+        )
+        hr = pairs.join(auths, "supp").groupBy("cust").agg(
+            F.sum("a").alias("raw")
+        )
+        hmax = hr.agg(F.max("raw").alias("m"))
+        hubs = hr.crossJoin(F.broadcast(hmax)).select(
+            "cust",
+            F.round(F.lit(float(HITS_SCALE)) * F.col("raw") / F.col("m"))
+            .cast("long")
+            .alias("h"),
+        )
+    from pyspark.sql import Window as W
+
+    a_ranked = auths.select(
+        F.lit("authority").alias("role"),
+        F.col("supp").alias("node"),
+        F.col("a").alias("score_x1e9"),
+    )
+    h_ranked = hubs.select(
+        F.lit("hub").alias("role"),
+        F.col("cust").alias("node"),
+        F.col("h").alias("score_x1e9"),
+    )
+    w = W.partitionBy("role").orderBy(F.col("score_x1e9").desc(), "node")
+    return (
+        a_ranked.unionByName(h_ranked)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("role", "node", "score_x1e9", F.col("rnk").cast("long"))
+        .orderBy("role", "rnk")
+    )

@@ -117,6 +117,7 @@ _DEFER_NEW = {
     "cluster_kmeans_elbow",
     "graph_personalized_pagerank",
     "graph_bfs_hops",
+    "graph_hits_hub_authority",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
