@@ -270,3 +270,133 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .orderBy("qid", "rnk")
     )
+
+
+# ------------------------------------------------- nprobe recall sweep
+SWEEP_NPROBES = (1, 2, 4)
+
+
+def _nprobe_chain(p: int) -> str:
+    return f"""
+qp{p} AS (
+  SELECT vec_id AS qid, e AS qe, cid FROM (
+    SELECT v.vec_id, v.e, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY CAST(ROUND({sql_cosine("v.e", "c.ce")} * 1000000) AS BIGINT) DESC,
+                      c.cid) AS crnk
+    FROM v, cents c
+    WHERE v.vec_id < {N_QUERIES}
+  ) WHERE crnk <= {p}
+),
+sc{p} AS (
+  SELECT DISTINCT q.qid, a.vec_id AS cand_id,
+         CAST(ROUND({sql_cosine("q.qe", "a.e")} * 1000000) AS BIGINT) AS sim_x1m
+  FROM qp{p} q JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.qid
+),
+rk{p} AS (
+  SELECT qid, cand_id FROM (
+    SELECT qid, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY sim_x1m DESC, cand_id) AS rnk
+    FROM sc{p}) WHERE rnk <= {TOP_K}
+)"""
+
+
+def _nprobe_sweep_oracle() -> str:
+    head = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cents AS (
+  SELECT CAST(vec_id / {CENTROID_STRIDE} AS INT) AS cid, e AS ce
+  FROM v WHERE vec_id IN ({_SQL_CENT_IDS})
+),
+assign AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT v.vec_id, v.e, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY CAST(ROUND({sql_cosine("v.e", "c.ce")} * 1000000) AS BIGINT) DESC,
+                      c.cid) AS crnk
+    FROM v, cents c
+  ) WHERE crnk <= 1
+),
+truth AS (
+  SELECT qid, cand_id FROM (
+    SELECT q.vec_id AS qid, v.vec_id AS cand_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY CAST(ROUND({sql_cosine("q.e", "v.e")} * 1000000) AS BIGINT) DESC,
+                      v.vec_id) AS rnk
+    FROM v q JOIN v ON v.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rnk <= {TOP_K}
+)"""
+    chains = "".join("," + _nprobe_chain(p) for p in SWEEP_NPROBES)
+    selects = " UNION ALL ".join(
+        f"SELECT {p} AS nprobe,"
+        f" CAST(COUNT(*) AS BIGINT) AS n_truth,"
+        f" CAST(SUM(CASE WHEN r.cand_id IS NOT NULL THEN 1 ELSE 0 END)"
+        f"   AS BIGINT) AS n_hit,"
+        f" CAST(1000 * SUM(CASE WHEN r.cand_id IS NOT NULL THEN 1 ELSE 0 END)"
+        f"   // COUNT(*) AS BIGINT) AS recall_x1000"
+        f" FROM truth t LEFT JOIN rk{p} r"
+        f"   ON r.qid = t.qid AND r.cand_id = t.cand_id"
+        for p in SWEEP_NPROBES
+    )
+    return head + chains + "\nSELECT * FROM (" + selects + ") ORDER BY nprobe"
+
+
+@query("sim_ivf_nprobe_sweep", oracle=_nprobe_sweep_oracle())
+def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe RECALL SWEEP: recall@{TOP_K} against the exact
+    brute-force truth at nprobe = {{1, 2, 4}} -- the cost/recall curve
+    that picks the probe width before an IVF index serves traffic
+    (companion to sim_ann_recall_at_k, which scores the LSH index).
+    More probed lists monotonically raise recall; the sweep shows by
+    how much, in exact integers.
+
+    Scale shape: corpus assignment and the brute-force truth each
+    compute ONCE (materialized); each nprobe point reuses them with
+    one probe join + per-query rank. At production scale the truth arm
+    runs on a sampled query slice; shape unchanged."""
+    from pyspark.sql import Window as W
+
+    from ushas_spark.durability import materialize
+    from ushas_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("e")
+    )
+    emb = materialize(emb)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e")
+    )
+    truth = materialize(cosine_topk(q, emb).select("qid", "cand_id"))
+    rows = []
+    for p in SWEEP_NPROBES:
+        got = ivf_topk(emb, nprobe=p).select(
+            F.col("qid").alias("g_qid"), F.col("cand_id").alias("g_cand")
+        )
+        joined = truth.join(
+            got,
+            (F.col("qid") == F.col("g_qid"))
+            & (F.col("cand_id") == F.col("g_cand")),
+            "left",
+        )
+        rows.append(
+            joined.agg(
+                F.count(F.lit(1)).alias("n_truth"),
+                F.sum(F.col("g_cand").isNotNull().cast("long")).alias(
+                    "n_hit"
+                ),
+            ).select(
+                F.lit(p).cast("long").alias("nprobe"),
+                "n_truth",
+                "n_hit",
+                F.expr("1000 * n_hit div n_truth").alias("recall_x1000"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("nprobe")

@@ -118,6 +118,7 @@ _DEFER_NEW = {
     "graph_personalized_pagerank",
     "graph_bfs_hops",
     "graph_hits_hub_authority",
+    "sim_ivf_nprobe_sweep",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
