@@ -221,3 +221,37 @@ def test_bpe_merge_fold_engine_portable(spark, syms, pair):
     sql = "SELECT " + bpe._sql_fold(lst, f"'{a}'", f"'{b}'")
     got_duck = _duck.sql(sql).fetchone()[0]
     assert got_spark == got_duck
+
+
+def test_ntile_from_rank_formula_matches_contract():
+    """The integer NTILE formula in queries/analytics.py (first n%k
+    buckets get n//k+1 rows, rest n//k) must agree with the SQL NTILE
+    contract for EVERY rank at a sweep of (n, k) shapes -- including
+    n < k (each row its own bucket) and heavy-remainder cases. The
+    reference implementation assigns bucket b to ranks in
+    (sum of sizes of buckets < b, sum through b]."""
+
+    def reference_buckets(n: int, k: int) -> list[int]:
+        q, r = divmod(n, k)
+        sizes = [q + 1] * r + [q] * (k - r)
+        out = []
+        for b, size in enumerate(sizes, start=1):
+            out.extend([b] * size)
+        return out
+
+    def formula(rn: int, n: int, k: int) -> int:
+        q, r = divmod(n, k)
+        cut = r * (q + 1)
+        if rn <= cut:
+            return (rn + q) // (q + 1)
+        return r + (rn - cut + q - 1) // q
+
+    for n in [1, 2, 3, 4, 5, 6, 7, 9, 10, 11, 49, 50, 51, 99, 100, 1000]:
+        for k in [1, 2, 3, 4, 5, 7, 10]:
+            if n < k:
+                # NTILE with n < k: ranks 1..n land in buckets 1..n.
+                ref = list(range(1, n + 1))
+            else:
+                ref = reference_buckets(n, k)
+            got = [formula(rn, n, k) for rn in range(1, n + 1)]
+            assert got == ref, f"n={n} k={k}: {got[:12]} != {ref[:12]}"
