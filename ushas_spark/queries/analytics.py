@@ -2653,3 +2653,77 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ------------------------------------------------ segment migration
+_MIGRATION_ORACLE = """
+WITH yearly AS (
+  SELECT o_custkey, EXTRACT(YEAR FROM o_orderdate) AS y,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS spend_x100
+  FROM orders GROUP BY 1, 2
+), terciled AS (
+  SELECT o_custkey, y,
+         CAST(NTILE(3) OVER (PARTITION BY y
+                             ORDER BY spend_x100, o_custkey) AS BIGINT)
+           AS segment
+  FROM yearly
+)
+SELECT a.segment AS from_segment,
+       b.segment AS to_segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(MIN(a.o_custkey) AS BIGINT) AS example_cust
+FROM terciled a
+JOIN terciled b ON a.o_custkey = b.o_custkey AND b.y = a.y + 1
+GROUP BY a.segment, b.segment
+ORDER BY from_segment, to_segment
+"""
+
+
+@query("events_segment_migration", oracle=_MIGRATION_ORACLE)
+def events_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year customer SEGMENT MIGRATION matrix: spend terciles
+    computed within each year, then each customer's consecutive-year
+    (from, to) transition counted -- the upgrade/downgrade/churn-risk
+    flow behind every "customer movement" sankey. Terciles are
+    PER-YEAR NTILE windows (partitioned by year -- a few thousand
+    customers per partition at any SF share a year only if active in
+    it; at extreme scale swap in the bucketed-rank machinery per year,
+    same as events_rfm_segments did globally), ties broken by custkey
+    so both engines bucket identically; the self-join on (customer,
+    adjacent years) co-partitions on customer.
+
+    Output: the 3x3 transition matrix with deterministic example ids.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    yearly = o.groupBy(
+        F.col("o_custkey"), F.year("o_orderdate").alias("y")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "spend_x100"
+        )
+    )
+    w = W.partitionBy("y").orderBy("spend_x100", "o_custkey")
+    terciled = yearly.select(
+        "o_custkey", "y", F.ntile(3).over(w).cast("long").alias("segment")
+    )
+    b = terciled.select(
+        F.col("o_custkey").alias("b_cust"),
+        F.col("y").alias("b_y"),
+        F.col("segment").alias("to_segment"),
+    )
+    return (
+        terciled.join(
+            b,
+            (F.col("o_custkey") == F.col("b_cust"))
+            & (F.col("b_y") == F.col("y") + 1),
+        )
+        .groupBy(
+            F.col("segment").alias("from_segment"), F.col("to_segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("o_custkey").alias("example_cust"),
+        )
+        .orderBy("from_segment", "to_segment")
+    )

@@ -119,6 +119,7 @@ _DEFER_NEW = {
     "graph_bfs_hops",
     "graph_hits_hub_authority",
     "sim_ivf_nprobe_sweep",
+    "events_segment_migration",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
