@@ -2727,3 +2727,112 @@ def events_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_segment", "to_segment")
     )
+
+
+# ------------------------------------------------ abandonment paths
+_DROPOFF_ORACLE = """
+WITH t AS (
+  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                   - epoch_us(lag(CAST(ts AS TIMESTAMP))
+                              OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id)) > 1800000000
+                   OR lag(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT user_id, event_id, event_type, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM t
+), sess AS (
+  SELECT user_id, sid,
+         list_transform(
+           list_sort(list(lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                          || '|' || lpad(CAST(event_id AS VARCHAR), 12, '0')
+                          || '|' || event_type)),
+           x -> split_part(x, '|', 3)) AS types
+  FROM s GROUP BY user_id, sid
+), dropped AS (
+  SELECT types[greatest(len(types) - 2, 1):] AS tail3
+  FROM sess
+  WHERE list_contains(types, 'view')
+    AND NOT list_contains(types, 'purchase')
+), paths AS (
+  SELECT array_to_string(tail3, '>') AS path,
+         CAST(COUNT(*) AS BIGINT) AS n_sessions
+  FROM dropped GROUP BY 1
+)
+SELECT path, n_sessions, rnk FROM (
+  SELECT path, n_sessions,
+         ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS rnk
+  FROM paths)
+WHERE rnk <= 10
+ORDER BY rnk
+"""
+
+
+@query("events_dropoff_paths", oracle=_DROPOFF_ORACLE)
+def events_dropoff_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABANDONMENT paths: among SESSIONS (30-minute gap
+    sessionization) that contained a view but no purchase, the 10 most
+    common final three-event sequences -- where the funnel actually
+    loses people, which a conversion RATE cannot show. Session
+    assignment is the standard per-user gap window; per-session
+    sequences build via sort_array over collect_list; the trailing
+    slice / membership / join are array codegen.
+
+    Scale shape: per-user windows (partitioned), one rollup to
+    sessions, a |paths|-row rollup and a top-10 rank over that tiny
+    table (bounded by |event_type|^3)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(
+        F.lag("ts").over(w)
+    )
+    t = e.withColumn(
+        "new_session",
+        (F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000)).cast(
+            "long"
+        ),
+    )
+    s = t.withColumn(
+        "sid",
+        F.sum("new_session").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    sess = s.groupBy("user_id", "sid").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda x: x["event_type"],
+        ).alias("types")
+    )
+    dropped = sess.filter(
+        F.array_contains("types", "view")
+        & ~F.array_contains("types", "purchase")
+    ).select(
+        F.concat_ws(
+            ">",
+            F.slice(
+                "types",
+                F.greatest(F.size("types") - 2, F.lit(1)),
+                F.lit(3),
+            ),
+        ).alias("path")
+    )
+    paths = dropped.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    wr = W.orderBy(F.col("n_sessions").desc(), "path")
+    return (
+        paths.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 10)
+        .select("path", "n_sessions", F.col("rnk").cast("long"))
+        .orderBy("rnk")
+    )

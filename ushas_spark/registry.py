@@ -120,6 +120,7 @@ _DEFER_NEW = {
     "graph_hits_hub_authority",
     "sim_ivf_nprobe_sweep",
     "events_segment_migration",
+    "events_dropoff_paths",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
