@@ -1122,3 +1122,120 @@ def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------- contamination severity bands
+_CONTAM_SEV_ORACLE = f"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+           FROM documents),
+ng AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+         ELSE [] END AS ngs
+  FROM t
+),
+flat AS (SELECT doc_id, unnest(ngs) AS ng FROM ng),
+ev AS (SELECT DISTINCT ng FROM flat WHERE doc_id % {_DECONTAM_EVAL_MOD} = 0),
+tr AS (SELECT doc_id, ng FROM flat WHERE doc_id % {_DECONTAM_EVAL_MOD} <> 0),
+shared AS (
+  SELECT tr.doc_id, CAST(COUNT(DISTINCT tr.ng) AS BIGINT) AS n_shared
+  FROM tr JOIN ev ON tr.ng = ev.ng
+  GROUP BY tr.doc_id
+),
+tot AS (
+  SELECT doc_id, CAST(len(ngs) AS BIGINT) AS n_ngrams FROM ng
+  WHERE doc_id % {_DECONTAM_EVAL_MOD} <> 0
+),
+sev AS (
+  SELECT s.doc_id, s.n_shared, t2.n_ngrams,
+         CASE WHEN s.n_shared >= 10 THEN '4_heavy'
+              WHEN s.n_shared >= 5 THEN '3_high'
+              WHEN s.n_shared >= 2 THEN '2_moderate'
+              ELSE '1_light' END AS band
+  FROM shared s JOIN tot t2 ON s.doc_id = t2.doc_id
+)
+SELECT band,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_shared) AS BIGINT) AS total_shared_ngrams,
+       CAST(1000000 * SUM(n_shared) // SUM(n_ngrams) AS BIGINT)
+         AS contaminated_fraction_x1m,
+       CAST(MIN(doc_id) AS BIGINT) AS example_doc
+FROM sev
+GROUP BY band
+ORDER BY band
+"""
+
+
+@query("pipeline_contamination_severity", oracle=_CONTAM_SEV_ORACLE)
+def pipeline_contamination_severity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Contamination SEVERITY bands: pipeline_decontaminate flags which
+    training docs share benchmark n-grams -- this grades HOW BADLY
+    (light 1 / moderate 2-4 / high 5-9 / heavy 10+ shared trigrams,
+    plus the contaminated fraction of each band's n-gram mass), the
+    triage readout that decides drop-vs-keep thresholds instead of a
+    binary purge. Same broadcast-eval-set join shape as the
+    decontaminator; severity banding is a CASE ladder, fractions are
+    exact integer divisions.
+
+    Scale shape: one corpus n-gram pass, broadcast eval set, per-doc
+    rollup, 4-row band rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    toks = F.split(F.col("text"), r"\s+")
+    sz = F.size(toks)
+    ngs = F.when(
+        sz >= 3,
+        F.array_distinct(
+            F.zip_with(
+                F.slice(toks, 1, sz - 2),
+                F.zip_with(
+                    F.slice(toks, 2, sz - 2),
+                    F.slice(toks, 3, sz - 2),
+                    lambda b, c: F.concat_ws(" ", b, c),
+                ),
+                lambda a, bc: F.concat_ws(" ", a, bc),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.repartition(n).select("doc_id", ngs.alias("ngs"))
+    flat = base.select("doc_id", F.explode("ngs").alias("ng"))
+    ev = (
+        flat.filter(F.col("doc_id") % _DECONTAM_EVAL_MOD == 0)
+        .select("ng")
+        .distinct()
+    )
+    tr = flat.filter(F.col("doc_id") % _DECONTAM_EVAL_MOD != 0)
+    shared = (
+        tr.join(F.broadcast(ev), "ng")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("ng").alias("n_shared"))
+    )
+    tot = base.filter(F.col("doc_id") % _DECONTAM_EVAL_MOD != 0).select(
+        "doc_id", F.size("ngs").cast("long").alias("n_ngrams")
+    )
+    sev = shared.join(tot, "doc_id").select(
+        "doc_id",
+        "n_shared",
+        "n_ngrams",
+        F.when(F.col("n_shared") >= 10, "4_heavy")
+        .when(F.col("n_shared") >= 5, "3_high")
+        .when(F.col("n_shared") >= 2, "2_moderate")
+        .otherwise("1_light")
+        .alias("band"),
+    )
+    return (
+        sev.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_shared").alias("total_shared_ngrams"),
+            F.expr(
+                "1000000 * sum(n_shared) div sum(n_ngrams)"
+            ).alias("contaminated_fraction_x1m"),
+            F.min("doc_id").alias("example_doc"),
+        )
+        .orderBy("band")
+    )

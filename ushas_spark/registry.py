@@ -121,6 +121,7 @@ _DEFER_NEW = {
     "sim_ivf_nprobe_sweep",
     "events_segment_migration",
     "events_dropoff_paths",
+    "pipeline_contamination_severity",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
