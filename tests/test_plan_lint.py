@@ -62,6 +62,11 @@ GLOBAL_WINDOW_OK: dict[str, tuple[int, str]] = {
         1,
         "conformance shape for SUM(COUNT(*)) OVER () (window.sql family)",
     ),
+    "events_dropoff_paths": (
+        1,
+        "top-10 rank over the distinct-path rollup, bounded by "
+        "|event_type|^3 rows",
+    ),
 }
 
 # Python row/arrow eval is the conformance subject matter here, not a
