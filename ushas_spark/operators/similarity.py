@@ -1303,7 +1303,12 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "score",
             )
         )
-        selected = selected.unionByName(pick)
+        # Truncate the accumulated plan each round: without this the
+        # round-r penalty join re-derives every prior round's join tree
+        # (plan grows combinatorially -- 362 shuffles / 120 SMJ at k=5).
+        # The selected table is |queries| x rounds rows, so the
+        # materialization is O(queries) tiny.
+        selected = materialize(selected.unionByName(pick))
     return selected.orderBy("qid", "mmr_rank")
 
 
