@@ -1106,3 +1106,122 @@ def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------- corpus-LM fluency (CCNet-style)
+FLUENCY_SCALE = 1_000_000
+
+_FLUENCY_BIGRAMS_SQL = (
+    "CASE WHEN len(regexp_split_to_array(text, '\\s+')) >= 2"
+    " THEN [s[i] || ' ' || s[i+1] FOR i IN generate_series(1,"
+    " len(regexp_split_to_array(text, '\\s+')) - 1)]"
+    " ELSE [] END"
+).replace("s[i", "regexp_split_to_array(text, '\\s+')[i")
+
+_FLUENCY_ORACLE = f"""
+WITH bg AS MATERIALIZED (
+  SELECT doc_id, unnest({_FLUENCY_BIGRAMS_SQL}) AS bigram FROM documents
+), docbg AS (
+  SELECT doc_id, bigram, CAST(COUNT(*) AS BIGINT) AS n_in_doc
+  FROM bg GROUP BY doc_id, bigram
+), cbg AS (
+  SELECT bigram, CAST(SUM(n_in_doc) AS BIGINT) AS c12,
+         split_part(bigram, ' ', 1) AS prefix
+  FROM docbg GROUP BY bigram
+), cpre AS (
+  SELECT prefix, CAST(SUM(c12) AS BIGINT) AS c1 FROM cbg GROUP BY prefix
+), vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM cpre),
+scored AS (
+  SELECT cbg.bigram,
+         ((c12 + 1) * {FLUENCY_SCALE}) // (c1 + v) AS p_x1m
+  FROM cbg JOIN cpre ON cbg.prefix = cpre.prefix CROSS JOIN vocab
+), perdoc AS (
+  SELECT d.doc_id,
+         SUM(d.n_in_doc * s.p_x1m) // SUM(d.n_in_doc) AS fluency_x1m
+  FROM docbg d JOIN scored s ON d.bigram = s.bigram
+  GROUP BY d.doc_id
+)
+SELECT doc.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_scored,
+       CAST(SUM(p.fluency_x1m) // COUNT(*) AS BIGINT) AS avg_fluency_x1m,
+       CAST(MIN(p.fluency_x1m) AS BIGINT) AS min_fluency_x1m,
+       CAST(MAX(p.fluency_x1m) AS BIGINT) AS max_fluency_x1m
+FROM perdoc p JOIN documents doc ON p.doc_id = doc.doc_id
+GROUP BY doc.source
+ORDER BY doc.source
+"""
+
+
+def _fluency_bigrams() -> Column:
+    """Word bigrams WITH multiplicity (the shingle pipeline minus
+    array_distinct -- an LM scores every occurrence)."""
+    return F.expr(
+        """
+        flatten(transform(
+          array(split(text, '\\\\s+')),
+          w -> CASE WHEN size(w) >= 2
+                    THEN transform(sequence(1, size(w) - 1),
+                                   i -> concat_ws(' ', slice(w, i, 2)))
+                    ELSE array() END))
+        """
+    )
+
+
+@query("text_lm_fluency", oracle=_FLUENCY_ORACLE)
+def text_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM fluency scoring, the CCNet/Wikipedia-LM quality-filter
+    idea (Wenzek et al. 2020) made engine-exact: train an add-one-
+    smoothed bigram model ON the corpus itself, then score each document
+    by its mean smoothed conditional probability
+    mean((c(w1 w2)+1) * SCALE // (c(w1·)+|V|)) -- the arithmetic-mean-
+    probability fluency variant of perplexity, chosen because it needs
+    no logarithm: cross-engine ln() differs in the last ulp (same
+    rationale as TF-IDF's rational idf at text.py:606) while this stays
+    in BIGINT algebra end-to-end. Low scores flag boilerplate/garbled
+    text; the per-source rollup is the curation dashboard view.
+
+    Scale shape: one bigram explode (the shingle-index economics --
+    corpus touched once), a (doc, bigram) map-side pre-aggregate that
+    bounds every later join to distinct-bigram granularity, two
+    key-partitioned count aggregates for the model, and joins back on
+    the bigram/prefix keys only. The |V|-row vocab count rides along as
+    a broadcast 1-row relation; no Python, no pair explosion."""
+    d = load_table(spark, sf_dir, "documents")
+    bg = d.select("doc_id", F.explode(_fluency_bigrams()).alias("bigram"))
+    docbg = bg.groupBy("doc_id", "bigram").agg(
+        F.count(F.lit(1)).alias("n_in_doc")
+    )
+    cbg = docbg.groupBy("bigram").agg(F.sum("n_in_doc").alias("c12"))
+    cbg = cbg.withColumn("prefix", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+    cpre = cbg.groupBy("prefix").agg(F.sum("c12").alias("c1"))
+    vocab = cpre.agg(F.count(F.lit(1)).alias("v"))
+    scored = (
+        cbg.join(cpre, "prefix")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bigram",
+            F.expr(f"((c12 + 1) * {FLUENCY_SCALE}) div (c1 + v)").alias(
+                "p_x1m"
+            ),
+        )
+    )
+    perdoc = (
+        docbg.join(scored, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("sum(n_in_doc * p_x1m) div sum(n_in_doc)").alias(
+                "fluency_x1m"
+            )
+        )
+    )
+    return (
+        perdoc.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_scored"),
+            F.expr("sum(fluency_x1m) div count(*)").alias("avg_fluency_x1m"),
+            F.min("fluency_x1m").alias("min_fluency_x1m"),
+            F.max("fluency_x1m").alias("max_fluency_x1m"),
+        )
+        .orderBy("source")
+    )

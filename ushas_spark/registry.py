@@ -122,6 +122,7 @@ _DEFER_NEW = {
     "events_segment_migration",
     "events_dropoff_paths",
     "pipeline_contamination_severity",
+    "text_lm_fluency",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
