@@ -97,6 +97,7 @@ HEADLINE = [
     "multimodal_ahash_near_dup",
     "graph_link_prediction",
     "text_bpe_encode",
+    "text_lm_fluency",
 ]
 
 ITERATIONS = 3  # best-of-N, after one untimed warm-up
