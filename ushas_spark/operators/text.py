@@ -1225,3 +1225,85 @@ def text_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------ Heaps-law vocabulary growth
+VOCAB_CHECKPOINTS = 10
+
+_VOCAB_GROWTH_ORACLE = f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, word
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents) WHERE word <> ''
+), firsts AS (
+  SELECT word, MIN(doc_id) AS first_doc FROM tok GROUP BY word
+), doctok AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+  FROM tok GROUP BY doc_id
+), mx AS (SELECT CAST(MAX(doc_id) AS BIGINT) AS max_id FROM tok),
+cks AS (
+  SELECT (i * max_id) // {VOCAB_CHECKPOINTS} AS ck
+  FROM (SELECT unnest(generate_series(1, {VOCAB_CHECKPOINTS})) AS i), mx
+), vocab_at AS (
+  SELECT ck, CAST(COUNT(*) AS BIGINT) AS vocab_size
+  FROM firsts, cks WHERE first_doc <= ck GROUP BY ck
+), toks_at AS (
+  SELECT ck, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+  FROM doctok, cks WHERE doc_id <= ck GROUP BY ck
+)
+SELECT v.ck AS checkpoint_doc, v.vocab_size, t.n_tokens,
+       (v.vocab_size * 1000000) // t.n_tokens AS ttr_x1m
+FROM vocab_at v JOIN toks_at t ON v.ck = t.ck
+ORDER BY checkpoint_doc
+"""
+
+
+@query("text_vocab_growth", oracle=_VOCAB_GROWTH_ORACLE)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve: distinct-vocabulary size and
+    type-token ratio at {VOCAB_CHECKPOINTS} ingestion-order checkpoints
+    (doc_id deciles) -- the readout that sizes a tokenizer vocabulary
+    and shows when a source stops contributing new words. TTR is the
+    scaled-integer ratio so both engines agree exactly.
+
+    Scale shape: "vocabulary at checkpoint c" is NOT a running
+    count-distinct window (which would sort the corpus in one task);
+    it is count(first occurrence <= c) -- one token explode, a min
+    aggregate per word (map-side combinable, the text_ngram_novelty
+    economics), a per-doc token-count rollup, and a broadcast
+    {VOCAB_CHECKPOINTS}-row checkpoint table theta-joined against the
+    tiny firsts/doctok aggregates. Corpus touched once, no global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    firsts = tok.groupBy("word").agg(F.min("doc_id").alias("first_doc"))
+    doctok = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    mx = tok.agg(F.max("doc_id").cast("long").alias("max_id"))
+    cks = (
+        spark.range(1, VOCAB_CHECKPOINTS + 1)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.expr(f"(id * max_id) div {VOCAB_CHECKPOINTS}").alias("ck")
+        )
+    )
+    vocab_at = (
+        firsts.join(F.broadcast(cks), F.col("first_doc") <= F.col("ck"))
+        .groupBy("ck")
+        .agg(F.count(F.lit(1)).alias("vocab_size"))
+    )
+    toks_at = (
+        doctok.join(F.broadcast(cks), F.col("doc_id") <= F.col("ck"))
+        .groupBy("ck")
+        .agg(F.sum("n_tok").alias("n_tokens"))
+    )
+    return (
+        vocab_at.join(toks_at, "ck")
+        .select(
+            F.col("ck").alias("checkpoint_doc"),
+            "vocab_size",
+            "n_tokens",
+            F.expr("(vocab_size * 1000000) div n_tokens").alias("ttr_x1m"),
+        )
+        .orderBy("checkpoint_doc")
+    )

@@ -123,6 +123,7 @@ _DEFER_NEW = {
     "events_dropoff_paths",
     "pipeline_contamination_severity",
     "text_lm_fluency",
+    "text_vocab_growth",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
