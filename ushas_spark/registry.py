@@ -52,79 +52,105 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # of the r02-checked operator modules. The 5 rows-only (no-oracle)
 # queries are pinned to the absolute tail so driver slots never burn on
 # by-design "err" rows (_ROWS_ONLY_TAIL).
-# ROUND-5 TODO: run `python tools/rotation.py CORRECTNESS_r04.json` --
-# it prints the greens to fold into _DRIVER_GREEN, flags red rows, and
-# lists what remains unchecked. Then EMPTY the _DEFER_NEW set (its ~30
-# round-4 queries become the next never-checked tier; rank them via a
-# module reorder or keep defer-listing newer work behind them).
-_PRIORITY_NAMES: list[str] = []
-
-# Queries ADDED this round (never in any module the gate has half-walked):
-# rank them behind every older never-checked query so the ~50-slot prefix
-# certifies round-3 work first; these get their turn next round.
-_DEFER_NEW = {
-    "text_bpe_encode",
-    "sim_range_search",
-    "sim_mmr_rerank",
-    "multimodal_ahash_near_dup",
-    "dedup_minhash_estimate_eval",
+# ROUND-5 state: r04 was 50/50 green (second perfect round); its greens
+# are folded into _DRIVER_GREEN below, cumulative driver-green = 188.
+# The r05 prefix is _PRIORITY_NAMES: the 61 round-4 additions that were
+# parked in _DEFER_NEW last round (conformance wave 2, graph tier 2,
+# audio arm, LM fluency, Arrow UDFs) -- ordered so the ~50-slot prefix
+# lands on the highest-value names first; the ~11 overflow names at the
+# list tail plus the r06 plan below get their turn next round.
+# ROUND-6 TODO: run `python tools/rotation.py CORRECTNESS_r05.json`,
+# fold greens, empty _PRIORITY_NAMES, and promote the remaining
+# never-checked tier as the r06 prefix, in this order:
+#   1. _PRIORITY_NAMES overflow not sampled in r05 (whatever rotation.py
+#      lists as still-unchecked from this list's tail);
+#   2. sources leftovers (source_range, source_values_inline,
+#      source_custom_datasource_v2, source_jdbc_roundtrip,
+#      sample_systematic, misc_id_functions, sort_nulls_ordering,
+#      topk_global, limit_offset);
+#   3. sql_conformance wave-1 leftovers (the ~38 sql_* names rotation.py
+#      lists, typeCoercion/subquery/cte batteries);
+#   4. late operator additions (dedup_containment, dedup_lsh_recall_eval,
+#      dedup_ensemble_clusters, sim_sq8_topk, sim_pq_adc_topk,
+#      sim_random_projection, sim_knn_classify, agg_median,
+#      script_transform_cat, profile_expectations, profile_gini_impurity,
+#      profile_correlation_matrix) and any round-5 _DEFER_NEW names.
+_PRIORITY_NAMES: list[str] = [
+    # Graph tier 2 + iterative ops (heaviest, most novel -- front of line).
+    "graph_personalized_pagerank",
+    "graph_hits_hub_authority",
+    "graph_bfs_hops",
     "graph_link_prediction",
-    "sql_order_by_all",
-    "multimodal_audio_fingerprint",
+    "cluster_kmeans_elbow",
+    # Similarity / ANN additions.
+    "sim_mmr_rerank",
+    "sim_range_search",
     "sim_ann_recall_at_k",
+    "sim_ivf_nprobe_sweep",
+    # Dedup / multimodal (audio + image arms).
+    "dedup_minhash_estimate_eval",
+    "multimodal_audio_fingerprint",
+    "multimodal_audio_dedup_clusters",
+    "multimodal_image_dedup_clusters",
+    "multimodal_ahash_near_dup",
+    # Text / pipeline operators.
+    "text_lm_fluency",
+    "text_vocab_growth",
+    "text_bpe_encode",
+    "text_readability_score",
+    "pipeline_contamination_severity",
     "pipeline_epoch_mixture",
-    "streaming_cdc_upsert",
-    "events_forecast_holt",
-    "sql_literal_battery",
-    "sql_quoted_regex_columns",
-    "sql_repartition_hint",
     "pipeline_snapshot_diff",
-    "layout_bitmap_index",
+    # Analytics additions.
+    "events_forecast_holt",
     "events_changepoint_cusum",
     "events_seasonal_index",
     "events_gini_coefficient",
+    "events_similar_paths",
+    "events_interval_union_time",
+    "events_segment_migration",
+    "events_dropoff_paths",
+    "events_new_vs_returning",
+    "orders_repurchase_intervals",
+    "supply_hhi_concentration",
+    "supply_abc_classification",
     "agg_benford_first_digit",
-    "udf_python_udtf_analyze",
-    "sql_setop_null_semantics",
+    "agg_rollup_share_of_parent",
+    "layout_bitmap_index",
     "profile_run_fingerprint",
-    "multimodal_image_dedup_clusters",
+    "profile_data_card",
+    # UDF additions (Arrow-native, polymorphic UDTF).
+    "udf_arrow_scalar",
+    "udf_arrow_udtf",
+    "udf_python_udtf_analyze",
+    # Streaming addition.
+    "streaming_cdc_upsert",
+    # SQL conformance wave 2 (modern-SQL grammar).
     "sql_scripting_block",
     "sql_execute_immediate",
     "sql_session_variable",
     "sql_pipe_syntax",
     "sql_named_parameters",
-    "events_similar_paths",
+    "sql_order_by_all",
     "sql_unpivot_syntax",
     "sql_collation_lcase",
     "sql_ansi_string_syntax",
     "sql_identifier_clause",
-    "udf_arrow_scalar",
-    "udf_arrow_udtf",
-    "profile_data_card",
-    "events_interval_union_time",
-    "supply_hhi_concentration",
-    "supply_abc_classification",
-    "text_readability_score",
-    "orders_repurchase_intervals",
+    "sql_literal_battery",
+    "sql_quoted_regex_columns",
+    "sql_repartition_hint",
+    "sql_setop_null_semantics",
     "sql_within_group_ordered_agg",
-    "agg_rollup_share_of_parent",
-    "events_new_vs_returning",
     "sql_date_trunc_battery",
     "sql_try_cast_battery",
     "sql_subquery_in_select_list",
     "sql_row_value_comparison",
-    "multimodal_audio_dedup_clusters",
-    "cluster_kmeans_elbow",
-    "graph_personalized_pagerank",
-    "graph_bfs_hops",
-    "graph_hits_hub_authority",
-    "sim_ivf_nprobe_sweep",
-    "events_segment_migration",
-    "events_dropoff_paths",
-    "pipeline_contamination_severity",
-    "text_lm_fluency",
-    "text_vocab_growth",
-}
+]
+
+# Queries ADDED this round (never in any module the gate has half-walked):
+# rank them behind every older never-checked query so the ~50-slot prefix
+# certifies the round-4 backlog first; these get their turn next round.
+_DEFER_NEW: set[str] = set()
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
 # permanently at the back of the walk order.
@@ -178,9 +204,32 @@ _MODULE_ORDER = [
 ]
 
 # Union of hash-green (or rows-only-checked no_oracle) names across
-# CORRECTNESS_r01 + r02 + r03 -- these have their driver row already; they
-# sort behind every never-checked query regardless of module.
+# CORRECTNESS_r01 + r02 + r03 + r04 -- these have their driver row
+# already; they sort behind every never-checked query regardless of
+# module.
 _DRIVER_GREEN = {
+    # r04 greens (50/50).
+    "basket_pair_lift", "cluster_kmeans_assign", "cluster_kmeans_stats",
+    "entity_fuzzy_match_blocked", "events_anomaly_zscore",
+    "events_attribution_last_touch", "events_bounce_rate",
+    "events_cohort_ltv", "events_dau_wau_stickiness",
+    "events_feature_vectors", "events_funnel_by_cohort",
+    "events_funnel_conversion", "events_inactive_gap",
+    "events_longest_streak", "events_ohlc_hourly",
+    "events_pareto_concentration", "events_retention_cohorts",
+    "events_rfm_segments", "events_time_to_convert",
+    "events_type_transitions", "events_user_paths", "events_value_ewma",
+    "events_weekday_hour_heatmap", "graph_degree_histogram",
+    "graph_kcore_summary", "graph_pagerank_top", "graph_random_walks",
+    "graph_triangle_count", "layout_zorder_histogram", "merge_cdc_apply",
+    "merge_scd2_asof_snapshot", "merge_scd2_stats", "merge_scd2_upsert",
+    "orders_open_backlog_daily", "profile_join_keys", "profile_table_stats",
+    "streaming_dedup", "streaming_limit", "streaming_ohlc_bars",
+    "streaming_quality_filter", "streaming_session_window",
+    "streaming_sessionize_state", "streaming_sliding_window_counts",
+    "streaming_static_enrich", "streaming_stream_stream_join",
+    "streaming_tumbling_window_counts", "supply_shipping_delay_stats",
+    "text_bpe_train_merges", "ts_interpolate_linear", "window_yoy_revenue",
     # r03 greens (50/50).
     "dedup_survivor_stats", "multimodal_asset_stats", "pipeline_end_to_end",
     "pipeline_filter_funnel", "pipeline_pack_shards", "pipeline_source_mix",
