@@ -73,6 +73,22 @@ GLOBAL_WINDOW_OK: dict[str, tuple[int, str]] = {
 # hot-path accident.
 PY_EVAL_OK_MODULES = {"ushas_spark.queries.udfs", "ushas_spark.queries.arrow_ext"}
 
+# Arrow-batched Python plans (mapInPandas / applyInPandas / cogroup) are
+# the slow path too -- legitimate ONLY where Python is the point:
+# per-asset multimodal decoding (stdlib codecs operate on one binary
+# blob at a time) and the UDF-conformance modules. Anything else must
+# express its logic with built-in JVM functions.
+PANDAS_EVAL_OK_MODULES = PY_EVAL_OK_MODULES | {"ushas_spark.operators.multimodal"}
+
+# Reviewed per-query allowances: Python/Arrow eval IS the subject matter.
+PANDAS_EVAL_OK_NAMES = {
+    # The deliberate Arrow+numpy matmul arm of the brute-force ANN pair;
+    # its JVM-expression twin (sim_brute_force_topk) is the oracle-gated
+    # default, and rank agreement between the two is pinned in
+    # tests/test_operators.py.
+    "sim_brute_force_topk_numpy",
+}
+
 _BATCH_QUERIES = [
     name
     for name, fn in registry.QUERIES.items()
@@ -116,4 +132,18 @@ def test_no_scale_killers_in_plan(spark, sf_dir, name):
                 f"{name}: {marker} in the physical plan outside the UDF "
                 "conformance module -- Python eval in a hot path; express "
                 "with built-in functions or mapInPandas."
+            )
+
+    if fn.__module__ not in PANDAS_EVAL_OK_MODULES and name not in PANDAS_EVAL_OK_NAMES:
+        for marker in (
+            "MapInPandas",
+            "FlatMapGroupsInPandas",
+            "FlatMapCoGroupsInPandas",
+            "MapInArrow",
+        ):
+            assert marker not in phys, (
+                f"{name}: {marker} in the physical plan outside the "
+                "multimodal/UDF modules -- an Arrow-batched Python stage "
+                "smuggled into a relational query; express the logic with "
+                "built-in functions so it stays inside WholeStageCodegen."
             )
