@@ -98,6 +98,11 @@ HEADLINE = [
     "graph_link_prediction",
     "text_bpe_encode",
     "text_lm_fluency",
+    # round 5: r04-deferred heavyweights now under the same plan audit
+    "graph_personalized_pagerank",
+    "graph_hits_hub_authority",
+    "multimodal_audio_dedup_clusters",
+    "multimodal_image_dedup_clusters",
 ]
 
 ITERATIONS = 3  # best-of-N, after one untimed warm-up

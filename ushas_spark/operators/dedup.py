@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ushas_spark.durability import materialize
 from ushas_spark.io import load_table
@@ -1307,3 +1308,134 @@ def dedup_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         jac_x1000.alias("jac_x1000"),
         (est_x1000 - jac_x1000).cast("long").alias("err_x1000"),
     ).orderBy("doc_a", "doc_b")
+
+
+# ------------------------------------------- repeated n-gram span coverage
+
+SPAN_WIDTH = 5  # words per span shingle
+SPAN_MIN_COUNT = 2  # corpus-wide occurrences for a shingle to count as dup
+
+
+def _positional_shingles(width: int = SPAN_WIDTH) -> Column:
+    """ALL word w-gram shingles in document order (duplicates kept --
+    position matters here, unlike :func:`shingles`). Same lambda-binding
+    trick: the outer array() keeps the regex split evaluated once."""
+    return F.expr(
+        f"""
+        flatten(transform(
+          array(split(text, '\\\\s+')),
+          w -> CASE WHEN size(w) >= {width}
+                    THEN transform(sequence(1, size(w) - {width - 1}),
+                                   i -> concat_ws(' ', slice(w, i, {width})))
+                    ELSE array()
+               END))
+        """
+    )
+
+
+# The oracle is assembled programmatically: the shingle concat expression
+# depends on SPAN_WIDTH and hand-writing five list indexes invites drift.
+def _span_oracle(width: int = SPAN_WIDTH, min_count: int = SPAN_MIN_COUNT) -> str:
+    concat = " || ' ' || ".join(f"ws[i+{j}]" for j in range(width))
+    return f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id, i AS pos, {concat} AS shingle
+  FROM w CROSS JOIN UNNEST(generate_series(1, len(ws) - {width - 1})) AS t(i)
+),
+dup AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= {min_count}
+),
+hits AS (
+  SELECT doc_id, pos FROM sh WHERE shingle IN (SELECT shingle FROM dup)
+),
+sweep AS (
+  SELECT doc_id, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM hits
+),
+cov AS (
+  SELECT doc_id,
+         count(*) AS dup_positions,
+         CAST(SUM(CASE WHEN prev IS NULL THEN {width}
+                       ELSE LEAST({width}, pos - prev) END) AS BIGINT)
+           AS covered_words
+  FROM sweep GROUP BY doc_id
+)
+SELECT c.doc_id,
+       CAST(len(w.ws) AS BIGINT) AS n_words,
+       c.dup_positions,
+       c.covered_words,
+       CAST(ROUND(c.covered_words * 1000.0 / len(w.ws)) AS BIGINT)
+         AS coverage_x1000
+FROM cov c JOIN w ON c.doc_id = w.doc_id
+ORDER BY c.doc_id
+"""
+
+
+@query("dedup_repeated_ngram_spans", oracle=_span_oracle())
+def dedup_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplicate coverage (the ExactSubstr idea of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", 2022, at
+    word-shingle granularity): mark every {width}-gram POSITION whose
+    shingle value occurs >= {min_count} times corpus-wide, then report
+    per-document how many word positions fall inside the union of the
+    marked spans. Doc-level dedup (minhash/jaccard above) misses
+    partially-copied documents; this is the operator that catches them.
+
+    100 TB shape: positional shingles are generated by a JVM lambda and
+    posexploded (no Python); the duplicated-shingle set is one map-side-
+    combinable count aggregate; membership is a LEFT SEMI hash join on
+    the shingle key (never an all-pairs comparison); the interval-union
+    sweep is a lag window PARTITIONED BY doc_id -- per-document state
+    only, no global window. One shuffle per step, each on a key whose
+    cardinality grows with the corpus (shingle, then doc_id), so the
+    plan has no single-task stage at any scale.
+
+    Reference parity: the reference ships no span-level dedup; this is a
+    beyond-reference training-data operator (SURVEY.md LLM-pipeline
+    tier). Width/threshold mirror _span_oracle so the DuckDB gate is
+    value-exact (integer-only output).
+    """
+    width, min_count = SPAN_WIDTH, SPAN_MIN_COUNT
+    docs = load_table(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    sh = (
+        docs.repartition(n)
+        .select("doc_id", F.posexplode(_positional_shingles(width)))
+        .select("doc_id", (F.col("pos") + 1).alias("pos"), F.col("col").alias("shingle"))
+    )
+    sh = materialize(sh)  # shingle explode feeds both the count and the probe
+    dup = (
+        sh.groupBy("shingle").agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("shingle")
+    )
+    hits = sh.join(dup, "shingle", "left_semi")
+    win = W.partitionBy("doc_id").orderBy("pos")
+    sweep = hits.withColumn("prev", F.lag("pos").over(win))
+    contrib = F.when(F.col("prev").isNull(), F.lit(width)).otherwise(
+        F.least(F.lit(width), F.col("pos") - F.col("prev"))
+    )
+    cov = sweep.groupBy("doc_id").agg(
+        F.count("*").alias("dup_positions"),
+        F.sum(contrib).cast("long").alias("covered_words"),
+    )
+    n_words = docs.select(
+        "doc_id", F.size(F.split("text", r"\s+")).cast("long").alias("n_words")
+    )
+    return (
+        cov.join(n_words, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            "dup_positions",
+            "covered_words",
+            F.round(F.col("covered_words") * 1000.0 / F.col("n_words"))
+            .cast("long")
+            .alias("coverage_x1000"),
+        )
+        .orderBy("doc_id")
+    )

@@ -150,7 +150,11 @@ _PRIORITY_NAMES: list[str] = [
 # Queries ADDED this round (never in any module the gate has half-walked):
 # rank them behind every older never-checked query so the ~50-slot prefix
 # certifies the round-4 backlog first; these get their turn next round.
-_DEFER_NEW: set[str] = set()
+_DEFER_NEW: set[str] = {
+    # Round-5 additions: r06-prefix tier 4 (see ROUND-6 TODO above).
+    "dedup_repeated_ngram_spans",
+    "streaming_dedup_within_watermark",
+}
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
 # permanently at the back of the walk order.

@@ -296,3 +296,20 @@ def running_count_with_state(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def streaming_dedup_within_watermark(events: DataFrame) -> DataFrame:
+    """Streaming dropDuplicatesWithinWatermark (Spark 3.5+,
+    StreamingDeduplicateWithinWatermarkExec): like dropDuplicates, but
+    per-key state is EVICTED once the watermark passes the key's event
+    time -- the production shape for unbounded key domains, where plain
+    streaming dedup state grows forever. Keys are projected after the
+    dedup (the operator requires the event-time column to be present;
+    which duplicate's ts survives is arrival-order-dependent, the keys
+    are not)."""
+    return (
+        events.select("user_id", "event_type", "ts")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )

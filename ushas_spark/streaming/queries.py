@@ -456,3 +456,28 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key", F.col("seq").alias("last_seq"), "val_x10000")
         .orderBy("key")
     )
+
+
+_DEDUP_WM_ORACLE = """
+SELECT DISTINCT user_id, event_type FROM events
+ORDER BY user_id, event_type
+"""
+
+
+@query("streaming_dedup_within_watermark", oracle=_DEDUP_WM_ORACLE)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark conformance (Spark 3.5+ surface the
+    reference predates): duplicates arriving within the watermark delay
+    are dropped and the key's state is then evicted. The finite replay
+    arrives as one microbatch (watermark only advances between batches),
+    so every duplicate lands inside the delay and the output equals
+    batch DISTINCT -- which is what the oracle pins; the query's value
+    is exercising the eviction-capable physical operator
+    (StreamingDeduplicateWithinWatermarkExec) end-to-end."""
+    events = ops.read_events_stream(spark, sf_dir)
+    out = ops.run_to_memory(
+        ops.streaming_dedup_within_watermark(events),
+        "t_dedup_wm",
+        output_mode="append",
+    )
+    return out.orderBy("user_id", "event_type")
