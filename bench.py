@@ -14,6 +14,15 @@ individual queries swing up to 4x between back-to-back runs when the
 driver harness co-runs (q10: 0.6s / 2.8s / 0.6s). Per-query deltas
 under ~1.5x across rounds are environment drift, not regressions --
 compare plan audits (PLANS.md), not wall seconds, when triaging.
+
+Round-5 re-pin of the r04 "+24%/+19%" dedup suspicion (VERDICT item 2):
+standalone quiet-machine reruns reproduce dedup_minhash_lsh 2.31s /
+dedup_ngram_jaccard 2.24s -- but UNCHANGED control queries drift the
+same or more vs r03 (q1 0.59->0.79 = 1.34x, q9 0.64->0.96 = 1.50x,
+cluster_components 1.18x, brute_force 1.09x). Code and plans for the
+controls are byte-identical across rounds, so the shift is machine
+state, not a dedup regression. Diagnosed cause: uniform environment
+drift; no action.
 """
 
 from __future__ import annotations

@@ -39,7 +39,18 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(RES), reason="reference resources not available"
 )
 
-QUERIES = ["q3", "q19", "q42", "q52", "q55", "q96"]
+QUERIES = [
+    "q3", "q19", "q42", "q52", "q55", "q96",
+    # Round 5: the store_sales star family whose aggregates are
+    # group-count / small-group-sum shaped (exact across engines).
+    "q34",  # ticket-size buckets per customer, HAVING BETWEEN
+    "q43",  # day-of-week pivot sums per store
+    "q46",  # cross-city purchases, multi-dim group
+    "q68",  # like q46 with per-ticket sum split
+    "q73",  # ticket-count band join back to customer
+    "q79",  # per-ticket profit/coupon rollup
+    "q88",  # 8 half-hour count cells cross-joined
+]
 TABLES = {
     "date_dim": 120,
     "item": 60,
@@ -71,6 +82,28 @@ SPECIAL = {
     # store (the query keeps cross-zip purchases).
     "ca_zip": lambda i: str(10000 + (i * 7) % 90000),
     "s_zip": lambda i: str(10000 + (i * 13 + 1) % 90000),
+    # q34/q73: buy-potential disjunction + county list.
+    "hd_buy_potential": lambda i: [">10000", "unknown", "1001-5000",
+                                   "501-1000"][i % 4],
+    "s_county": lambda i: "Williamson County" if i % 2 == 0 else f"county_{i % 7}",
+    # q88: vehicle counts must land in the <= dep+2 cells.
+    "hd_vehicle_count": lambda i: i % 8,
+    # q46/q68: city list membership (both sides of IN must exist).
+    "s_city": lambda i: ["Fairview", "Midway", "Concord", "Spring Hill"][i % 4],
+    # q79: employee-band filter.
+    "s_number_employees": lambda i: 150 + (i * 3) % 200,
+    # q43: day-of-week pivot + gmt-offset filter.
+    "s_gmt_offset": lambda i: -5.0 if i % 2 == 0 else -6.0,
+    "d_day_name": lambda i: ["Sunday", "Monday", "Tuesday", "Wednesday",
+                             "Thursday", "Friday", "Saturday"][i % 7],
+    # q34/q73 group per (ticket, customer) and band the COUNT: ticket
+    # blocks of 1500 rows with one customer per block make the filtered
+    # per-group counts land in q34's 15-20 band (1 group, simulated
+    # against the exact mix: counts 12/13/14/17) and q73's 1-5 band
+    # (3 groups). Interleaved or mixed assignments leave every group far
+    # below 15, which empties q34.
+    "ss_ticket_number": lambda i: 1 + i // 1500,
+    "ss_customer_sk": lambda i: 1 + (i // 1500) % 60,
 }
 
 _PK = {
@@ -212,7 +245,9 @@ SSB_SUITE = (
     "SSBQuerySuite.scala"
 )
 SSB_RES = "/root/reference/sql/core/src/test/resources/ssb"
-SSB_QUERIES = ["1.1", "1.2", "1.3", "2.1", "3.1", "4.1"]
+# Round 5: ALL 13 SSB queries execute (integer measures -> exact sums).
+SSB_QUERIES = ["1.1", "1.2", "1.3", "2.1", "2.2", "2.3",
+               "3.1", "3.2", "3.3", "3.4", "4.1", "4.2", "4.3"]
 SSB_TABLES = {
     "date": 120,
     "part": 60,
@@ -234,6 +269,22 @@ SSB_FK_TARGET = {
     "lo_custkey": ("customer", 30),
 }
 _SSB_REGIONS = ["AMERICA", "ASIA", "EUROPE", "AFRICA", "MIDDLE EAST"]
+# UNITED KINGDOM holds two slots: 3.3/3.4 intersect UK customers with UK
+# suppliers AND (3.4) a two-row Dec1997 date slice, so the UK population
+# must be dense enough for the FK mix to land joint matches.
+_SSB_NATIONS = ["UNITED KINGDOM", "UNITED STATES", "CHINA", "FRANCE",
+                "RUSSIA", "UNITED KINGDOM", "JAPAN", "BRAZIL", "CANADA",
+                "GERMANY"]
+
+
+def _ssb_city(nation: str, i: int) -> str:
+    # Cities are nation-consistent (SSB's c_city is derived from
+    # c_nation); UK entities alternate the two cities 3.3/3.4 filter on.
+    if nation == "UNITED KINGDOM":
+        return "UNITED KI1" if i % 4 < 2 else "UNITED KI5"
+    return f"{nation[:7]} C{i % 3}"
+_SSB_MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+               "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
 SSB_SPECIAL = {
     # date: 120 rows = two 5-year calendars of months; derived fields
     # kept mutually consistent so conjunctive filters are satisfiable.
@@ -242,14 +293,18 @@ SSB_SPECIAL = {
     "d_weeknuminyear": lambda i: 1 + (i // 3) % 52,  # week 6 lands in 1994
     "d_month": lambda i: f"month_{1 + i % 12}",
     # part/supplier/customer attribute vocabularies covering the
-    # queries' constants (MFGR#12, AMERICA).
+    # queries' constants (MFGR#12, MFGR#2221-2239 brands, AMERICA,
+    # UNITED STATES, UNITED KI1/KI5 cities, Dec1997).
     "p_category": lambda i: f"MFGR#{10 + i % 5}",
-    "p_brand1": lambda i: f"MFGR#{i % 40}",
+    "p_brand1": lambda i: f"MFGR#{2200 + i % 40}",
     "p_mfgr": lambda i: f"MFGR#{1 + i % 5}",
     "s_region": lambda i: _SSB_REGIONS[i % 5],
     "c_region": lambda i: _SSB_REGIONS[(i + 2) % 5],
-    "s_nation": lambda i: f"nation_{i % 10}",
-    "c_nation": lambda i: f"nation_{(i + 3) % 10}",
+    "s_nation": lambda i: _SSB_NATIONS[i % 10],
+    "c_nation": lambda i: _SSB_NATIONS[(i + 3) % 10],
+    "s_city": lambda i: _ssb_city(_SSB_NATIONS[i % 10], i),
+    "c_city": lambda i: _ssb_city(_SSB_NATIONS[(i + 3) % 10], i),
+    "d_yearmonth": lambda i: _SSB_MONTHS[i % 12] + str(1993 + (i // 12) % 5),
     # lineorder measures sized to the SSB filter ranges.
     "lo_discount": lambda i: i % 11,
     "lo_quantity": lambda i: 1 + i % 50,
