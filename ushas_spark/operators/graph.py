@@ -988,6 +988,13 @@ def graph_hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("h"),
         )
+        # Truncate the iterative lineage each round: the max-normalise
+        # references its round's aggregate twice (agg + rescale), so an
+        # unmaterialized loop DOUBLES the plan per iteration (measured:
+        # 474 shuffles / 188 SMJ in the pre-execution plan at 6 rounds vs
+        # 31 truncated). Same discipline as the PageRank/k-core loops.
+        auths = materialize(auths)
+        hubs = materialize(hubs)
     from pyspark.sql import Window as W
 
     a_ranked = auths.select(
