@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from ushas_spark.durability import materialize
 from ushas_spark.io import load_table
-from ushas_spark.operators.similarity import _dvec
+from ushas_spark.operators.similarity import _dvec, cosine, sql_cosine
 from ushas_spark.registry import query
 
 K = 8
@@ -312,3 +312,116 @@ def cluster_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("k")
+
+
+# ------------------------------------------------ semantic dedup (SemDeDup)
+
+SEMDEDUP_TAU_X1M = 300_000  # cosine >= 0.30 within a cluster == duplicate
+
+
+_SEMDEDUP_ORACLE = f"""
+{_kmeans_oracle_ctes()}
+, pairs AS (
+  SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(ROUND({sql_cosine('a.e', 'b.e')} * 1000000) AS BIGINT) AS sim_x1m
+  FROM afinal a JOIN afinal b ON a.cid = b.cid AND a.vec_id < b.vec_id
+),
+dropped AS (
+  SELECT cid, id_b FROM pairs WHERE sim_x1m >= {SEMDEDUP_TAU_X1M}
+  GROUP BY cid, id_b
+),
+members AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members FROM afinal GROUP BY cid
+),
+drops AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_dropped FROM dropped GROUP BY cid
+),
+sims AS (
+  SELECT cid, MAX(sim_x1m) AS max_sim_x1m FROM pairs GROUP BY cid
+)
+SELECT m.cid AS cluster,
+       m.n_members,
+       COALESCE(d.n_dropped, 0) AS n_dropped,
+       m.n_members - COALESCE(d.n_dropped, 0) AS n_kept,
+       COALESCE(s.max_sim_x1m, 0) AS max_sim_x1m
+FROM members m
+LEFT JOIN drops d ON m.cid = d.cid
+LEFT JOIN sims s ON m.cid = s.cid
+ORDER BY cluster
+"""
+
+
+@query("dedup_semantic_clusters", oracle=_SEMDEDUP_ORACLE)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): k-means-cluster the
+    embedding space, then compare vectors ONLY within their cluster and
+    drop every vector that has a higher-similarity twin (cosine >= tau)
+    with a smaller id -- keeping one exemplar per semantic duplicate
+    group. The global O(N^2) similarity matrix never exists; the
+    quadratic work is confined to within-cluster blocks.
+
+    100 TB shape: assignment is the shuffle-free broadcast-centroid
+    fold from kmeans_assign; the within-cluster pair generation is a
+    hash equi-join on cid. In production K scales with the corpus
+    (SemDeDup uses ~100k clusters for LAION) precisely so the
+    per-cluster block stays bounded -- K here is the test-scale stand-in
+    and the join shape is identical. Output is the K-row per-cluster
+    dedup report (assignments and verdicts stay distributed).
+
+    Integer discipline: the cosine is the shared sequential left fold,
+    rounded to x1e6 BEFORE thresholding, so both engines band pairs
+    identically at the tau boundary.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("e")
+    )
+    cents = _init_centroids(emb)
+    for _ in range(ITERS):
+        cents = materialize(_update(_assign(emb, cents)))
+    assigned = materialize(
+        _assign(emb, cents).select("vec_id", "e", F.col("cid"))
+    )
+    other = assigned.select(
+        F.col("cid").alias("cid_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("e").alias("e_b"),
+    )
+    pairs = (
+        assigned.join(
+            other,
+            (F.col("cid") == F.col("cid_b")) & (F.col("vec_id") < F.col("id_b")),
+        )
+        .select(
+            "cid",
+            F.col("vec_id").alias("id_a"),
+            "id_b",
+            F.round(cosine(F.col("e"), F.col("e_b")) * 1_000_000)
+            .cast("long")
+            .alias("sim_x1m"),
+        )
+    )
+    pairs = materialize(pairs)  # feeds both the drop count and the max-sim
+    members = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    drops = (
+        pairs.filter(F.col("sim_x1m") >= SEMDEDUP_TAU_X1M)
+        .select("cid", "id_b")
+        .distinct()
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    sims = pairs.groupBy("cid").agg(F.max("sim_x1m").alias("max_sim_x1m"))
+    return (
+        members.join(drops, "cid", "left")
+        .join(sims, "cid", "left")
+        .select(
+            F.col("cid").alias("cluster"),
+            "n_members",
+            F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long").alias("n_dropped"),
+            (
+                F.col("n_members") - F.coalesce(F.col("n_dropped"), F.lit(0))
+            ).cast("long").alias("n_kept"),
+            F.coalesce(F.col("max_sim_x1m"), F.lit(0)).cast("long").alias("max_sim_x1m"),
+        )
+        .orderBy("cluster")
+    )

@@ -1307,3 +1307,103 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("checkpoint_doc")
     )
+
+
+# ---------------------------------------------- Gopher quality rule battery
+
+_GOPHER_STOPS = ("the", "a", "to", "of", "and", "that", "have", "with")
+
+_GOPHER_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(ROUND(100.0 * list_sum(list_transform(toks, w -> len(w)))
+                    / len(toks)) AS BIGINT) AS mean_len_x100,
+         CAST(ROUND(1000.0 * ((len(text) - len(replace(text, '#', '')))
+                    + (len(text) - len(replace(text, '...', ''))) / 3)
+                    / len(toks)) AS BIGINT) AS symbol_ratio_x1000,
+         CAST(ROUND(1000.0 * len(list_filter(toks,
+                    w -> regexp_matches(w, '[a-z]'))) / len(toks)) AS BIGINT)
+           AS alpha_frac_x1000,
+         CAST(len(list_intersect(list_distinct(toks),
+              [{', '.join("'" + w + "'" for w in _GOPHER_STOPS)}])) AS BIGINT)
+           AS stop_hits
+  FROM t
+),
+r AS (
+  SELECT *,
+         CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS r_wordcount,
+         CASE WHEN mean_len_x100 BETWEEN 300 AND 1000 THEN 1 ELSE 0 END AS r_meanlen,
+         CASE WHEN symbol_ratio_x1000 <= 100 THEN 1 ELSE 0 END AS r_symbol,
+         CASE WHEN alpha_frac_x1000 >= 800 THEN 1 ELSE 0 END AS r_alpha,
+         CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS r_stop
+  FROM m
+)
+SELECT doc_id, n_words, mean_len_x100, symbol_ratio_x1000, alpha_frac_x1000,
+       stop_hits,
+       CAST(r_wordcount AS BIGINT) AS r_wordcount,
+       CAST(r_meanlen AS BIGINT) AS r_meanlen,
+       CAST(r_symbol AS BIGINT) AS r_symbol,
+       CAST(r_alpha AS BIGINT) AS r_alpha,
+       CAST(r_stop AS BIGINT) AS r_stop,
+       CAST(r_wordcount + r_meanlen + r_symbol + r_alpha + r_stop AS BIGINT)
+         AS rules_passed
+FROM r ORDER BY doc_id
+"""
+
+
+@query("text_gopher_quality_rules", oracle=_GOPHER_ORACLE)
+def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher/MassiveText per-document quality RULES (Rae et al.
+    2021, appendix A1.1) as named 0/1 columns rather than one blended
+    score (text_quality_score): word count in [50, 1e5], mean word
+    length in [3, 10], hash/ellipsis symbol ratio <= 0.1, >= 80% of
+    words containing an alphabetic character, and >= 2 of the 8
+    required English stopwords present. The line-shape rules
+    (bullet/ellipsis line fractions) need line structure the corpus
+    lacks and are omitted. Every measure is a JVM expression over one
+    token split; thresholds compare SCALED INTEGERS so both engines
+    band identically at rule boundaries. Per-rule flags (not just the
+    conjunction) are what a 100 TB curation run reports -- they tell
+    you WHICH rule is discarding your corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    n = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, v: acc + v
+    )
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    n_ellipsis = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / 3
+    stop_arr = F.array(*[F.lit(w) for w in _GOPHER_STOPS])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+    m = d.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        F.round(100.0 * sum_len / n).cast("long").alias("mean_len_x100"),
+        F.round(1000.0 * (n_hash + n_ellipsis) / n)
+        .cast("long")
+        .alias("symbol_ratio_x1000"),
+        F.round(1000.0 * n_alpha / n).cast("long").alias("alpha_frac_x1000"),
+        stop_hits.cast("long").alias("stop_hits"),
+    )
+    r_wordcount = F.col("n_words").between(50, 100_000).cast("long")
+    r_meanlen = F.col("mean_len_x100").between(300, 1000).cast("long")
+    r_symbol = (F.col("symbol_ratio_x1000") <= 100).cast("long")
+    r_alpha = (F.col("alpha_frac_x1000") >= 800).cast("long")
+    r_stop = (F.col("stop_hits") >= 2).cast("long")
+    return m.select(
+        "*",
+        r_wordcount.alias("r_wordcount"),
+        r_meanlen.alias("r_meanlen"),
+        r_symbol.alias("r_symbol"),
+        r_alpha.alias("r_alpha"),
+        r_stop.alias("r_stop"),
+        (r_wordcount + r_meanlen + r_symbol + r_alpha + r_stop).alias("rules_passed"),
+    ).orderBy("doc_id")

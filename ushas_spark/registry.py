@@ -154,6 +154,8 @@ _DEFER_NEW: set[str] = {
     # Round-5 additions: r06-prefix tier 4 (see ROUND-6 TODO above).
     "dedup_repeated_ngram_spans",
     "streaming_dedup_within_watermark",
+    "dedup_semantic_clusters",
+    "text_gopher_quality_rules",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
