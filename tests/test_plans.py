@@ -557,3 +557,41 @@ def test_sql_broadcast_hint_respected(spark, sf_dir):
     BroadcastHashJoin with nation on the build side."""
     plan = _plan(QUERIES["sql_join_hint_broadcast"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Runtime row-level filtering (InjectRuntimeFilter, Spark 3.3+):
+    when one side of a shuffle join carries a selective filter, the
+    optimizer injects a bloom_filter_agg built from the filtered side's
+    join keys and probes it on the other side's SCAN -- at 100 TB this
+    drops most fact rows before the shuffle instead of after it. The
+    size thresholds are production-tuned (10 GB application side), so
+    the test lowers them to exercise the rewrite at test scale."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # SMJ, else no filter needed
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        sel = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        j = (
+            li.join(sel, li.l_orderkey == sel.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().sparkPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:3000]
+        assert "might_contain" in plan, plan[:3000]
+        assert j.count() >= 1
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
