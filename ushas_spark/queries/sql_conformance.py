@@ -1370,3 +1370,108 @@ def sql_row_value_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     after a composite key without OR-chains) -- plus tuple IN over
     composite literals. Same semantics both engines."""
     return _sql(spark, sf_dir, _ROW_VALUE_CMP)
+
+
+_COMPAT_SPARK = """
+SELECT ifnull(NULL, 'x')                        AS c_ifnull_null,
+       ifnull('y', 'x')                         AS c_ifnull_val,
+       nullif('x', 'x')                         AS c_nullif_eq,
+       nullif('x', 'y')                         AS c_nullif_ne,
+       nvl(NULL, 'x')                           AS c_nvl_null,
+       nvl('y', 'x')                            AS c_nvl_val,
+       nvl2(NULL, 'x', 'y')                     AS c_nvl2_null,
+       nvl2('n', 'x', 'y')                      AS c_nvl2_val,
+       CAST(ifnull(1, 2.5D) AS DOUBLE)          AS c_ifnull_coerce,
+       CAST(nullif(1, 1.0D) AS DOUBLE)          AS c_nullif_num_eq,
+       CAST(nvl(NULL, 2.5D) AS DOUBLE)          AS c_nvl_coerce,
+       boolean(1)                               AS c_bool,
+       CAST(tinyint(1) AS BIGINT)               AS c_tinyint,
+       CAST(smallint(1) AS BIGINT)              AS c_smallint,
+       CAST(int(1) AS BIGINT)                   AS c_int,
+       bigint(1)                                AS c_bigint,
+       CAST(float(1) AS DOUBLE)                 AS c_float,
+       double(1)                                AS c_double,
+       CAST(date('2014-04-04') AS STRING)       AS c_date,
+       CAST(timestamp(date('2014-04-04')) AS STRING) AS c_timestamp
+"""
+
+_COMPAT_ORACLE = """
+SELECT ifnull(NULL, 'x')                        AS c_ifnull_null,
+       ifnull('y', 'x')                         AS c_ifnull_val,
+       nullif('x', 'x')                         AS c_nullif_eq,
+       nullif('x', 'y')                         AS c_nullif_ne,
+       ifnull(NULL, 'x')                        AS c_nvl_null,
+       ifnull('y', 'x')                         AS c_nvl_val,
+       CASE WHEN NULL IS NOT NULL THEN 'x' ELSE 'y' END AS c_nvl2_null,
+       CASE WHEN 'n' IS NOT NULL THEN 'x' ELSE 'y' END  AS c_nvl2_val,
+       CAST(ifnull(1, 2.5) AS DOUBLE)           AS c_ifnull_coerce,
+       CAST(nullif(1, 1.0) AS DOUBLE)           AS c_nullif_num_eq,
+       CAST(ifnull(NULL, 2.5) AS DOUBLE)        AS c_nvl_coerce,
+       CAST(1 AS BOOLEAN)                       AS c_bool,
+       CAST(CAST(1 AS TINYINT) AS BIGINT)       AS c_tinyint,
+       CAST(CAST(1 AS SMALLINT) AS BIGINT)      AS c_smallint,
+       CAST(CAST(1 AS INTEGER) AS BIGINT)       AS c_int,
+       CAST(1 AS BIGINT)                        AS c_bigint,
+       CAST(CAST(1 AS FLOAT) AS DOUBLE)         AS c_float,
+       CAST(1 AS DOUBLE)                        AS c_double,
+       strftime(DATE '2014-04-04', '%Y-%m-%d')  AS c_date,
+       strftime(CAST(DATE '2014-04-04' AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS c_timestamp
+"""
+
+
+@query("sql_compat_functions", oracle=_COMPAT_ORACLE)
+def sql_compat_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-database compatibility functions
+    (sql-compatibility-functions.sql): the RuntimeReplaceable family
+    ifnull / nullif / nvl / nvl2 with null and non-null operands plus
+    their numeric type-coercion forms, and the SPARK-16730 Hive cast
+    aliases boolean()/tinyint()/.../double()/date()/timestamp(). The
+    oracle spells nvl/nvl2 and the cast aliases in portable ANSI
+    (ifnull / CASE / CAST) -- the semantics under test are Spark's
+    rewrites to exactly those forms."""
+    return _sql(spark, sf_dir, _COMPAT_SPARK)
+
+
+def _join_empty_case(label: str, left: str, jt: str, right: str, cond: str) -> str:
+    return (
+        f"SELECT '{label}' AS case_name, CAST(COUNT(*) AS BIGINT) AS n_rows "
+        f"FROM (SELECT * FROM {left} {jt} JOIN {right} {cond})"
+    )
+
+
+def _join_empty_sql(semi: str, anti: str) -> str:
+    """The 21-cell join-vs-empty-relation matrix (join-empty-relation.sql):
+    every join type against an empty right side, an empty left side, and
+    empty on both sides, reduced to row counts."""
+    cases = []
+    for side, l, r in (("t1_empty", "t1", "e1"), ("empty_t1", "e1", "t1"),
+                       ("empty_empty", "e1", "e2")):
+        for jt in ("INNER", "CROSS", "LEFT OUTER", "RIGHT OUTER",
+                   "FULL OUTER"):
+            cond = "ON l.a = r.a" if jt != "CROSS" else ""
+            cases.append(_join_empty_case(
+                f"{side}_{jt.lower().replace(' ', '_')}",
+                f"{l} l", jt, f"{r} r", cond))
+        cases.append(_join_empty_case(f"{side}_semi", f"{l} l", semi,
+                                      f"{r} r", "ON l.a = r.a"))
+        cases.append(_join_empty_case(f"{side}_anti", f"{l} l", anti,
+                                      f"{r} r", "ON l.a = r.a"))
+    return (
+        "WITH t1 AS (SELECT 1 AS a),\n"
+        "e1 AS (SELECT a FROM t1 WHERE false),\n"
+        "e2 AS (SELECT a FROM t1 WHERE false)\n"
+        + "\nUNION ALL\n".join(cases)
+        + "\nORDER BY case_name"
+    )
+
+
+@query("sql_join_empty_relation", oracle=_join_empty_sql("SEMI", "ANTI"))
+def sql_join_empty_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-vs-empty-relation semantics (join-empty-relation.sql): all 7
+    join types x {empty right, empty left, both empty} as a 21-row
+    count matrix -- LEFT OUTER against empty keeps the left row,
+    RIGHT OUTER against an empty left keeps the right row, ANTI against
+    empty passes everything, SEMI against empty passes nothing. Spark
+    spells semi/anti as LEFT SEMI / LEFT ANTI; DuckDB as SEMI / ANTI --
+    same plans, same counts."""
+    return _sql(spark, sf_dir, _join_empty_sql("LEFT SEMI", "LEFT ANTI"))

@@ -156,6 +156,8 @@ _DEFER_NEW: set[str] = {
     "streaming_dedup_within_watermark",
     "dedup_semantic_clusters",
     "text_gopher_quality_rules",
+    "sql_compat_functions",
+    "sql_join_empty_relation",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
