@@ -409,3 +409,77 @@ def test_tablesample_negative(spark, sf_dir):
             spark.sql("SELECT * FROM ts_neg TABLESAMPLE (101 PERCENT)").collect()
     finally:
         spark.catalog.dropTempView("ts_neg")
+
+
+# --------------------------------------------------------------------------
+# columnresolution-negative.sql — ambiguous / invalid qualified references
+
+
+def test_column_resolution_negative(spark):
+    db = f"crneg_{uuid.uuid4().hex[:6]}"
+    spark.sql(f"CREATE DATABASE {db}")
+    try:
+        spark.sql(f"CREATE TABLE {db}.t1 USING parquet AS SELECT 1 AS i1")
+        spark.sql(f"USE {db}")
+        # Self-join without aliases: every reference form is ambiguous.
+        for sel in ("i1", "t1.i1", f"{db}.t1.i1"):
+            with pytest.raises(AnalysisException):
+                spark.sql(f"SELECT {sel} FROM t1, {db}.t1").collect()
+        # A table name is not a column; deep paths into non-structs fail.
+        with pytest.raises(AnalysisException):
+            spark.sql(f"SELECT {db}.t1 FROM t1").collect()
+        with pytest.raises(AnalysisException):
+            spark.sql("SELECT t1.x.y.* FROM t1").collect()
+        with pytest.raises(AnalysisException):
+            spark.sql("SELECT t1 FROM t1").collect()
+        # A db-qualified reference to a table NOT in the FROM clause fails.
+        with pytest.raises(AnalysisException):
+            spark.sql(f"SELECT {db}.t1.i1 FROM t1 AS x").collect()
+    finally:
+        spark.sql("USE default")
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+# --------------------------------------------------------------------------
+# describe-part-after-analyze.sql — per-partition stats land in DESC EXTENDED
+
+
+def test_describe_partition_after_analyze(spark, cat):
+    t = f"{cat}.part_stats_t"
+    spark.sql(
+        f"CREATE TABLE {t} (key STRING, value STRING, ds STRING, hr INT) "
+        "USING parquet PARTITIONED BY (ds, hr)"
+    )
+    try:
+        spark.sql(
+            f"INSERT INTO TABLE {t} PARTITION (ds='2017-08-01', hr=10) "
+            "VALUES ('k1', '100'), ('k2', '200'), ('k3', '300')"
+        )
+        spark.sql(
+            f"INSERT INTO TABLE {t} PARTITION (ds='2017-08-01', hr=11) "
+            "VALUES ('k1', '101'), ('k2', '201'), ('k3', '301'), ('k4', '401')"
+        )
+
+        def part_info(hr: int) -> dict:
+            rows = spark.sql(
+                f"DESC EXTENDED {t} PARTITION (ds='2017-08-01', hr={hr})"
+            ).collect()
+            return {r.col_name: r.data_type for r in rows}
+
+        # Before ANALYZE: no Partition Statistics row.
+        assert "Partition Statistics" not in part_info(10)
+        spark.sql(
+            f"ANALYZE TABLE {t} PARTITION (ds='2017-08-01', hr=10) "
+            "COMPUTE STATISTICS"
+        )
+        stats10 = part_info(10)
+        assert "Partition Statistics" in stats10
+        assert "3 rows" in stats10["Partition Statistics"]
+        # The other partition stays un-analyzed until the wildcard run.
+        assert "Partition Statistics" not in part_info(11)
+        spark.sql(
+            f"ANALYZE TABLE {t} PARTITION (ds='2017-08-01') COMPUTE STATISTICS"
+        )
+        assert "4 rows" in part_info(11)["Partition Statistics"]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
