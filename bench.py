@@ -112,6 +112,10 @@ HEADLINE = [
     "graph_hits_hub_authority",
     "multimodal_audio_dedup_clusters",
     "multimodal_image_dedup_clusters",
+    # round 5 additions
+    "dedup_repeated_ngram_spans",
+    "dedup_semantic_clusters",
+    "text_gopher_quality_rules",
 ]
 
 ITERATIONS = 3  # best-of-N, after one untimed warm-up

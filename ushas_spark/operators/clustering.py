@@ -373,19 +373,32 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to x1e6 BEFORE thresholding, so both engines band pairs
     identically at the tau boundary.
     """
+    from ushas_spark.operators.similarity import dot
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec(F.col("embedding")).alias("e")
     )
     cents = _init_centroids(emb)
     for _ in range(ITERS):
         cents = materialize(_update(_assign(emb, cents)))
+    # Norms are computed ONCE per vector here, not once per pair: the
+    # pair stage then does a single dot fold instead of three.
+    # sqrt(dot(a,a)) * sqrt(dot(b,b)) is the exact float-op sequence of
+    # the shared cosine helper, so the x1e6-rounded values stay
+    # bit-identical to the oracle's per-pair formulation.
     assigned = materialize(
-        _assign(emb, cents).select("vec_id", "e", F.col("cid"))
+        _assign(emb, cents).select(
+            "vec_id",
+            "e",
+            F.col("cid"),
+            F.sqrt(dot(F.col("e"), F.col("e"))).alias("nrm"),
+        )
     )
     other = assigned.select(
         F.col("cid").alias("cid_b"),
         F.col("vec_id").alias("id_b"),
         F.col("e").alias("e_b"),
+        F.col("nrm").alias("nrm_b"),
     )
     pairs = (
         assigned.join(
@@ -396,7 +409,11 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cid",
             F.col("vec_id").alias("id_a"),
             "id_b",
-            F.round(cosine(F.col("e"), F.col("e_b")) * 1_000_000)
+            F.round(
+                dot(F.col("e"), F.col("e_b"))
+                / (F.col("nrm") * F.col("nrm_b"))
+                * 1_000_000
+            )
             .cast("long")
             .alias("sim_x1m"),
         )
