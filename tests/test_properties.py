@@ -255,3 +255,79 @@ def test_ntile_from_rank_formula_matches_contract():
                 ref = reference_buckets(n, k)
             got = [formula(rn, n, k) for rn in range(1, n + 1)]
             assert got == ref, f"n={n} k={k}: {got[:12]} != {ref[:12]}"
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=60), min_size=1, max_size=25),
+    st.integers(min_value=2, max_value=7),
+)
+def test_span_interval_union_sweep_matches_bruteforce(spark, positions, width):
+    """The lag-window interval-union sweep in dedup_repeated_ngram_spans
+    (contribution = w for the first hit, min(w, pos - prev) after) must
+    equal the brute-force union of [pos, pos+w-1] ranges for ANY
+    position multiset."""
+    uniq = sorted(set(positions))
+    expected = len({p for s in uniq for p in range(s, s + width)})
+    pdf = pd.DataFrame({"doc_id": [1] * len(uniq), "pos": uniq})
+    sdf = spark.createDataFrame(pdf)
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy("doc_id").orderBy("pos")
+    contrib = F.when(F.lag("pos").over(win).isNull(), F.lit(width)).otherwise(
+        F.least(F.lit(width), F.col("pos") - F.lag("pos").over(win))
+    )
+    got = (
+        sdf.withColumn("c", contrib)
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("covered"))
+        .collect()[0]["covered"]
+    )
+    assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # cluster id
+            st.integers(min_value=0, max_value=999999), # similarity x1m
+        ),
+        min_size=2,
+        max_size=20,
+    )
+)
+def test_semdedup_drop_rule_matches_definition(spark, rows):
+    """dedup_semantic_clusters' drop rule (drop b iff a same-cluster
+    pair (a < b) has sim >= tau) on arbitrary pair structures: the
+    DataFrame pipeline's per-cluster n_dropped must equal the literal
+    set-comprehension over the same pairs."""
+    tau = 500_000
+    # Build vectors 0..n-1 with cluster labels, pair (i, j) sims from the
+    # generated list (pairs keyed deterministically).
+    members = [(i, cid) for i, (cid, _) in enumerate(rows)]
+    pairs = [
+        (ca, a, b, sim)
+        for a, (ca, sim) in enumerate(rows)
+        for b, (cb, _) in enumerate(rows)
+        if a < b and ca == cb
+    ]
+    expected = {}
+    for cid, _a, b, sim in pairs:
+        if sim >= tau:
+            expected.setdefault(cid, set()).add(b)
+    exp_counts = {cid: len(s) for cid, s in expected.items()}
+    if not pairs:
+        return
+    pdf = pd.DataFrame(pairs, columns=["cid", "id_a", "id_b", "sim_x1m"])
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        r["cid"]: r["n_dropped"]
+        for r in sdf.filter(F.col("sim_x1m") >= tau)
+        .select("cid", "id_b")
+        .distinct()
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+        .collect()
+    }
+    assert got == exp_counts
