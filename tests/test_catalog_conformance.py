@@ -483,3 +483,31 @@ def test_describe_partition_after_analyze(spark, cat):
         assert "4 rows" in part_info(11)["Partition Statistics"]
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+# --------------------------------------------------------------------------
+# columnresolution-views.sql — qualified column names through views
+
+
+def test_column_resolution_views(spark):
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW crview1 AS SELECT 2 AS i1")
+    spark.sql("CREATE OR REPLACE GLOBAL TEMPORARY VIEW crview2 AS SELECT 1 AS i1")
+    try:
+        for q in ("SELECT crview1.* FROM crview1",
+                  "SELECT * FROM crview1",
+                  "SELECT crview1.i1 FROM crview1",
+                  "SELECT i1 FROM crview1",
+                  "SELECT a.i1 FROM crview1 AS a",
+                  "SELECT i1 FROM crview1 AS a"):
+            assert spark.sql(q).collect()[0][0] == 2, q
+        for q in ("SELECT * FROM global_temp.crview2",
+                  "SELECT global_temp.crview2.* FROM global_temp.crview2",
+                  "SELECT i1 FROM global_temp.crview2",
+                  "SELECT global_temp.crview2.i1 FROM global_temp.crview2",
+                  "SELECT crview2.i1 FROM global_temp.crview2",
+                  "SELECT a.i1 FROM global_temp.crview2 AS a",
+                  "SELECT i1 FROM global_temp.crview2 AS a"):
+            assert spark.sql(q).collect()[0][0] == 1, q
+    finally:
+        spark.sql("DROP VIEW IF EXISTS crview1")
+        spark.sql("DROP VIEW IF EXISTS global_temp.crview2")
