@@ -50,6 +50,21 @@ QUERIES = [
     "q73",  # ticket-count band join back to customer
     "q79",  # per-ticket profit/coupon rollup
     "q88",  # 8 half-hour count cells cross-joined
+    # Round 5 batch 2: window / ratio / rollup shapes. Exactness note:
+    # every fixture "decimal" is cents-valued, so double sums are exact
+    # in ANY order (integer numerators << 2^53) and the derived window
+    # averages, ratios, and ranks agree bit-for-bit across engines.
+    "q6",   # scalar-subquery month anchor + 1.2x avg-price filter
+    "q8",   # preferred-customer zip intersect + 2-digit prefix join
+    "q28",  # six bucketed avg/count cells over one fact table
+    "q36",  # gross-margin ROLLUP + rank within lochierarchy
+    "q47",  # year-window avg + lag/lead monthly deviation (v1)
+    "q53",  # quarterly manufact sums vs avg window
+    "q59",  # week-over-week store revenue ratios (self-join)
+    "q63",  # like q53 by manager
+    "q70",  # state/county ROLLUP + rank, top-states subquery
+    "q89",  # category avg window deviation
+    "q98",  # class-partition revenue ratio
 ]
 TABLES = {
     "date_dim": 120,
@@ -62,26 +77,64 @@ TABLES = {
     "store_sales": 6000,
 }
 
+# Correlated (category, class, brand) triples: q53/q63's two OR-groups,
+# q89's two groups, and q98/q36's category lists all need REAL hierarchy
+# values that co-occur on the same item row.
+_ITEM_TRIPLES = [
+    ("Books", "personal", "scholaramalgamalg #14"),
+    ("Children", "portable", "scholaramalgamalg #7"),
+    ("Electronics", "reference", "exportiunivamalg #9"),
+    ("Electronics", "stereo", "importounivamalg #9"),
+    ("Books", "computers", "scholaramalgamalg #9"),
+    ("Sports", "football", "edu packscholar #2"),
+    ("Women", "accessories", "amalgimporto #1"),
+    ("Music", "classical", "edu packscholar #1"),
+    ("Men", "pants", "exportiimporto #1"),
+    ("Men", "shirts", "importoamalg #1"),
+    ("Jewelry", "birdal", "amalgamalg #5"),
+    ("Women", "dresses", "amalg #3"),
+    ("Home", "bathroom", "glassy #4"),
+    ("Sports", "archery", "brandbrand #6"),
+    ("Books", "self-help", "scholaramalgamalg #8"),
+]
+
 # Named generators: i is the 0-based row index. Everything not listed
 # falls to the generic rules (PK = i+1, FK cycles, arithmetic values).
 SPECIAL = {
     "d_year": lambda i: 1998 + (i // 12) % 5,
     "d_moy": lambda i: 1 + i % 12,
     "d_dom": lambda i: 1 + i % 28,
+    # Functions of (d_year, d_moy), so scalar subqueries anchored on a
+    # (year, month) pair resolve to exactly one d_month_seq / d_qoy, the
+    # calendar date is consistent with its year/month/day fields (q98's
+    # d_date BETWEEN window), and week numbers repeat year-over-year 52
+    # apart (q59's d_week_seq1 = d_week_seq2 - 52 join).
+    "d_month_seq": lambda i: 1200 + ((i // 12) % 5) * 12 + i % 12,
+    "d_qoy": lambda i: 1 + (i % 12) // 3,
+    "d_date": lambda i: pd.Timestamp(
+        1998 + (i // 12) % 5, 1 + i % 12, 1 + i % 28
+    ),
+    "d_week_seq": lambda i: ((i // 12) % 5) * 52 + (i % 12) * 4 + 1,
     "i_manufact_id": lambda i: 100 + i % 50,   # covers q3's 128
     "i_manager_id": lambda i: 1 + i % 30,      # covers 1 and 28 (x2 each)
     "i_brand_id": lambda i: 1 + i % 15,
-    "i_brand": lambda i: f"brand_{i % 15}",
+    "i_brand": lambda i: _ITEM_TRIPLES[i % len(_ITEM_TRIPLES)][2],
     "i_category_id": lambda i: 1 + i % 8,
-    "i_category": lambda i: f"cat_{i % 8}",
+    "i_category": lambda i: _ITEM_TRIPLES[i % len(_ITEM_TRIPLES)][0],
+    "i_class": lambda i: _ITEM_TRIPLES[i % len(_ITEM_TRIPLES)][1],
     "t_hour": lambda i: i % 24,                # covers q96's 20
     "t_minute": lambda i: i % 60,
     "hd_dep_count": lambda i: i % 10,          # covers q96's 7
     "s_store_name": lambda i: "ese" if i % 3 == 0 else f"store_{i}",
-    # q19: zip prefixes must usually DIFFER between customer address and
-    # store (the query keeps cross-zip purchases).
-    "ca_zip": lambda i: str(10000 + (i * 7) % 90000),
-    "s_zip": lambda i: str(10000 + (i * 13 + 1) % 90000),
+    "s_state": lambda i: "TN" if i % 2 == 0 else ["SD", "AL", "GA"][i % 3],
+    # q8: customer zips concentrate on two values from the query's
+    # 400-zip list so ">10 preferred customers per zip" is satisfiable,
+    # and store zips share the same 2-digit prefixes; q19 still holds
+    # because its cross-zip predicate needs the FULL 5-digit prefixes to
+    # differ (24128/76232 vs 24xxx/76xxx variants).
+    "ca_zip": lambda i: "24128" if i % 2 == 0 else "76232",
+    "s_zip": lambda i: ("24" if i % 2 == 0 else "76") + str(100 + (i * 13) % 900),
+    "c_preferred_cust_flag": lambda i: "Y" if i % 2 == 0 else "N",
     # q34/q73: buy-potential disjunction + county list.
     "hd_buy_potential": lambda i: [">10000", "unknown", "1001-5000",
                                    "501-1000"][i % 4],
@@ -163,8 +216,12 @@ def _gen_cell(table: str, col: str, typ: str, i: int):
         return 1 + _mix(i, col) % size
     t = typ.upper()
     if t.startswith("DECIMAL"):
-        # Distinct-ish cents so ordered-limit boundaries never tie.
-        return round(((i * 137 + len(col) * 997) % 99991) / 100.0, 2)
+        # QUARTER-valued amounts (k/4): exactly representable doubles, so
+        # sums are exact dyadic rationals in ANY accumulation order and
+        # every derived window avg / deviation ratio agrees bit-for-bit
+        # across engines. (Cents values like 137.41 are inexact binary;
+        # >100-row aggregates showed last-ulp spark-vs-duckdb drift.)
+        return ((i * 137 + len(col) * 997) % 19997) / 4.0
     if t in ("INT", "BIGINT", "SMALLINT"):
         return (i * 7 + len(col)) % 100
     if t == "DATE":
@@ -190,7 +247,10 @@ def tpcds_data(spark, tmp_path_factory):
         pdf = pd.DataFrame(data)
         for col, typ in cols:
             if typ.upper() == "DATE":
-                pdf[col] = pd.to_datetime(pdf[col])
+                # date32 parquet, NOT datetime64[ns]: nanos timestamps read
+                # back as BIGINT under the nanosAsLong conf and break
+                # DATE comparisons (q98's d_date BETWEEN range).
+                pdf[col] = pd.to_datetime(pdf[col]).dt.date
         path = str(root / f"{table}.parquet")
         pdf.to_parquet(path)
         paths[table] = path
