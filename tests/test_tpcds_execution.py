@@ -40,31 +40,100 @@ pytestmark = pytest.mark.skipif(
 )
 
 QUERIES = [
-    "q3", "q19", "q42", "q52", "q55", "q96",
-    # Round 5: the store_sales star family whose aggregates are
-    # group-count / small-group-sum shaped (exact across engines).
-    "q34",  # ticket-size buckets per customer, HAVING BETWEEN
-    "q43",  # day-of-week pivot sums per store
-    "q46",  # cross-city purchases, multi-dim group
-    "q68",  # like q46 with per-ticket sum split
-    "q73",  # ticket-count band join back to customer
-    "q79",  # per-ticket profit/coupon rollup
-    "q88",  # 8 half-hour count cells cross-joined
-    # Round 5 batch 2: window / ratio / rollup shapes. Exactness note:
-    # every fixture "decimal" is cents-valued, so double sums are exact
-    # in ANY order (integer numerators << 2^53) and the derived window
-    # averages, ratios, and ranks agree bit-for-bit across engines.
-    "q6",   # scalar-subquery month anchor + 1.2x avg-price filter
-    "q8",   # preferred-customer zip intersect + 2-digit prefix join
-    "q28",  # six bucketed avg/count cells over one fact table
-    "q36",  # gross-margin ROLLUP + rank within lochierarchy
-    "q47",  # year-window avg + lag/lead monthly deviation (v1)
-    "q53",  # quarterly manufact sums vs avg window
-    "q59",  # week-over-week store revenue ratios (self-join)
-    "q63",  # like q53 by manager
-    "q70",  # state/county ROLLUP + rank, top-states subquery
-    "q89",  # category avg window deviation
-    "q98",  # class-partition revenue ratio
+    # 75 of the 103 public TPC-DS queries execute end-to-end value-exact
+    # vs DuckDB on the deterministic 24-table fixture (the reference's
+    # TPCDSQuerySuite is compile-only for all of them). The 28 absent
+    # ones fall into five documented classes:
+    #  - DuckDB-side parser/binder limits on the shared text: q58, q72
+    #    (ambiguous-column strictness), q77 (unquoted `returns` alias);
+    #  - q32: the public text's malformed date literal '2000-01-27]'
+    #    (ANSI Spark refuses the cast; also noted in
+    #    tests/test_benchmark_suites.py);
+    #  - engine-semantics divergence on shared SQL: q18 (Spark DECIMAL
+    #    avg rounds to 6 frac digits; DuckDB computes DOUBLE), q67
+    #    (rank-tie at the LIMIT boundary picks engine-dependent rows);
+    #  - stddev-based: q17, q39a, q39b (sample stddev of doubles is
+    #    accumulation-order-sensitive);
+    #  - fixture-scale structural: q2 (53-week year join), q83 (three
+    #    exact calendar dates), q14/q23b/q24/q64 (multi-channel
+    #    INTERSECT funnels), q21/q31/q41/q44/q49/q54/q65/q66/q76/
+    #    q78/q85 (conjunction density the 6k-row fixture cannot reach
+    #    while keeping the satisfied queries stable).
+    "q1",
+    "q3",
+    "q4",
+    "q5",
+    "q6",
+    "q7",
+    "q8",
+    "q9",
+    "q10",
+    "q11",
+    "q12",
+    "q13",
+    "q15",
+    "q16",
+    "q19",
+    "q20",
+    "q22",
+    "q23a",
+    "q25",
+    "q26",
+    "q27",
+    "q28",
+    "q29",
+    "q30",
+    "q33",
+    "q34",
+    "q35",
+    "q36",
+    "q37",
+    "q38",
+    "q40",
+    "q42",
+    "q43",
+    "q45",
+    "q46",
+    "q47",
+    "q48",
+    "q50",
+    "q51",
+    "q52",
+    "q53",
+    "q55",
+    "q56",
+    "q57",
+    "q59",
+    "q60",
+    "q61",
+    "q62",
+    "q63",
+    "q68",
+    "q69",
+    "q70",
+    "q71",
+    "q73",
+    "q74",
+    "q75",
+    "q79",
+    "q80",
+    "q81",
+    "q82",
+    "q84",
+    "q86",
+    "q87",
+    "q88",
+    "q89",
+    "q90",
+    "q91",
+    "q92",
+    "q93",
+    "q94",
+    "q95",
+    "q96",
+    "q97",
+    "q98",
+    "q99",
 ]
 TABLES = {
     "date_dim": 120,
@@ -75,6 +144,24 @@ TABLES = {
     "customer": 60,
     "customer_address": 60,
     "store_sales": 6000,
+    # Round-5 batch 3: the full 24-table schema, unlocking the
+    # multi-channel (catalog/web/returns/inventory) query families.
+    "customer_demographics": 60,
+    "promotion": 30,
+    "warehouse": 15,
+    "ship_mode": 15,
+    "reason": 15,
+    "income_band": 20,
+    "call_center": 15,
+    "catalog_page": 30,
+    "web_site": 15,
+    "web_page": 30,
+    "store_returns": 1500,
+    "catalog_sales": 6000,
+    "catalog_returns": 1500,
+    "web_sales": 6000,
+    "web_returns": 1500,
+    "inventory": 3000,
 }
 
 # Correlated (category, class, brand) triples: q53/q63's two OR-groups,
@@ -98,6 +185,13 @@ _ITEM_TRIPLES = [
     ("Books", "self-help", "scholaramalgamalg #8"),
 ]
 
+_CD_PAIRS = [
+    ("M", "Unknown"), ("W", "Advanced Degree"), ("S", "College"),
+    ("M", "4 yr Degree"), ("S", "Secondary"), ("W", "2 yr Degree"),
+    ("M", "Advanced Degree"), ("D", "Primary"), ("U", "Unknown"),
+    ("S", "4 yr Degree"), ("W", "Secondary"),
+]
+
 # Named generators: i is the 0-based row index. Everything not listed
 # falls to the generic rules (PK = i+1, FK cycles, arithmetic values).
 SPECIAL = {
@@ -115,7 +209,15 @@ SPECIAL = {
         1998 + (i // 12) % 5, 1 + i % 12, 1 + i % 28
     ),
     "d_week_seq": lambda i: ((i // 12) % 5) * 52 + (i % 12) * 4 + 1,
-    "i_manufact_id": lambda i: 100 + i % 50,   # covers q3's 128
+    # Covers q3's 128, q37's 677/940/694/808, q82's 129/270/821/423.
+    "i_manufact_id": lambda i: [128, 677, 940, 694, 808, 129, 270, 821,
+                                423, 136, 140, 145][i % 12],
+    # Price bands: q21's [0.99, 1.49], q37's [68, 98], q82's [62, 92];
+    # quarter-valued so derived averages stay exact.
+    "i_current_price": lambda i: [1.00, 1.25, 69.5, 75.0, 88.25, 63.75,
+                                  5.0, 33.25, 12.5, 99.75, 2.5, 45.0][i % 12],
+    "i_color": lambda i: ["slate", "blanched", "burnished", "powder", "khaki",
+                          "orchid", "peach", "metallic", "navajo", "salmon"][i % 10],
     "i_manager_id": lambda i: 1 + i % 30,      # covers 1 and 28 (x2 each)
     "i_brand_id": lambda i: 1 + i % 15,
     "i_brand": lambda i: _ITEM_TRIPLES[i % len(_ITEM_TRIPLES)][2],
@@ -124,6 +226,7 @@ SPECIAL = {
     "i_class": lambda i: _ITEM_TRIPLES[i % len(_ITEM_TRIPLES)][1],
     "t_hour": lambda i: i % 24,                # covers q96's 20
     "t_minute": lambda i: i % 60,
+    "t_meal_time": lambda i: ["breakfast", "dinner", "lunch", ""][i % 4],
     "hd_dep_count": lambda i: i % 10,          # covers q96's 7
     "s_store_name": lambda i: "ese" if i % 3 == 0 else f"store_{i}",
     "s_state": lambda i: "TN" if i % 2 == 0 else ["SD", "AL", "GA"][i % 3],
@@ -135,9 +238,23 @@ SPECIAL = {
     "ca_zip": lambda i: "24128" if i % 2 == 0 else "76232",
     "s_zip": lambda i: ("24" if i % 2 == 0 else "76") + str(100 + (i * 13) % 900),
     "c_preferred_cust_flag": lambda i: "Y" if i % 2 == 0 else "N",
-    # q34/q73: buy-potential disjunction + county list.
-    "hd_buy_potential": lambda i: [">10000", "unknown", "1001-5000",
-                                   "501-1000"][i % 4],
+    # Address geography (q10 counties; q18/q85 state lists; q33/q56/q60
+    # need ca_gmt_offset = -5, q91 needs -7).
+    "ca_county": lambda i: ["Rush County", "Toole County", "Jefferson County",
+                            "Dona Ana County", "La Porte County",
+                            "Walker County"][i % 6],
+    "ca_city": lambda i: ["Edgewood", "Fairview", "Midway", "Pleasant Hill",
+                          "Centerville"][i % 5],
+    "ca_country": lambda i: "United States",
+    "ca_state": lambda i: ["IN", "MS", "OH", "NJ", "LA", "IA", "AR", "WI",
+                           "CT", "KY", "ND", "OK", "NM", "VA", "GA", "IL"][i % 16],
+    "ca_gmt_offset": lambda i: float([-5, -6, -7][i % 3]),
+    # q93/q85: reason descriptions ('reason 28' + substr grouping).
+    "r_reason_desc": lambda i: f"reason {28 + i}",
+    # q34/q73 compare = '>10000' / 'unknown' (lowercase); q91 LIKE
+    # 'Unknown%' / '0-500%' -- the cycle carries all four spellings.
+    "hd_buy_potential": lambda i: [">10000", "unknown", "Unknown",
+                                   "0-500"][i % 4],
     "s_county": lambda i: "Williamson County" if i % 2 == 0 else f"county_{i % 7}",
     # q88: vehicle counts must land in the <= dep+2 cells.
     "hd_vehicle_count": lambda i: i % 8,
@@ -149,6 +266,27 @@ SPECIAL = {
     "s_gmt_offset": lambda i: -5.0 if i % 2 == 0 else -6.0,
     "d_day_name": lambda i: ["Sunday", "Monday", "Tuesday", "Wednesday",
                              "Thursday", "Friday", "Saturday"][i % 7],
+    # Demographics vocabularies (q7/q13/q18/q26/q27 filter constants).
+    "cd_gender": lambda i: "MF"[i % 2],
+    # (marital, education) as CORRELATED pairs -- the q13/q85/q91-style
+    # filters AND a marital status with an education level, and
+    # independent cycles make each conjunction a ~1-row needle. Odd
+    # length keeps the pair cycle coprime with the gender cycle.
+    "cd_marital_status": lambda i: _CD_PAIRS[i % len(_CD_PAIRS)][0],
+    "cd_education_status": lambda i: _CD_PAIRS[i % len(_CD_PAIRS)][1],
+    "cd_dep_count": lambda i: i % 10,
+    # Promotion channel flags (q7/q26's Y/N disjunctions, q61's
+    # promotional-sales ratio must be non-null on both engines).
+    "p_channel_dmail": lambda i: "YN"[i % 2],
+    "p_channel_email": lambda i: "NY"[i % 2],
+    "p_channel_tv": lambda i: "NY"[(i // 2) % 2],
+    "p_channel_event": lambda i: "YN"[(i // 2) % 2],
+    # Inventory quantities sized to the 100-500 band (q21/q37/q82).
+    "inv_quantity_on_hand": lambda i: i % 1000,
+    # q90: am/pm ratio needs web pages in the 5000-5200 char band.
+    "wp_char_count": lambda i: 4900 + (i * 20) % 500,
+    # q18: bill-customer birth months.
+    "c_birth_month": lambda i: 1 + i % 12,
     # q34/q73 group per (ticket, customer) and band the COUNT: ticket
     # blocks of 1500 rows with one customer per block make the filtered
     # per-group counts land in q34's 15-20 band (1 group, simulated
@@ -156,7 +294,51 @@ SPECIAL = {
     # (3 groups). Interleaved or mixed assignments leave every group far
     # below 15, which empties q34.
     "ss_ticket_number": lambda i: 1 + i // 1500,
-    "ss_customer_sk": lambda i: 1 + (i // 1500) % 60,
+    "ss_customer_sk": lambda i: [2, 9, 46, 52][i // 1500],
+    # Catalog/web order numbers: 20-line orders, so order-number joins
+    # (q16/q94/q95 shipping checks, returns anti-joins) have realistic
+    # multiplicity instead of 100-value collisions.
+    "cs_order_number": lambda i: 1 + i // 20,
+    "ws_order_number": lambda i: 1 + i // 20,
+    # Channel populations are PROPER SUBSETS of the customer base:
+    # web buyers are customers 1-30, catalog buyers 1-40. q69/q10-style
+    # [NOT] EXISTS probes need customers who genuinely never bought in a
+    # channel; uniform FKs over all 60 make NOT EXISTS vacuously false.
+    # Store customers (below) are {2, 9, 46, 52}: 2 and 9 buy in all
+    # channels (q10's EXISTS arm), 46 and 52 in none (q69's NOT EXISTS
+    # arm) -- and all four live in q10's counties / q69's states
+    # (verified against the _mix address draws).
+    "ws_bill_customer_sk": lambda i: 1 + _mix(i, "ws_bill_customer_sk") % 30,
+    "cs_bill_customer_sk": lambda i: 1 + _mix(i, "cs_bill_customer_sk") % 40,
+    "cs_ship_customer_sk": lambda i: 1 + _mix(i, "cs_ship_customer_sk") % 40,
+    # q84: income bands intersecting [38128, 50000].
+    "ib_lower_bound": lambda i: 30000 + i * 1000,
+    "ib_upper_bound": lambda i: 40000 + i * 1000,
+    # CORRELATED RETURNS: return row i mirrors sales row j = 4i mod N,
+    # so (item, ticket/order, customer) triple joins between a sales
+    # fact and its returns fact (q17/q25/q29/q50 store; q16 catalog;
+    # q85/q94/q95 web) actually find matching lines -- independent
+    # random FKs make a 3-column equality join structurally empty.
+    "sr_item_sk": lambda i: 1 + _mix((i * 4) % 6000, "ss_item_sk") % 60,
+    "sr_customer_sk": lambda i: [2, 9, 46, 52][((i * 4) % 6000) // 1500],
+    "sr_ticket_number": lambda i: 1 + ((i * 4) % 6000) // 1500,
+    "cr_item_sk": lambda i: 1 + _mix((i * 4) % 6000, "cs_item_sk") % 60,
+    "cr_order_number": lambda i: 1 + ((i * 4) % 6000) // 20,
+    "cr_returning_customer_sk": lambda i: 1
+    + _mix((i * 4) % 6000, "cs_bill_customer_sk") % 60,
+    # ~25% of catalog returns land in Nov 1998 (date_sks 11 and 71):
+    # q91's conjunction (call-center month x cd pair x buy-potential x
+    # gmt offset) needs that density; the other 75% stay spread so the
+    # q80-style 30-day windows elsewhere keep their rows.
+    "cr_returned_date_sk": lambda i: (
+        [11, 71][_mix(i, "cr_returned_date_sk") % 2]
+        if _mix(i, "cr_returned_date_sk") % 4 == 0
+        else 1 + _mix(i, "cr_returned_date_sk") % 120
+    ),
+    "wr_item_sk": lambda i: 1 + _mix((i * 4) % 6000, "ws_item_sk") % 60,
+    "wr_order_number": lambda i: 1 + ((i * 4) % 6000) // 20,
+    "wr_returning_customer_sk": lambda i: 1
+    + _mix((i * 4) % 6000, "ws_bill_customer_sk") % 60,
 }
 
 _PK = {
@@ -167,7 +349,40 @@ _PK = {
     "store": "s_store_sk",
     "customer": "c_customer_sk",
     "customer_address": "ca_address_sk",
+    "customer_demographics": "cd_demo_sk",
+    "promotion": "p_promo_sk",
+    "warehouse": "w_warehouse_sk",
+    "ship_mode": "sm_ship_mode_sk",
+    "reason": "r_reason_sk",
+    "income_band": "ib_income_band_sk",
+    "call_center": "cc_call_center_sk",
+    "catalog_page": "cp_catalog_page_sk",
+    "web_site": "web_site_sk",
+    "web_page": "wp_web_page_sk",
 }
+
+# FK target sizes by column-name suffix (order matters: first match wins).
+_FK_SIZES = [
+    ("_date_sk", 120),
+    ("_time_sk", 60),
+    ("_item_sk", 60),
+    ("_customer_sk", 60),
+    ("_cdemo_sk", 60),
+    ("_hdemo_sk", 60),
+    ("_addr_sk", 60),
+    ("_store_sk", 60),
+    ("_promo_sk", 30),
+    ("_warehouse_sk", 15),
+    ("_ship_mode_sk", 15),
+    ("_mode_sk", 15),
+    ("_reason_sk", 15),
+    ("_income_band_sk", 20),
+    ("_call_center_sk", 15),
+    ("_catalog_page_sk", 30),
+    ("_page_sk", 30),
+    ("_web_site_sk", 15),
+    ("_site_sk", 15),
+]
 
 
 def _ddl_columns() -> dict[str, list[tuple[str, str]]]:
@@ -212,7 +427,7 @@ def _gen_cell(table: str, col: str, typ: str, i: int):
         # fixture is sized so each query's filter conjunction is
         # populated (asserted below -- and deterministic, so checked
         # once is checked forever).
-        size = 120 if col.endswith("_date_sk") else 60
+        size = next((n for suf, n in _FK_SIZES if col.endswith(suf)), 60)
         return 1 + _mix(i, col) % size
     t = typ.upper()
     if t.startswith("DECIMAL"):
@@ -266,12 +481,25 @@ def _positional(pdf: pd.DataFrame) -> pd.DataFrame:
     # widened to float64 on both sides because DuckDB surfaces
     # SUM(INT) as HUGEINT -> float64 while Spark keeps BIGINT; every
     # value in these fixtures is far below 2**53, so the comparison
-    # stays exact.
+    # stays exact. DATE columns come back as datetime.date from Spark
+    # but midnight datetime64 from DuckDB's fetchdf -- normalise both
+    # to ISO date strings (q51 outputs d_date directly).
     out = pdf.copy()
     out.columns = [f"c{j}" for j in range(len(pdf.columns))]
     for c in out.columns:
         if out[c].dtype.kind in ("i", "u"):
             out[c] = out[c].astype("float64")
+        elif out[c].dtype.kind == "M":
+            out[c] = out[c].dt.strftime("%Y-%m-%d")
+        elif out[c].dtype.kind == "O":
+            import datetime
+            from decimal import Decimal
+
+            out[c] = out[c].map(
+                lambda v: v.isoformat() if isinstance(v, datetime.date)
+                else float(v) if isinstance(v, Decimal)  # q90's DECIMAL ratio
+                else v
+            )
     return out
 
 
@@ -284,7 +512,10 @@ def _run_both(spark, paths: dict, sql: str, label: str) -> None:
                 f'CREATE VIEW "{table}" AS '
                 f"SELECT * FROM read_parquet('{path}')"
             )
-        duck_pdf = con.execute(sql).fetchdf()
+        # Some public query texts quote identifiers Spark-style
+        # (`returns`); DuckDB uses double quotes for the same thing.
+        # Pure lexical transform -- the SQL semantics are identical.
+        duck_pdf = con.execute(sql.replace("`", '"')).fetchdf()
     finally:
         con.close()
     assert len(spark_pdf) > 0, f"{label}: empty result -- fixture too sparse"
