@@ -1239,3 +1239,122 @@ def pipeline_contamination_severity(
         )
         .orderBy("band")
     )
+
+
+# ----------------------------------------------- DSIR importance weights
+
+DSIR_BUCKETS = 1024
+DSIR_TARGET_SOURCE = "src0"  # the "target domain" sample
+
+
+def _dsir_bigrams_expr() -> str:
+    """All word bigrams of ``text`` in document order (JVM lambda; the
+    outer array() binds the split once, same trick as dedup shingles)."""
+    return """
+        flatten(transform(
+          array(split(text, '\\\\s+')),
+          w -> CASE WHEN size(w) >= 2
+                    THEN transform(sequence(1, size(w) - 1),
+                                   i -> concat(w[i - 1], ' ', w[i]))
+                    ELSE array()
+               END))
+        """
+
+
+_DSIR_SQL_BIGRAMS = (
+    "[ws[i] || ' ' || ws[i+1] FOR i IN "
+    "generate_series(1, len(ws) - 1)]"
+)
+
+_DSIR_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, source, regexp_split_to_array(text, '\\s+') AS ws
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, source,
+         CAST({sql_hash60('b')} % {DSIR_BUCKETS} AS BIGINT) AS bucket
+  FROM (SELECT doc_id, source, unnest({_DSIR_SQL_BIGRAMS}) AS b FROM w)
+),
+stats AS (
+  SELECT bucket,
+         COUNT(*) AS c_src,
+         COUNT(*) FILTER (source = '{DSIR_TARGET_SOURCE}') AS c_tgt
+  FROM bg GROUP BY bucket
+),
+scored AS (
+  SELECT bg.doc_id,
+         COUNT(*) AS n_bigrams,
+         CAST(SUM(CAST(ROUND(1000000.0 * (s.c_tgt + 1) / (s.c_src + 1))
+                  AS BIGINT)) AS BIGINT) AS dsir_score_x1m
+  FROM bg JOIN stats s ON bg.bucket = s.bucket
+  GROUP BY bg.doc_id
+)
+SELECT doc_id,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       dsir_score_x1m,
+       CAST(ROUND(CAST(dsir_score_x1m AS DOUBLE) / n_bigrams) AS BIGINT)
+         AS mean_score_x1m
+FROM scored ORDER BY doc_id
+"""
+
+
+@query("pipeline_dsir_weights", oracle=_DSIR_ORACLE)
+def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by how much its hashed-bigram distribution looks like a
+    TARGET domain (here the '{DSIR_TARGET_SOURCE}' source) relative to
+    the whole corpus. DSIR sums log-likelihood ratios; logs are
+    engine-divergent at the last ulp, so the score here is the
+    integer-exact rational analogue -- per bigram
+    round(1e6 * (target_count+1)/(corpus_count+1)), summed as BIGINTs
+    (round-then-sum is order-independent; the ranking it induces is the
+    same monotone importance signal). Complements
+    pipeline_importance_resample (quality-weighted DoReMi-lite) with
+    the distribution-MATCHING selection family.
+
+    100 TB shape: bigrams are a JVM lambda + explode; the bucket stats
+    table is one map-side-combinable aggregate over {DSIR_BUCKETS}
+    hash buckets; scoring re-joins the exploded bigrams to that
+    {DSIR_BUCKETS}-row table -- broadcast, so the corpus is never
+    shuffled; then one groupBy doc_id. Hashed features are exactly why
+    DSIR scales: the stats table size is fixed regardless of corpus
+    vocabulary."""
+    d = load_table(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    bg = (
+        d.repartition(n)
+        .select("doc_id", "source", F.explode(F.expr(_dsir_bigrams_expr())).alias("b"))
+        .select(
+            "doc_id",
+            "source",
+            (hash60(F.col("b")) % DSIR_BUCKETS).alias("bucket"),
+        )
+    )
+    from ushas_spark.durability import materialize
+
+    bg = materialize(bg)  # feeds both the stats build and the probe
+    stats = bg.groupBy("bucket").agg(
+        F.count("*").alias("c_src"),
+        F.count(F.when(F.col("source") == DSIR_TARGET_SOURCE, 1)).alias("c_tgt"),
+    )
+    per_bigram = F.round(
+        1_000_000.0 * (F.col("c_tgt") + 1) / (F.col("c_src") + 1)
+    ).cast("long")
+    scored = (
+        bg.join(F.broadcast(stats), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(per_bigram).alias("dsir_score_x1m"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long"),
+        F.col("dsir_score_x1m").cast("long"),
+        F.round(F.col("dsir_score_x1m").cast("double") / F.col("n_bigrams"))
+        .cast("long")
+        .alias("mean_score_x1m"),
+    ).orderBy("doc_id")

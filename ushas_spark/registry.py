@@ -158,6 +158,7 @@ _DEFER_NEW: set[str] = {
     "text_gopher_quality_rules",
     "sql_compat_functions",
     "sql_join_empty_relation",
+    "pipeline_dsir_weights",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
