@@ -557,3 +557,46 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     emitted = {r.w for r in spark.table("t_late_drop").collect()}
     assert "2024-01-01 00" not in emitted
     assert dropped >= 1, f"watermark never dropped the late row: {dropped}"
+
+
+def test_session_window_dynamic_gap(spark, sf_dir):
+    """Dynamic-gap session windows (Spark 3.2+): the gap is an
+    EXPRESSION evaluated per row, so different event types can close
+    sessions at different speeds -- here 'view' rows extend a session
+    by 1 hour but 'purchase' rows only by 5 minutes. Checked as batch
+    semantics (session_window works identically in batch), with an
+    explicit expectation: the same rows under a fixed 1-hour gap merge
+    into FEWER sessions than under the dynamic gap."""
+    from datetime import datetime
+
+    rows = [
+        # user 1: view 10:00 extends to 11:00; purchase 11:30 starts a
+        # fresh session that (dynamic 5m gap) closes at 11:35, so the
+        # 11:45 view is a THIRD session. A fixed 1-hour gap instead
+        # chains purchase+view into one (2 sessions total) -- the gap
+        # expression is what changes the sessionization.
+        (1, datetime(2024, 1, 1, 10, 0, 0), "view"),
+        (1, datetime(2024, 1, 1, 11, 30, 0), "purchase"),
+        (1, datetime(2024, 1, 1, 11, 45, 0), "view"),
+        # user 2: single row.
+        (2, datetime(2024, 1, 1, 12, 0, 0), "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id INT, ts TIMESTAMP, event_type STRING")
+    gap = F.when(F.col("event_type") == "purchase", F.lit("5 minutes")).otherwise(
+        F.lit("1 hour")
+    )
+    dyn = (
+        df.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    fixed = (
+        df.groupBy(F.session_window("ts", "1 hour"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    dyn_u1 = sorted(r.n for r in dyn if r.user_id == 1)
+    fixed_u1 = sorted(r.n for r in fixed if r.user_id == 1)
+    assert dyn_u1 == [1, 1, 1], dyn
+    assert fixed_u1 == [1, 2], fixed
+    assert len([r for r in dyn if r.user_id == 2]) == 1
