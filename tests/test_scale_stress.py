@@ -451,3 +451,65 @@ def test_bucketed_rank_ntile_equivalence_500k(spark):
         nd["class"].endswith(".Window") and not nd.get("partitionSpec")
         for nd in nodes
     )
+
+
+def test_repeated_ngram_spans_hot_shingle_linear(spark):
+    """Planted skew for span dedup: 50k synthetic docs that ALL contain
+    one ubiquitous 5-gram ('the same old boiler plate'), plus unique
+    filler. Unlike pair-generating dedup (where a hot shingle is an
+    O(df^2) bucket), span coverage is LINEAR in positions by
+    construction -- the hot shingle contributes one hit row per
+    position, never a pair blowup. The check: the op completes with
+    output rows == docs (every doc has the duplicated span), coverage
+    counts the planted span exactly, and the hit row count equals the
+    number of duplicated positions (linear, not quadratic)."""
+    from pyspark.sql import functions as F
+
+    from ushas_spark.operators.dedup import (
+        SPAN_MIN_COUNT,
+        SPAN_WIDTH,
+        _positional_shingles,
+    )
+
+    n = 50_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("the same old boiler plate "),
+            # Unique filler words so nothing else repeats corpus-wide.
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit(f"u{k}w"), F.col("id").cast("string"))
+                    for k in range(5)
+                ],
+            ),
+        ).alias("text"),
+    )
+    sh = docs.select(
+        "doc_id", F.posexplode(_positional_shingles(SPAN_WIDTH))
+    ).select("doc_id", (F.col("pos") + 1).alias("pos"), F.col("col").alias("shingle"))
+    dup = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= SPAN_MIN_COUNT)
+        .select("shingle")
+    )
+    hits = sh.join(dup, "shingle", "left_semi")
+    n_hits = hits.count()
+    # Exactly one duplicated 5-gram position per doc: linear in corpus.
+    assert n_hits == n, n_hits
+    win = __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+        "doc_id"
+    ).orderBy("pos")
+    contrib = F.when(F.lag("pos").over(win).isNull(), F.lit(SPAN_WIDTH)).otherwise(
+        F.least(F.lit(SPAN_WIDTH), F.col("pos") - F.lag("pos").over(win))
+    )
+    cov = hits.withColumn("c", contrib).groupBy("doc_id").agg(
+        F.sum("c").alias("covered")
+    )
+    got = cov.agg(
+        F.count("*").alias("docs"), F.min("covered").alias("mn"),
+        F.max("covered").alias("mx"),
+    ).collect()[0]
+    assert got.docs == n and got.mn == SPAN_WIDTH and got.mx == SPAN_WIDTH, got
