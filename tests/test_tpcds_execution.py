@@ -40,7 +40,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 QUERIES = [
-    # 75 of the 103 public TPC-DS queries execute end-to-end value-exact
+    # 76 of the 103 public TPC-DS queries execute end-to-end value-exact
     # vs DuckDB on the deterministic 24-table fixture (the reference's
     # TPCDSQuerySuite is compile-only for all of them). The 28 absent
     # ones fall into five documented classes:
@@ -56,9 +56,9 @@ QUERIES = [
     #    accumulation-order-sensitive);
     #  - fixture-scale structural: q2 (53-week year join), q83 (three
     #    exact calendar dates), q14/q23b/q24/q64 (multi-channel
-    #    INTERSECT funnels), q21/q31/q41/q44/q49/q54/q65/q66/q76/
-    #    q78/q85 (conjunction density the 6k-row fixture cannot reach
-    #    while keeping the satisfied queries stable).
+    #    INTERSECT funnels), q31/q41/q44/q49/q54/q65/q66/q76/q78/q85
+    #    (conjunction density the 6k-row fixture cannot reach while
+    #    keeping the satisfied queries stable).
     "q1",
     "q3",
     "q4",
@@ -75,6 +75,7 @@ QUERIES = [
     "q16",
     "q19",
     "q20",
+    "q21",
     "q22",
     "q23a",
     "q25",
@@ -281,8 +282,15 @@ SPECIAL = {
     "p_channel_email": lambda i: "NY"[i % 2],
     "p_channel_tv": lambda i: "NY"[(i // 2) % 2],
     "p_channel_event": lambda i: "YN"[(i // 2) % 2],
-    # Inventory quantities sized to the 100-500 band (q21/q37/q82).
+    # Inventory quantities sized to the 100-500 band (q21/q37/q82), and
+    # a fifth of snapshots pinned to the four dates flanking q21's
+    # 2000-03-11 cutoff so (warehouse, item) pairs have stock on BOTH
+    # sides of it; the rest stay spread for q22's month_seq windows.
     "inv_quantity_on_hand": lambda i: i % 1000,
+    "inv_date_sk": lambda i: (
+        [26, 87, 27, 88][i % 4] if i % 5 == 0
+        else 1 + _mix(i, "inv_date_sk") % 120
+    ),
     # q90: am/pm ratio needs web pages in the 5000-5200 char band.
     "wp_char_count": lambda i: 4900 + (i * 20) % 500,
     # q18: bill-customer birth months.
