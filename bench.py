@@ -116,6 +116,7 @@ HEADLINE = [
     "dedup_repeated_ngram_spans",
     "dedup_semantic_clusters",
     "text_gopher_quality_rules",
+    "pipeline_dsir_weights",
 ]
 
 ITERATIONS = 3  # best-of-N, after one untimed warm-up
