@@ -1358,3 +1358,167 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mean_score_x1m"),
     ).orderBy("doc_id")
+
+
+# -------------------------------------------- curation funnel (round 5 e2e)
+
+
+def _curation_oracle() -> str:
+    from ushas_spark.operators.dedup import SPAN_MIN_COUNT, SPAN_WIDTH
+
+    width, min_count = SPAN_WIDTH, SPAN_MIN_COUNT
+    concat = " || ' ' || ".join(f"ws[i+{j}]" for j in range(width))
+    return f"""
+WITH w AS (
+  SELECT doc_id, source, text, regexp_split_to_array(text, '\\s+') AS ws
+  FROM documents
+),
+rules AS (
+  SELECT doc_id, source, text, ws,
+         (CASE WHEN len(ws) BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
+          + CASE WHEN CAST(ROUND(100.0 * list_sum(list_transform(ws, x -> len(x)))
+                        / len(ws)) AS BIGINT) BETWEEN 300 AND 1000 THEN 1 ELSE 0 END
+          + CASE WHEN CAST(ROUND(1000.0 * len(list_filter(ws,
+                        x -> regexp_matches(x, '[a-z]'))) / len(ws)) AS BIGINT)
+                 >= 800 THEN 1 ELSE 0 END
+          + CASE WHEN len(list_intersect(list_distinct(ws),
+                        ['the','a','to','of','and','that','have','with'])) >= 2
+                 THEN 1 ELSE 0 END) AS rule_hits
+  FROM w
+),
+passed AS (SELECT * FROM rules WHERE rule_hits >= 3),
+sh AS (
+  SELECT doc_id, i AS pos, {concat} AS shingle
+  FROM w CROSS JOIN UNNEST(generate_series(1, len(ws) - {width - 1})) AS t(i)
+),
+dup AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= {min_count}),
+hits AS (SELECT doc_id, pos FROM sh WHERE shingle IN (SELECT shingle FROM dup)),
+sweep AS (SELECT doc_id, pos,
+                 lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM hits),
+cov AS (
+  SELECT s.doc_id,
+         CAST(ROUND(SUM(CASE WHEN prev IS NULL THEN {width}
+                        ELSE LEAST({width}, pos - prev) END) * 1000.0
+               / len(w.ws)) AS BIGINT) AS coverage_x1000
+  FROM sweep s JOIN w ON s.doc_id = w.doc_id
+  GROUP BY s.doc_id, len(w.ws)
+),
+span_ok AS (
+  SELECT p.* FROM passed p LEFT JOIN cov ON p.doc_id = cov.doc_id
+  WHERE COALESCE(cov.coverage_x1000, 0) < 500
+),
+exact_ok AS (
+  SELECT * FROM (
+    SELECT s.*, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+    FROM span_ok s
+  ) WHERE doc_id = keeper
+)
+SELECT w.source,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(COUNT(p.doc_id) AS BIGINT) AS n_after_rules,
+       CAST(COUNT(so.doc_id) AS BIGINT) AS n_after_spans,
+       CAST(COUNT(e.doc_id) AS BIGINT) AS n_survivors
+FROM w
+LEFT JOIN passed p ON w.doc_id = p.doc_id
+LEFT JOIN span_ok so ON w.doc_id = so.doc_id
+LEFT JOIN exact_ok e ON w.doc_id = e.doc_id
+GROUP BY w.source
+ORDER BY w.source
+"""
+
+
+@query("pipeline_curation_e2e", oracle=_curation_oracle())
+def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 curation operators COMPOSED as one funnel, the way a
+    production corpus build chains them: Gopher-style rule gate (>= 3
+    of the 4 content rules) -> span-dedup gate (duplicated-5-gram
+    coverage < 50% of words) -> exact-text dedup (keep the smallest
+    doc_id per content hash) -> per-source survival accounting. Every
+    stage reuses the standalone operator's exact arithmetic, so the
+    whole funnel stays oracle-gated end to end.
+
+    100 TB shape: stage gates are semi/anti joins on doc_id; the span
+    stage inherits the linear shingle-count plan (no pair generation);
+    exact dedup is one window over the md5 key; the report is a
+    |sources|-row rollup. Nothing materialises per-doc state on the
+    driver."""
+    from ushas_spark.operators.dedup import (
+        SPAN_MIN_COUNT,
+        SPAN_WIDTH,
+        _positional_shingles,
+    )
+
+    width, min_count = SPAN_WIDTH, SPAN_MIN_COUNT
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = F.split(F.col("text"), r"\s+")
+    n = F.size(toks)
+    sum_len = F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, v: a + v)
+    stop_arr = F.array(*[F.lit(x) for x in
+                         ("the", "a", "to", "of", "and", "that", "have", "with")])
+    rule_hits = (
+        n.between(50, 100_000).cast("int")
+        + F.round(100.0 * sum_len / n).cast("long").between(300, 1000).cast("int")
+        + (
+            F.round(1000.0 * F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))) / n)
+            .cast("long")
+            >= 800
+        ).cast("int")
+        + (F.size(F.array_intersect(F.array_distinct(toks), stop_arr)) >= 2).cast("int")
+    )
+    base = d.withColumn("rule_hits", rule_hits)
+    passed = base.filter(F.col("rule_hits") >= 3)
+
+    npart = spark.sparkContext.defaultParallelism
+    sh = (
+        d.repartition(npart)
+        .select("doc_id", F.posexplode(_positional_shingles(width)))
+        .select("doc_id", (F.col("pos") + 1).alias("pos"), F.col("col").alias("shingle"))
+    )
+    from ushas_spark.durability import materialize
+
+    sh = materialize(sh)
+    dup = (
+        sh.groupBy("shingle").agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_count).select("shingle")
+    )
+    hits = sh.join(dup, "shingle", "left_semi")
+    win = W.partitionBy("doc_id").orderBy("pos")
+    contrib = F.when(F.lag("pos").over(win).isNull(), F.lit(width)).otherwise(
+        F.least(F.lit(width), F.col("pos") - F.lag("pos").over(win))
+    )
+    n_words = d.select("doc_id", F.size(F.split("text", r"\s+")).alias("nw"))
+    cov = (
+        hits.withColumn("c", contrib)
+        .groupBy("doc_id").agg(F.sum("c").alias("covered"))
+        .join(n_words, "doc_id")
+        .select(
+            "doc_id",
+            F.round(F.col("covered") * 1000.0 / F.col("nw")).cast("long")
+            .alias("coverage_x1000"),
+        )
+    )
+    span_ok = (
+        passed.join(cov, "doc_id", "left")
+        .filter(F.coalesce(F.col("coverage_x1000"), F.lit(0)) < 500)
+        .drop("coverage_x1000")
+    )
+    keeper = F.min("doc_id").over(W.partitionBy(F.md5("text")))
+    exact_ok = (
+        span_ok.withColumn("keeper", keeper)
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .drop("keeper")
+    )
+    return (
+        d.join(passed.select("doc_id", F.lit(1).alias("p")), "doc_id", "left")
+        .join(span_ok.select("doc_id", F.lit(1).alias("s")), "doc_id", "left")
+        .join(exact_ok.select("doc_id", F.lit(1).alias("e")), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count("p").alias("n_after_rules"),
+            F.count("s").alias("n_after_spans"),
+            F.count("e").alias("n_survivors"),
+        )
+        .orderBy("source")
+    )

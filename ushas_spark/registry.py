@@ -159,6 +159,7 @@ _DEFER_NEW: set[str] = {
     "sql_compat_functions",
     "sql_join_empty_relation",
     "pipeline_dsir_weights",
+    "pipeline_curation_e2e",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
