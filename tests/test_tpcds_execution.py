@@ -40,7 +40,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 QUERIES = [
-    # 76 of the 103 public TPC-DS queries execute end-to-end value-exact
+    # 77 of the 103 public TPC-DS queries execute end-to-end value-exact
     # vs DuckDB on the deterministic 24-table fixture (the reference's
     # TPCDSQuerySuite is compile-only for all of them). The 28 absent
     # ones fall into five documented classes:
@@ -56,7 +56,7 @@ QUERIES = [
     #    accumulation-order-sensitive);
     #  - fixture-scale structural: q2 (53-week year join), q83 (three
     #    exact calendar dates), q14/q23b/q24/q64 (multi-channel
-    #    INTERSECT funnels), q31/q41/q44/q49/q54/q65/q66/q76/q78/q85
+    #    INTERSECT funnels), q31/q41/q49/q54/q65/q66/q76/q78/q85
     #    (conjunction density the 6k-row fixture cannot reach while
     #    keeping the satisfied queries stable).
     "q1",
@@ -93,6 +93,7 @@ QUERIES = [
     "q40",
     "q42",
     "q43",
+    "q44",
     "q45",
     "q46",
     "q47",
@@ -327,6 +328,10 @@ SPECIAL = {
     # fact and its returns fact (q17/q25/q29/q50 store; q16 catalog;
     # q85/q94/q95 web) actually find matching lines -- independent
     # random FKs make a 3-column equality join structurally empty.
+    # q44's benchmark anchor averages profits of rows with a NULL
+    # address FK; one row in 20 gets one (pandas nullable Int64 ->
+    # int64 parquet with nulls on both engines).
+    "ss_addr_sk": lambda i: None if i % 20 == 0 else 1 + _mix(i, "ss_addr_sk") % 60,
     "sr_item_sk": lambda i: 1 + _mix((i * 4) % 6000, "ss_item_sk") % 60,
     "sr_customer_sk": lambda i: [2, 9, 46, 52][((i * 4) % 6000) // 1500],
     "sr_ticket_number": lambda i: 1 + ((i * 4) % 6000) // 1500,
@@ -474,6 +479,9 @@ def tpcds_data(spark, tmp_path_factory):
                 # back as BIGINT under the nanosAsLong conf and break
                 # DATE comparisons (q98's d_date BETWEEN range).
                 pdf[col] = pd.to_datetime(pdf[col]).dt.date
+            elif typ.upper() in ("INT", "BIGINT", "SMALLINT") and pdf[col].isna().any():
+                # Keep nullable integer FKs int64-typed in parquet.
+                pdf[col] = pdf[col].astype("Int64")
         path = str(root / f"{table}.parquet")
         pdf.to_parquet(path)
         paths[table] = path
