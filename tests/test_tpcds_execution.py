@@ -342,6 +342,15 @@ SPECIAL = {
     # address FK; one row in 20 gets one (pandas nullable Int64 ->
     # int64 parquet with nulls on both engines).
     "ss_addr_sk": lambda i: None if i % 20 == 0 else 1 + _mix(i, "ss_addr_sk") % 60,
+    # Customer 9 (an all-channel buyer) lives at a Dona Ana County
+    # address (sk 10 -- address row r = 9: r % 6 == 3 puts it in
+    # "Dona Ana County", which sits in BOTH q10's and q10a's county
+    # lists, and r % 3 == 0 keeps ca_gmt_offset = -5 for q61's
+    # promotional-ratio population). Customer 2 MUST keep its mix draw:
+    # it is the only customer whose (gmt_offset -7, cd pair, Unknown
+    # buy-potential) conjunction feeds q91.
+    "c_current_addr_sk": lambda i: {8: 10}.get(
+        i, 1 + _mix(i, "c_current_addr_sk") % 60),
     # q76 counts fact rows with NULL dimension FKs per channel.
     "ss_store_sk": lambda i: None if i % 25 == 0 else 1 + _mix(i, "ss_store_sk") % 60,
     "ws_ship_customer_sk": lambda i: (
@@ -563,6 +572,57 @@ def test_tpcds_query_executes_exactly(spark, tpcds_data, name):
     with open(os.path.join(RES, f"{name}.sql"), encoding="utf-8") as fh:
         sql = fh.read()
     _run_both(spark, tpcds_data, sql, name)
+
+
+# ------------------------------------------------- TPC-DS v2.7 variants
+RES_V27 = "/root/reference/sql/core/src/test/resources/tpcds-v2.7.0"
+
+V27_QUERIES = [
+    # 23 of the 32 v2.7 variant queries execute end-to-end value-exact on
+    # the SAME 24-table fixture (the reference compiles them only —
+    # TPCDSQuerySuite `tpcdsQueriesV2_7_0`). The 9 absent fall into the
+    # v1.4 accounting classes plus one new one:
+    #  - DuckDB-side parser/binder limits on the shared text: q72
+    #    (ambiguous d_week_seq), q77a (unquoted `returns` alias);
+    #  - rank/NULL-order ties at a BINDING LIMIT 100 boundary: q14a,
+    #    q22a, q67a (Spark sorts NULL-first, DuckDB NULL-last over the
+    #    rollup grouping columns, and rank ties straddle the cutoff, so
+    #    the two engines legitimately pick different row sets; verified
+    #    by sorted-multiset compare still mismatching at row ~96);
+    #  - DECIMAL-vs-DOUBLE avg divergence: q18a (same class as q18);
+    #  - fixture-scale structural: q14, q24, q64 (multi-channel
+    #    INTERSECT funnels -- same class as v1.4).
+    "q10a",
+    "q11",
+    "q12",
+    "q20",
+    "q22",
+    "q27a",
+    "q34",
+    "q35",
+    "q35a",
+    "q36a",
+    "q47",
+    "q49",
+    "q51a",
+    "q57",
+    "q5a",
+    "q6",
+    "q70a",
+    "q74",
+    "q75",
+    "q78",
+    "q80a",
+    "q86a",
+    "q98",
+]
+
+
+@pytest.mark.parametrize("name", V27_QUERIES)
+def test_tpcds_v27_query_executes_exactly(spark, tpcds_data, name):
+    with open(os.path.join(RES_V27, f"{name}.sql"), encoding="utf-8") as fh:
+        sql = fh.read()
+    _run_both(spark, tpcds_data, sql, f"v2.7/{name}")
 
 
 # --------------------------------------------------------------- SSB
