@@ -41,25 +41,22 @@ pytestmark = pytest.mark.skipif(
 
 QUERIES = [
     # 83 of the 103 public TPC-DS queries execute end-to-end value-exact
-    # vs DuckDB on the deterministic 24-table fixture (the reference's
-    # TPCDSQuerySuite is compile-only for all of them). The 20 absent
-    # ones fall into five documented classes:
+    # vs DuckDB on the deterministic 24-table fixture here (the
+    # reference's TPCDSQuerySuite is compile-only for all of them), and
+    # 13 more (q2, q14b, q17, q23b, q24a/b, q39a/b, q41, q54, q64, q83,
+    # q85) execute on test_tpcds_modified_execution's real-Julian-
+    # calendar fixture, whose structure dissolves their blockers -- see
+    # V14_CALENDAR_QUERIES there.  96 of 103 total; the 7 absent fall
+    # into three documented classes:
     #  - DuckDB-side parser/binder limits on the shared text: q58, q72
     #    (ambiguous-column strictness), q77 (unquoted `returns` alias);
     #  - q32: the public text's malformed date literal '2000-01-27]'
     #    (ANSI Spark refuses the cast; also noted in
     #    tests/test_benchmark_suites.py);
     #  - engine-semantics divergence on shared SQL: q18 (Spark DECIMAL
-    #    avg rounds to 6 frac digits; DuckDB computes DOUBLE), q67
-    #    (rank-tie at the LIMIT boundary picks engine-dependent rows);
-    #  - stddev-based: q17, q39a, q39b (sample stddev of doubles is
-    #    accumulation-order-sensitive);
-    #  - fixture-scale structural: q2 (needs week offset 53 for the
-    #    same year pair q59 needs 52 for), q83 (three exact calendar
-    #    dates the one-date-per-month calendar cannot hold), q14/q23b/
-    #    q24/q64 (multi-channel INTERSECT funnels), q41/q54/q85
-    #    (conjunction density the 6k-row fixture cannot reach while
-    #    keeping the satisfied queries stable).
+    #    avg rounds to 6 frac digits; DuckDB computes DOUBLE), q67 and
+    #    q14a (rank/NULL-order ties at a BINDING LIMIT boundary pick
+    #    engine-dependent row sets).
     "q1",
     "q3",
     "q4",
