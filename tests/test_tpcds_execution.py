@@ -577,8 +577,10 @@ RES_V27 = "/root/reference/sql/core/src/test/resources/tpcds-v2.7.0"
 V27_QUERIES = [
     # 23 of the 32 v2.7 variant queries execute end-to-end value-exact on
     # the SAME 24-table fixture (the reference compiles them only —
-    # TPCDSQuerySuite `tpcdsQueriesV2_7_0`). The 9 absent fall into the
-    # v1.4 accounting classes plus one new one:
+    # TPCDSQuerySuite `tpcdsQueriesV2_7_0`), and 3 more (q14, q24, q64 —
+    # the multi-channel funnels) on the calendar fixture
+    # (test_tpcds_modified_execution.V27_CALENDAR_QUERIES). 26 of 32
+    # total; the 6 absent:
     #  - DuckDB-side parser/binder limits on the shared text: q72
     #    (ambiguous d_week_seq), q77a (unquoted `returns` alias);
     #  - rank/NULL-order ties at a BINDING LIMIT 100 boundary: q14a,
@@ -586,9 +588,7 @@ V27_QUERIES = [
     #    rollup grouping columns, and rank ties straddle the cutoff, so
     #    the two engines legitimately pick different row sets; verified
     #    by sorted-multiset compare still mismatching at row ~96);
-    #  - DECIMAL-vs-DOUBLE avg divergence: q18a (same class as q18);
-    #  - fixture-scale structural: q14, q24, q64 (multi-channel
-    #    INTERSECT funnels -- same class as v1.4).
+    #  - DECIMAL-vs-DOUBLE avg divergence: q18a (same class as q18).
     "q10a",
     "q11",
     "q12",

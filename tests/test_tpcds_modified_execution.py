@@ -559,3 +559,16 @@ def test_tpcds_v14_calendar_query_executes_exactly(spark, tpcds_mod_data,
     with open(os.path.join(RES_V14, f"{name}.sql"), encoding="utf-8") as fh:
         sql = fh.read()
     _run_both_mod(spark, tpcds_mod_data, sql, f"v1.4-calendar/{name}")
+
+
+# The v2.7 variants of the same funnel shapes unlock identically.
+RES_V27 = "/root/reference/sql/core/src/test/resources/tpcds-v2.7.0"
+V27_CALENDAR_QUERIES = ["q14", "q24", "q64"]
+
+
+@pytest.mark.parametrize("name", V27_CALENDAR_QUERIES)
+def test_tpcds_v27_calendar_query_executes_exactly(spark, tpcds_mod_data,
+                                                   name):
+    with open(os.path.join(RES_V27, f"{name}.sql"), encoding="utf-8") as fh:
+        sql = fh.read()
+    _run_both_mod(spark, tpcds_mod_data, sql, f"v2.7-calendar/{name}")
