@@ -43,13 +43,13 @@ QUERIES = [
     # 83 of the 103 public TPC-DS queries execute end-to-end value-exact
     # vs DuckDB on the deterministic 24-table fixture here (the
     # reference's TPCDSQuerySuite is compile-only for all of them), and
-    # 13 more (q2, q14b, q17, q23b, q24a/b, q39a/b, q41, q54, q64, q83,
-    # q85) execute on test_tpcds_modified_execution's real-Julian-
-    # calendar fixture, whose structure dissolves their blockers -- see
-    # V14_CALENDAR_QUERIES there.  96 of 103 total; the 7 absent fall
-    # into three documented classes:
-    #  - DuckDB-side parser/binder limits on the shared text: q58, q72
-    #    (ambiguous-column strictness), q77 (unquoted `returns` alias);
+    # 16 more (q2, q14b, q17, q23b, q24a/b, q39a/b, q41, q54, q58, q64,
+    # q72, q77, q83, q85) execute on test_tpcds_modified_execution's
+    # real-Julian-calendar fixture, whose structure (plus three
+    # documented disambiguation transforms for DuckDB's stricter
+    # parser/binder) dissolves their blockers -- see
+    # V14_CALENDAR_QUERIES there.  99 of 103 total; the 4 absent fall
+    # into two documented classes:
     #  - q32: the public text's malformed date literal '2000-01-27]'
     #    (ANSI Spark refuses the cast; also noted in
     #    tests/test_benchmark_suites.py);
@@ -555,8 +555,13 @@ def _run_both(spark, paths: dict, sql: str, label: str) -> None:
             )
         # Some public query texts quote identifiers Spark-style
         # (`returns`); DuckDB uses double quotes for the same thing.
-        # Pure lexical transform -- the SQL semantics are identical.
-        duck_pdf = con.execute(sql.replace("`", '"')).fetchdf()
+        # q77/q77a additionally use the bare word `returns` as a column
+        # alias, which DuckDB's parser reserves -- quoting the
+        # standalone token (never part of store_returns etc., which
+        # have no word boundary) is the same pure lexical transform.
+        duck_sql = sql.replace("`", '"')
+        duck_sql = re.sub(r'(?<!")\breturns\b(?!")', '"returns"', duck_sql)
+        duck_pdf = con.execute(duck_sql).fetchdf()
     finally:
         con.close()
     assert len(spark_pdf) > 0, f"{label}: empty result -- fixture too sparse"
@@ -575,14 +580,14 @@ def test_tpcds_query_executes_exactly(spark, tpcds_data, name):
 RES_V27 = "/root/reference/sql/core/src/test/resources/tpcds-v2.7.0"
 
 V27_QUERIES = [
-    # 23 of the 32 v2.7 variant queries execute end-to-end value-exact on
+    # 24 of the 32 v2.7 variant queries execute end-to-end value-exact on
     # the SAME 24-table fixture (the reference compiles them only —
-    # TPCDSQuerySuite `tpcdsQueriesV2_7_0`), and 3 more (q14, q24, q64 —
-    # the multi-channel funnels) on the calendar fixture
-    # (test_tpcds_modified_execution.V27_CALENDAR_QUERIES). 26 of 32
-    # total; the 6 absent:
-    #  - DuckDB-side parser/binder limits on the shared text: q72
-    #    (ambiguous d_week_seq), q77a (unquoted `returns` alias);
+    # TPCDSQuerySuite `tpcdsQueriesV2_7_0`; q77a via the `returns`-alias
+    # quoting transform in _run_both), and 4 more (q14, q24, q64 — the
+    # multi-channel funnels — plus q72 with its ORDER BY disambiguation)
+    # on the calendar fixture
+    # (test_tpcds_modified_execution.V27_CALENDAR_QUERIES). 28 of 32
+    # total; the 4 absent:
     #  - rank/NULL-order ties at a BINDING LIMIT 100 boundary: q14a,
     #    q22a, q67a (Spark sorts NULL-first, DuckDB NULL-last over the
     #    rollup grouping columns, and rank ties straddle the cutoff, so
@@ -608,6 +613,7 @@ V27_QUERIES = [
     "q70a",
     "q74",
     "q75",
+    "q77a",
     "q78",
     "q80a",
     "q86a",

@@ -200,6 +200,12 @@ MOD_SPECIAL = {
     "i_manufact": lambda i: f"manu_{i % 10}",
     # Every price inside q64's double BETWEEN (65..74 intersection).
     "i_current_price": lambda i: 65.0 + (i % 36) / 4.0,
+    # Unique item_ids for the q58 slice items (sks 21..25) so their
+    # per-item_id channel revenues do not aggregate across distinct
+    # items; everything else keeps the 20-value cycle (modified q27's
+    # result must stay under its LIMIT boundary).
+    "i_item_id": lambda i: (
+        f"item_{i:04d}" if 20 <= i < 25 else f"i_item_id_{i % 20}"),
     # --- store
     "s_city": lambda i: ["Midway", "Fairview", "Concord", "Spring Hill",
                          "Brownsville", "Greenville"][i % 6],
@@ -216,7 +222,7 @@ MOD_SPECIAL = {
     # --- household_demographics
     "hd_dep_count": lambda i: i % 10,
     "hd_vehicle_count": lambda i: i % 5,
-    "hd_buy_potential": lambda i: [">10000", "unknown", "Unknown",
+    "hd_buy_potential": lambda i: [">10000", "1001-5000", "Unknown",
                                    "0-500"][i % 4],
     # --- customer_demographics (q7 needs F/D/Primary, q27 F/W/Primary
     # as CO-OCCURRING triples).
@@ -275,12 +281,14 @@ MOD_SPECIAL = {
     "ss_item_sk": lambda i: (
         1 + (i - _BAND_ROWS) // 10 if _BAND_ROWS <= i < _BAND_ROWS + 100
         else 1 + (i - 1086) if 1086 <= i < 1106
+        else 21 + (i - 1106) // 6 if 1106 <= i < 1136
         else 1 + _mix(i, "ss_item_sk") % 60),
     "ss_sold_date_sk": lambda i: (
         _BAND_DATES[i % _BAND] if i < _BAND_ROWS
         else _jdn_day(2000, 3, 1 + (i - _BAND_ROWS) // 10)
         if i < _BAND_ROWS + 100
         else _jdn_day(2001, 1, 15) + (i - 1086) if 1086 <= i < 1106
+        else _jdn_day(2000, 1, 3) + (i - 1106) % 6 if 1106 <= i < 1136
         else None if i % 89 == 0
         else _jdn_mix(i, "ss_sold_date_sk")),
     # --- store_returns mirror sales rows on (ticket, item, customer):
@@ -289,8 +297,15 @@ MOD_SPECIAL = {
     # (ticket, item) equality structurally empty).
     # Multiples of 50: q54 computes cast(revenue / 50 AS INT), and the
     # two engines disagree on fractional casts (Spark truncates, DuckDB
-    # rounds) -- sums of 50-multiples make the division exact.
-    "ss_ext_sales_price": lambda i: 50.0 * ((i * 137 + 7) % 400),
+    # rounds) -- sums of 50-multiples make the division exact.  Rows
+    # 1106..1135 are the q58 slice: items 21..25 sold six times in the
+    # week of 2000-01-03 at 50,000 each, in ALL three channels (catalog
+    # rows 70..99, web rows 0..29 mirror the same pattern), so the
+    # pinned 300,000 per channel dominates any generic same-week noise
+    # row (<= 19,950) and every cross-channel revenue ratio stays
+    # within q58's [0.9, 1.1] bands.
+    "ss_ext_sales_price": lambda i: (
+        50000.0 if 1106 <= i < 1136 else 50.0 * ((i * 137 + 7) % 400)),
     # (return rows 0..19 mirror the q17 slice instead of the 4i rule)
     "sr_ticket_number": lambda i: MOD_SPECIAL["ss_ticket_number"](
         1086 + i if i < 20 else (i * 4) % 8000),
@@ -312,12 +327,23 @@ MOD_SPECIAL = {
     "cs_item_sk": lambda i: (
         1 + i % 10 if i < 30 else 14 if i < 50
         else 1 + (i - 50) if i < 70
+        else 21 + (i - 70) // 6 if i < 100
         else 1 + _mix(i, "cs_item_sk") % 60),
     "cs_sold_date_sk": lambda i: (
         _jdn_day(2000, 2, 1 + i % 28) if i < 30
         else _jdn_day(1998, 12, 1 + i % 31) if i < 50
         else _jdn_day(2001, 5, 1) + (i - 50) if i < 70
+        else _jdn_day(2000, 1, 3) + (i - 70) % 6 if i < 100
         else _jdn_mix(i, "cs_sold_date_sk")),
+    "cs_ext_sales_price": lambda i: (
+        50000.0 if 70 <= i < 100 else ((i * 137 + 4001) % 19997) / 4.0),
+    "ws_item_sk": lambda i: (
+        21 + i // 6 if i < 30 else 1 + _mix(i, "ws_item_sk") % 60),
+    "ws_sold_date_sk": lambda i: (
+        _jdn_day(2000, 1, 3) + i % 6 if i < 30
+        else _jdn_mix(i, "ws_sold_date_sk")),
+    "ws_ext_sales_price": lambda i: (
+        50000.0 if i < 30 else ((i * 139 + 5003) % 19997) / 4.0),
     # --- inventory: rows 0..79 are the q39 slice -- warehouse 1, items
     # 1..10, four snapshots per month in Jan and Feb 2001 with
     # quantities [0, 0, 0, 30]: mean 7.5, stddev_samp exactly 15.0
@@ -340,7 +366,7 @@ MOD_SPECIAL = {
     "ws_order_number": lambda i: 1 + i // 20,
     "cs_order_number": lambda i: 1 + i // 20,
     "wr_order_number": lambda i: 1 + ((i * 4) % 1500) // 20,
-    "wr_item_sk": lambda i: 1 + _mix((i * 4) % 1500, "ws_item_sk") % 60,
+    "wr_item_sk": lambda i: MOD_SPECIAL["ws_item_sk"]((i * 4) % 1500),
     "cr_order_number": lambda i: 1 + ((i * 4) % 1500) // 20,
     "cr_item_sk": lambda i: MOD_SPECIAL["cs_item_sk"]((i * 4) % 1500),
     # q85 equates the refunding and returning demographics row-wise
@@ -512,10 +538,25 @@ def _run_both_mod(spark, paths: dict, sql: str, label: str) -> None:
                 f"SELECT * FROM read_parquet('{path}')"
             )
         # Lexical transforms only: Spark spells `left semi join`,
-        # DuckDB spells the identical operator `semi join`.
+        # DuckDB spells the identical operator `semi join`; q77's bare
+        # `returns` column alias is a reserved word for DuckDB's parser
+        # (quote it); q72's final ORDER BY d_week_seq resolves to the
+        # SELECT-list output column (d1.d_week_seq) under Spark's
+        # resolution order, which DuckDB's stricter binder needs spelled
+        # out.
         duck_sql = sql.replace("`", '"')
         duck_sql = re.sub(r"\bleft\s+semi\s+join\b", "semi join",
                           duck_sql, flags=re.IGNORECASE)
+        duck_sql = re.sub(r'(?<!")\breturns\b(?!")', '"returns"', duck_sql)
+        duck_sql = duck_sql.replace(
+            "i_item_desc, w_warehouse_name, d_week_seq",
+            "i_item_desc, w_warehouse_name, d1.d_week_seq")
+        # q58: ORDER BY item_id resolves to the output column
+        # (ss_items.item_id) in Spark; the three item_ids are equi-joined
+        # so the qualification cannot change the ordering.
+        duck_sql = duck_sql.replace(
+            "ORDER BY item_id, ss_item_rev",
+            "ORDER BY ss_items.item_id, ss_item_rev")
         duck_pdf = con.execute(duck_sql).fetchdf()
     finally:
         con.close()
@@ -545,11 +586,16 @@ def test_tpcds_modified_query_executes_exactly(spark, tpcds_mod_data, name):
 #  - stddev class: q17, q39a, q39b -- the [0, 0, 0, 30] inventory
 #    snapshots and count<=2 quantity groups make every variance an
 #    exact integer (stddev_samp 15.0, cov 2), so the usual
-#    accumulation-order drift has no bits to disagree on.
+#    accumulation-order drift has no bits to disagree on;
+#  - DuckDB binder/parser strictness, resolved by the documented
+#    lexical transforms in _run_both_mod: q58 (ORDER BY item_id),
+#    q72 (ORDER BY d_week_seq), q77 (`returns` alias) -- plus the q58
+#    slice (items 21..25 sold in the week of 2000-01-03 in all three
+#    channels at a dominating 50,000/row) for its +-10% revenue bands.
 RES_V14 = "/root/reference/sql/core/src/test/resources/tpcds"
 V14_CALENDAR_QUERIES = [
     "q2", "q14b", "q17", "q23b", "q24a", "q24b", "q39a", "q39b",
-    "q41", "q54", "q64", "q83", "q85",
+    "q41", "q54", "q58", "q64", "q72", "q77", "q83", "q85",
 ]
 
 
@@ -561,9 +607,10 @@ def test_tpcds_v14_calendar_query_executes_exactly(spark, tpcds_mod_data,
     _run_both_mod(spark, tpcds_mod_data, sql, f"v1.4-calendar/{name}")
 
 
-# The v2.7 variants of the same funnel shapes unlock identically.
+# The v2.7 variants of the same funnel shapes unlock identically
+# (q72's 2001/'1001-5000'/'M' needle sits in the same cycles).
 RES_V27 = "/root/reference/sql/core/src/test/resources/tpcds-v2.7.0"
-V27_CALENDAR_QUERIES = ["q14", "q24", "q64"]
+V27_CALENDAR_QUERIES = ["q14", "q24", "q64", "q72"]
 
 
 @pytest.mark.parametrize("name", V27_CALENDAR_QUERIES)
