@@ -268,10 +268,8 @@ def tpch_data(spark, tmp_path_factory):
     root = tmp_path_factory.mktemp("tpch_exec")
     paths = {}
     for table, pdf in _build_tables().items():
-        for col in pdf.columns:
-            if pdf[col].dtype == object and isinstance(
-                    pdf[col].iloc[0], datetime.date):
-                pass    # parquet date32 via pyarrow date inference
+        # datetime.date cells land as parquet date32 via pyarrow's
+        # object-column date inference; both engines read them as DATE.
         path = str(root / f"{table}.parquet")
         pdf.to_parquet(path)
         paths[table] = path
