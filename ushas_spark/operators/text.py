@@ -1407,3 +1407,168 @@ def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_stop.alias("r_stop"),
         (r_wordcount + r_meanlen + r_symbol + r_alpha + r_stop).alias("rules_passed"),
     ).orderBy("doc_id")
+
+
+# ------------------------------------------- hashed linear quality classifier
+
+_CLF_BUCKETS = 256
+_CLF_BIAS = -50_000
+# weight(bucket) = (bucket * Knuth) % 1000001 - 500000: a deterministic
+# stand-in for trained fastText-style weights in micro-logit units.
+_CLF_MULT = 2654435761
+
+_CLF_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST({_CLF_BIAS} + list_sum(list_transform(toks, w ->
+              ((('0x' || substring(md5(w), 1, 15))::BIGINT % {_CLF_BUCKETS})
+               * {_CLF_MULT}) % 1000001 - 500000)) AS BIGINT) AS logit_x1m
+  FROM t
+)
+SELECT doc_id, n_tokens, logit_x1m,
+       CASE WHEN logit_x1m < -2000000 THEN 'low'
+            WHEN logit_x1m <= 2000000 THEN 'medium'
+            ELSE 'high' END AS quality_band
+FROM s ORDER BY doc_id
+"""
+
+
+@query("text_quality_classifier", oracle=_CLF_ORACLE)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (fastText-style) quality-classifier INFERENCE over hashed
+    bag-of-words features -- the deployment shape of every learned
+    quality filter (e.g. the CCNet/LLaMA wikipedia-vs-crawl model): a
+    fixed vocabulary-free feature hash, one weight per bucket, a bias,
+    and a thresholded logit.  Weights here are a deterministic function
+    of the bucket id standing in for trained parameters, in integer
+    micro-logit units so the score is a BIGINT sum (order-independent,
+    engine-exact); the sigmoid is monotone, so banding on the logit IS
+    banding on the probability without touching exp().
+
+    100 TB shape: the entire scoring is ONE projection -- tokens ->
+    F.aggregate with the hash+weight arithmetic inside the lambda. No
+    explode, no join, no shuffle, no Python: a pure map over the corpus
+    that scales embarrassingly with executors.  (A learned model ships
+    its weights either as this kind of closed form, a map literal, or a
+    {_CLF_BUCKETS}-row broadcast table -- pipeline_dsir_weights
+    demonstrates the broadcast-table variant of the same pattern.)
+    Reference scope: quality classification is beyond the fork
+    (SURVEY.md section 0); built Spark-first.
+    """
+    from ushas_spark.operators.dedup import hash60
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+
+    def _w(tok: Column) -> Column:
+        b = hash60(tok) % _CLF_BUCKETS
+        return (b * _CLF_MULT) % 1_000_001 - 500_000
+
+    logit = F.aggregate(
+        toks, F.lit(_CLF_BIAS).cast("long"), lambda acc, w: acc + _w(w)
+    )
+    out = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        logit.alias("logit_x1m"),
+    )
+    band = (
+        F.when(F.col("logit_x1m") < -2_000_000, "low")
+        .when(F.col("logit_x1m") <= 2_000_000, "medium")
+        .otherwise("high")
+    )
+    return out.select("*", band.alias("quality_band")).orderBy("doc_id")
+
+
+# ----------------------------------------------- per-source corpus divergence
+
+_DIV_BUCKETS = 512
+
+_DIV_ORACLE = f"""
+WITH bg AS (
+  SELECT source,
+         ('0x' || substring(md5(w), 1, 15))::BIGINT % {_DIV_BUCKETS} AS bucket
+  FROM documents, unnest(regexp_split_to_array(text, '\\s+')) AS u(w)
+),
+sb AS (
+  SELECT source, bucket, CAST(count(*) AS BIGINT) AS o
+  FROM bg GROUP BY source, bucket
+),
+b AS (SELECT bucket, CAST(sum(o) AS BIGINT) AS cb FROM sb GROUP BY bucket),
+s AS (SELECT source, CAST(sum(o) AS BIGINT) AS cs FROM sb GROUP BY source),
+ct AS (SELECT CAST(sum(cs) AS BIGINT) AS n FROM s),
+grid AS (
+  SELECT s.source, s.cs, b.bucket, b.cb, COALESCE(sb.o, 0) AS o, ct.n
+  FROM s CROSS JOIN b CROSS JOIN ct
+  LEFT JOIN sb ON sb.source = s.source AND sb.bucket = b.bucket
+)
+SELECT source,
+       CAST(max(cs) AS BIGINT) AS n_tokens,
+       CAST(count(CASE WHEN o > 0 THEN 1 END) AS BIGINT) AS buckets_hit,
+       CAST(sum(CAST(round(1000000.0
+            * (o - CAST(cb AS DOUBLE) * cs / n)
+            * (o - CAST(cb AS DOUBLE) * cs / n)
+            / (CAST(cb AS DOUBLE) * cs / n)) AS BIGINT)) AS BIGINT)
+         AS chi2_x1m
+FROM grid GROUP BY source ORDER BY source
+"""
+
+
+@query("text_corpus_divergence", oracle=_DIV_ORACLE)
+def text_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How far each source's hashed-unigram distribution sits from the
+    corpus-wide distribution -- the domain-shift report a mixture
+    curator reads before reweighting (the chi-square analogue of
+    pipeline_dsir_weights' per-document scores; KL needs logs, which
+    diverge across engines at the last ulp, while the chi-square
+    statistic is a few IEEE double ops over exact integer counts --
+    bit-identical on both engines -- rounded per cell to a BIGINT so
+    the sum is order-independent).
+
+    100 TB shape: the corpus is touched ONCE (token explode into a
+    {_DIV_BUCKETS}-bucket hash aggregate, map-side combinable -- the
+    only corpus-sized shuffle is by (source, bucket), whose cardinality
+    is sources x {_DIV_BUCKETS} regardless of corpus size).  Everything
+    after operates on that tiny table: bucket totals, source totals,
+    the dense source x bucket grid (so EMPTY cells contribute their
+    expected mass, the part of chi-square naive per-pair scoring
+    misses), and the final per-source fold are all broadcast-side
+    algebra.  Reference scope: corpus analytics beyond the fork
+    (SURVEY.md section 0); built Spark-first.
+    """
+    from ushas_spark.operators.dedup import hash60
+
+    d = load_table(spark, sf_dir, "documents")
+    bg = d.select(
+        "source", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+    ).select("source", (hash60(F.col("tok")) % _DIV_BUCKETS).alias("bucket"))
+    sb = bg.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    b = sb.groupBy("bucket").agg(F.sum("o").cast("long").alias("cb"))
+    s = sb.groupBy("source").agg(F.sum("o").cast("long").alias("cs"))
+    ct = s.agg(F.sum("cs").cast("long").alias("n"))
+    grid = (
+        s.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(ct))
+        .join(F.broadcast(sb), ["source", "bucket"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0).cast("long")))
+    )
+    e = F.col("cb").cast("double") * F.col("cs") / F.col("n")
+    cell = F.round(1_000_000.0 * (F.col("o") - e) * (F.col("o") - e) / e).cast(
+        "long"
+    )
+    return (
+        grid.groupBy("source")
+        .agg(
+            F.max("cs").cast("long").alias("n_tokens"),
+            F.count(F.when(F.col("o") > 0, 1)).cast("long").alias("buckets_hit"),
+            F.sum(cell).cast("long").alias("chi2_x1m"),
+        )
+        .orderBy("source")
+    )

@@ -160,6 +160,8 @@ _DEFER_NEW: set[str] = {
     "sql_join_empty_relation",
     "pipeline_dsir_weights",
     "pipeline_curation_e2e",
+    "text_quality_classifier",
+    "text_corpus_divergence",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
