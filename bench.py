@@ -117,6 +117,8 @@ HEADLINE = [
     "dedup_semantic_clusters",
     "text_gopher_quality_rules",
     "pipeline_dsir_weights",
+    "text_quality_classifier",
+    "text_corpus_divergence",
 ]
 
 ITERATIONS = 3  # best-of-N, after one untimed warm-up
