@@ -16,8 +16,9 @@ in the reference suites (public TPC-DS/SSB spec schemas) is extracted
 from the suite source at test time, the tables are created empty, every
 ``.sql`` resource is driven through ``spark.sql`` to a physical plan, and
 -- beyond the reference -- our lineage extractor must walk every analyzed
-plan (103 + 32 + 21 + 13 = 169 plans is the hardest lineage stress test
-in the repo: deep CTEs, correlated subqueries, rollups, windows).
+plan (103 + 32 + 21 + 13 + 22 TPC-H = 191 plans is the hardest lineage
+stress test in the repo: deep CTEs, correlated subqueries, rollups,
+windows).
 """
 
 from __future__ import annotations
@@ -135,3 +136,25 @@ def test_tpcds_modified_compiles(spark, tpcds_db, name):
 @pytest.mark.parametrize("name", _queries("ssb"))
 def test_ssb_compiles(spark, ssb_db, name):
     _compile_one(spark, "ssb", name)
+
+
+@pytest.fixture(scope="module")
+def tpch_db(spark, tmp_path_factory):
+    """Empty TPC-H tables under the reference's EXACT DDL (DECIMAL(10,0)
+    money).  test_tpch_execution runs all 22 texts value-exact on a
+    spec-typed fixture; this sweep additionally replays the reference's
+    own TPCHQuerySuite.scala:28 compile methodology verbatim, schema
+    included, and walks every plan with the lineage extractor."""
+    prev = spark.catalog.currentDatabase()
+    spark.sql("CREATE DATABASE IF NOT EXISTS tpch_lint")
+    spark.catalog.setCurrentDatabase("tpch_lint")
+    for ddl in _ddl_blocks(os.path.join(REF, "TPCHQuerySuite.scala")):
+        spark.sql(ddl)
+    yield "tpch_lint"
+    spark.catalog.setCurrentDatabase(prev)
+    spark.sql("DROP DATABASE tpch_lint CASCADE")
+
+
+@pytest.mark.parametrize("name", _queries("tpch"))
+def test_tpch_compiles(spark, tpch_db, name):
+    _compile_one(spark, "tpch", name)
