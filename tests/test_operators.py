@@ -755,3 +755,54 @@ def test_cdc_apply_is_idempotent_under_replay(spark, sf_dir):
     )
     assert again.exceptAll(snap).count() == 0
     assert snap.exceptAll(again).count() == 0
+
+
+def test_quality_classifier_matches_python_model(spark, sf_dir):
+    """The Spark-side lambda scoring equals an independent pure-Python
+    reimplementation of the same hashed linear model (md5-prefix hash,
+    bucket weights, bias) on a sample of documents."""
+    import hashlib
+
+    from ushas_spark.operators.text import (
+        _CLF_BIAS, _CLF_BUCKETS, _CLF_MULT, text_quality_classifier,
+    )
+
+    def py_logit(text: str) -> int:
+        import re
+
+        s = _CLF_BIAS
+        for w in re.split(r"\s+", text):
+            h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+            s += (h % _CLF_BUCKETS) * _CLF_MULT % 1_000_001 - 500_000
+        return s
+
+    docs = load_table(spark, sf_dir, "documents").limit(20).collect()
+    got = {
+        r["doc_id"]: r["logit_x1m"]
+        for r in text_quality_classifier(spark, sf_dir).collect()
+    }
+    for d in docs:
+        assert got[d["doc_id"]] == py_logit(d["text"]), d["doc_id"]
+
+
+def test_corpus_divergence_zero_for_single_source(spark, sf_dir, tmp_path):
+    """A corpus with ONE source has expected == observed in every
+    bucket, so the chi-square statistic is exactly zero -- the
+    null-distance invariant of the divergence operator."""
+    from ushas_spark.operators.text import text_corpus_divergence
+
+    one = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("source", F.lit("only"))
+    )
+    # text_corpus_divergence loads `documents` from a directory -- stage
+    # a single-source copy of the corpus under the expected layout.
+    import os
+
+    staged = str(tmp_path / "sf_staged")
+    os.makedirs(staged)
+    one.write.parquet(os.path.join(staged, "documents.parquet"))
+    rows = text_corpus_divergence(spark, staged).collect()
+    assert len(rows) == 1
+    assert rows[0]["chi2_x1m"] == 0
+    assert rows[0]["source"] == "only"
