@@ -2836,3 +2836,107 @@ def events_dropoff_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("path", "n_sessions", F.col("rnk").cast("long"))
         .orderBy("rnk")
     )
+
+
+# ----------------------------------------------- 2-D skyline (Pareto front)
+
+_SKYLINE_ORACLE = """
+WITH pts AS (
+  SELECT user_id,
+         SUM(value) AS total_value,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT p.user_id, p.total_value, p.n_events
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts v
+  WHERE v.user_id <> p.user_id
+    AND v.total_value >= p.total_value
+    AND v.n_events >= p.n_events
+    AND (v.total_value > p.total_value OR v.n_events > p.n_events)
+)
+ORDER BY p.total_value DESC, p.n_events DESC, p.user_id
+"""
+
+
+@query("events_skyline_frontier", oracle=_SKYLINE_ORACLE)
+def events_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) over per-user (total spend, event
+    count): the users no other user beats on BOTH axes -- the classic
+    dominance operator Spark has no builtin for, and the whale-report
+    shape of engagement analytics.
+
+    Scale shape (grid-pruned skyline, the block-nested-loop killer):
+    one groupBy(user) aggregate, then 64 fixed-width range buckets over
+    total_value.  A point in bucket b has STRICTLY smaller total than
+    every point in buckets > b, so if any higher bucket holds a point
+    with >= its event count, it is dominated -- that check is a
+    broadcast join against the 64-row suffix-max table (itself a tiny
+    theta self-join, no global window).  Only the survivors of the
+    coarse prune do exact same-bucket dominance pairs, and each pair
+    join is confined to ONE bucket's residents (the near-frontier
+    points), never all-pairs over users.  At any corpus size the
+    quadratic term is bounded by the densest single bucket, and the
+    bucket count is a constant the operator can raise.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.groupBy("user_id").agg(
+        F.sum("value").alias("total_value"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    nb = 64
+    stats = pts.agg(
+        F.min("total_value").alias("lo"), F.max("total_value").alias("hi")
+    )
+    p = pts.crossJoin(F.broadcast(stats)).withColumn(
+        "bucket",
+        F.least(
+            F.lit(nb - 1),
+            F.floor(
+                (F.col("total_value") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / nb + F.lit(1e-12))
+            ),
+        ).cast("long"),
+    )
+    bmax = p.groupBy("bucket").agg(F.max("n_events").alias("bn"))
+    suffix = (
+        bmax.alias("a")
+        .join(bmax.alias("b"), F.col("b.bucket") > F.col("a.bucket"), "left")
+        .groupBy(F.col("a.bucket").alias("bucket"))
+        .agg(F.max(F.col("b.bn")).alias("suffix_max_n"))
+    )
+    cand = (
+        p.join(F.broadcast(suffix), "bucket")
+        .where(
+            F.col("suffix_max_n").isNull()
+            | (F.col("n_events") > F.col("suffix_max_n"))
+        )
+        .select("bucket", "user_id", "total_value", "n_events")
+    )
+    v = cand.select(
+        F.col("bucket").alias("vb"),
+        F.col("user_id").alias("vu"),
+        F.col("total_value").alias("vt"),
+        F.col("n_events").alias("vn"),
+    )
+    dominated_in_bucket = (
+        cand.join(
+            v,
+            (F.col("vb") == F.col("bucket"))
+            & (F.col("vu") != F.col("user_id"))
+            & (F.col("vt") >= F.col("total_value"))
+            & (F.col("vn") >= F.col("n_events"))
+            & (
+                (F.col("vt") > F.col("total_value"))
+                | (F.col("vn") > F.col("n_events"))
+            ),
+            "left_semi",
+        )
+        .select("user_id")
+    )
+    return (
+        cand.join(dominated_in_bucket, "user_id", "left_anti")
+        .select("user_id", "total_value", "n_events")
+        .orderBy(F.desc("total_value"), F.desc("n_events"), "user_id")
+    )

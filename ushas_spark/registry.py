@@ -170,6 +170,7 @@ _DEFER_NEW: set[str] = {
     "pipeline_curation_e2e",
     "text_quality_classifier",
     "text_corpus_divergence",
+    "events_skyline_frontier",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
