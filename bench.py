@@ -119,6 +119,7 @@ HEADLINE = [
     "pipeline_dsir_weights",
     "text_quality_classifier",
     "text_corpus_divergence",
+    "events_skyline_frontier",
 ]
 
 ITERATIONS = 3  # best-of-N, after one untimed warm-up

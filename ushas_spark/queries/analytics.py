@@ -2880,10 +2880,17 @@ def events_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic term is bounded by the densest single bucket, and the
     bucket count is a constant the operator can raise.
     """
+    from ushas_spark.durability import materialize
+
     ev = load_table(spark, sf_dir, "events")
-    pts = ev.groupBy("user_id").agg(
-        F.sum("value").alias("total_value"),
-        F.count(F.lit(1)).cast("long").alias("n_events"),
+    # pts feeds four branches (stats, bucket maxima, candidates, pairs):
+    # materialize so the per-user aggregate is computed once, not once
+    # per branch of the DAG.
+    pts = materialize(
+        ev.groupBy("user_id").agg(
+            F.sum("value").alias("total_value"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
     )
     nb = 64
     stats = pts.agg(
@@ -2906,7 +2913,7 @@ def events_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.bucket").alias("bucket"))
         .agg(F.max(F.col("b.bn")).alias("suffix_max_n"))
     )
-    cand = (
+    cand = materialize(
         p.join(F.broadcast(suffix), "bucket")
         .where(
             F.col("suffix_max_n").isNull()
