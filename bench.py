@@ -23,6 +23,22 @@ cluster_components 1.18x, brute_force 1.09x). Code and plans for the
 controls are byte-identical across rounds, so the shift is machine
 state, not a dedup regression. Diagnosed cause: uniform environment
 drift; no action.
+
+Round-6 re-pin of the four r05 spikes (r05 VERDICT item 3), quiet
+machine (fresh VM, load settled, nothing co-running), code and plans
+still byte-identical to r04 for all four:
+  sim_mmr_rerank        8.36 -> 2.12  (r04 1.51; control q9 at 1.3x)
+  text_collocations     3.68 -> 0.74  (r04 0.63)
+  window_topk_per_group 0.88 -> 0.46  (r04 0.40)
+  graph_triangle_count 15.35 -> 14.97 in a 6-query sweep,
+                        but 7.10 RUN ALONE (r04 8.44, i.e. 0.84x)
+Verdict: all four were sweep-contention artifacts, not regressions.
+The triangle-count isolated-vs-sweep gap (7.1s vs 15.0s) pins the
+mechanism: non-blocking unpersist let earlier queries' checkpoint
+blocks and GC debt bleed into the heaviest query's window. Fix below:
+_release_storage now unpersists BLOCKING -- it runs after the timed
+region, so the wait costs sweep wall-clock, not measured time, and the
+next query starts with storage actually clear.
 """
 
 from __future__ import annotations
@@ -147,14 +163,17 @@ def _release_storage(spark) -> None:
     memory-pressures LATER queries (measured: q5 went 1.7s -> 3.0s once
     three checkpointing queries preceded it). Unpersisting between
     queries keeps each timing independent -- the cross-query hygiene a
-    long-lived cluster session would apply too. Non-blocking: the drop
-    happens off the timed path.
+    long-lived cluster session would apply too. BLOCKING (since r06):
+    the call sits after the timed region, so waiting costs sweep
+    wall-clock only, and a non-blocking drop measurably let earlier
+    queries' blocks bleed into the next window (graph_triangle_count:
+    7.1s alone vs 15.0s late in a sweep, identical plans).
 
     (Measured and rejected: a forced System.gc() between queries --
     per-query numbers still swing with ambient machine load, and the
     full GCs add minutes of wall time to a 42-query sweep.)"""
     for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-        rdd.unpersist(False)
+        rdd.unpersist(True)
 
 
 def main() -> None:
@@ -189,7 +208,25 @@ def main() -> None:
         "queries": {k: round(v, 4) for k, v in timings.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    print(json.dumps(out))
+    # Full per-query payload goes to a file: the driver captures only the
+    # LAST ~2000 chars of stdout and parses the JSON line it finds there,
+    # so a 68-query map on one line overflows the window and the round's
+    # headline number is lost (this happened to BENCH_r05: rc=0 but
+    # "parsed": null, the line visibly truncated mid-JSON). Keep stdout's
+    # single JSON line compact enough to always fit: inline only the
+    # slowest queries when the full map would overflow.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
+    line = json.dumps(out)
+    if len(line) > 1800:
+        slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:15])
+        out["queries"] = {k: round(v, 4) for k, v in slowest.items()}
+        out["n"] = len(timings)
+        out["detail"] = "BENCH_DETAIL.json"
+        line = json.dumps(out)
+    print(line)
     spark.stop()
 
 

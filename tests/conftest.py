@@ -15,6 +15,15 @@ from ushas_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("USHAS_TEST_SF", "/root/testdata/sf0.001")
 
 
+def pytest_configure(config):
+    # Registered here because the repo has no pytest.ini: xdist_group is
+    # meaningful under pytest-xdist --dist loadgroup and harmless without.
+    config.addinivalue_line(
+        "markers",
+        "xdist_group(name): pin tests to one pytest-xdist worker",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("ushas-tests", shuffle_partitions=8)

@@ -35,9 +35,15 @@ REF_SUITE = (
 )
 RES = "/root/reference/sql/core/src/test/resources/tpcds"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(RES), reason="reference resources not available"
-)
+# xdist_group: see test_tpcds_modified_execution.py -- both modules bind
+# the bare TPC-DS table names as session-global temp views; keep them on
+# one worker under pytest-xdist --dist loadgroup.
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.isdir(RES), reason="reference resources not available"
+    ),
+    pytest.mark.xdist_group("tpcds_bare_views"),
+]
 
 QUERIES = [
     # 83 of the 103 public TPC-DS queries execute end-to-end value-exact
@@ -48,14 +54,16 @@ QUERIES = [
     # real-Julian-calendar fixture, whose structure (plus three
     # documented disambiguation transforms for DuckDB's stricter
     # parser/binder) dissolves their blockers -- see
-    # V14_CALENDAR_QUERIES there.  99 of 103 total; the 4 absent fall
-    # into two documented classes:
+    # V14_CALENDAR_QUERIES there.  Plus q18 on the dyadic power-of-two
+    # fixture of test_tpcds_decimal_execution (its DECIMAL-avg
+    # divergence class dissolves when every group mean is exactly
+    # representable on both engines).  100 of 103 total; the 3 absent
+    # fall into two documented classes:
     #  - q32: the public text's malformed date literal '2000-01-27]'
     #    (ANSI Spark refuses the cast; also noted in
     #    tests/test_benchmark_suites.py);
-    #  - engine-semantics divergence on shared SQL: q18 (Spark DECIMAL
-    #    avg rounds to 6 frac digits; DuckDB computes DOUBLE), q67 and
-    #    q14a (rank/NULL-order ties at a BINDING LIMIT boundary pick
+    #  - engine-semantics divergence on shared SQL: q67 and q14a
+    #    (rank/NULL-order ties at a BINDING LIMIT boundary pick
     #    engine-dependent row sets).
     "q1",
     "q3",
@@ -586,14 +594,14 @@ V27_QUERIES = [
     # quoting transform in _run_both), and 4 more (q14, q24, q64 — the
     # multi-channel funnels — plus q72 with its ORDER BY disambiguation)
     # on the calendar fixture
-    # (test_tpcds_modified_execution.V27_CALENDAR_QUERIES). 28 of 32
-    # total; the 4 absent:
+    # (test_tpcds_modified_execution.V27_CALENDAR_QUERIES), and q18a on
+    # test_tpcds_decimal_execution's dyadic power-of-two fixture (the
+    # DECIMAL-avg class, closed in r06). 29 of 32 total; the 3 absent:
     #  - rank/NULL-order ties at a BINDING LIMIT 100 boundary: q14a,
     #    q22a, q67a (Spark sorts NULL-first, DuckDB NULL-last over the
     #    rollup grouping columns, and rank ties straddle the cutoff, so
     #    the two engines legitimately pick different row sets; verified
-    #    by sorted-multiset compare still mismatching at row ~96);
-    #  - DECIMAL-vs-DOUBLE avg divergence: q18a (same class as q18).
+    #    by sorted-multiset compare still mismatching at row ~96).
     "q10a",
     "q11",
     "q12",

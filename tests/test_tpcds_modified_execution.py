@@ -34,9 +34,17 @@ from tests.test_tpcds_execution import _ddl_columns, _mix, _positional
 
 RES_MOD = "/root/reference/sql/core/src/test/resources/tpcds-modifiedQueries"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(RES_MOD), reason="reference resources not available"
-)
+# xdist_group: this module and test_tpcds_execution both (re)bind the
+# bare TPC-DS table names as session-global temp views in module-scoped
+# fixtures -- safe sequentially, a collision if the two modules run
+# concurrently in one Spark session. Pinning both to one xdist group
+# keeps them on the same worker under pytest-xdist --dist loadgroup.
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.isdir(RES_MOD), reason="reference resources not available"
+    ),
+    pytest.mark.xdist_group("tpcds_bare_views"),
+]
 
 MOD_QUERIES = [
     "q3", "q7", "q10", "q19", "q27", "q34", "q42", "q43", "q46", "q52",

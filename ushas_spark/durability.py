@@ -33,6 +33,32 @@ from pyspark.sql import DataFrame
 
 _RELIABLE = os.environ.get("USHAS_RELIABLE_CHECKPOINT", "") in ("1", "true")
 
+# Plan-audit hook: when active, every materialize() records the plan of
+# the segment it truncates. Without this, a plan auditor that inspects
+# only the query's FINAL DataFrame is blind to the upstream stages --
+# e.g. sim_mmr_rerank's audited fragment showed "1 shuffle" while the
+# query actually runs 5+ materialized jobs (r05 verdict, "what's wrong"
+# item 3). tools/gen_plans_md.py wraps query construction in
+# begin/end_plan_audit and sums metrics across all segments.
+_AUDIT: list[dict] | None = None
+
+
+def begin_plan_audit() -> None:
+    global _AUDIT
+    _AUDIT = []
+
+
+def end_plan_audit() -> list[dict]:
+    """Return the segment plans recorded since begin_plan_audit().
+
+    Each entry: {"pre": pre-execution physical plan string,
+    "post": post-execution (AQE-finalized) plan string,
+    "opt": optimized-logical-plan node list (toJSON)}."""
+    global _AUDIT
+    out = _AUDIT if _AUDIT is not None else []
+    _AUDIT = None
+    return out
+
 
 def set_reliable(on: bool) -> None:
     """Switch every subsequent :func:`materialize` call between
@@ -54,9 +80,18 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     none -- on a real cluster, point it at DFS via
     ``spark.sparkContext.setCheckpointDir("hdfs://...")`` first).
     """
+    audit = _AUDIT is not None
+    if audit:
+        qe = df._jdf.queryExecution()
+        pre = qe.executedPlan().toString()
+        opt = qe.optimizedPlan().toJSON()
     if not _RELIABLE:
-        return df.localCheckpoint(eager=eager)
-    sc = df.sparkSession.sparkContext
-    if sc._jsc.sc().getCheckpointDir().isEmpty():
-        sc.setCheckpointDir(tempfile.mkdtemp(prefix="ushas_ckpt_"))
-    return df.checkpoint(eager=eager)
+        out = df.localCheckpoint(eager=eager)
+    else:
+        sc = df.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            sc.setCheckpointDir(tempfile.mkdtemp(prefix="ushas_ckpt_"))
+        out = df.checkpoint(eager=eager)
+    if audit:
+        _AUDIT.append({"pre": pre, "post": qe.executedPlan().toString(), "opt": opt})
+    return out

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from ushas_spark.durability import materialize
 from ushas_spark.io import load_table
-from ushas_spark.operators.similarity import _dvec, cosine, sql_cosine
+from ushas_spark.operators.similarity import _dvec, sql_cosine
 from ushas_spark.registry import query
 
 K = 8
