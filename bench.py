@@ -136,6 +136,11 @@ HEADLINE = [
     "text_quality_classifier",
     "text_corpus_divergence",
     "events_skyline_frontier",
+    # round 6 additions
+    "sim_pca_power_iteration",
+    "sim_matryoshka_prefix_recall",
+    "text_boilerplate_ngrams",
+    "multimodal_video_frame_sample",
 ]
 
 ITERATIONS = 3  # best-of-N, after one untimed warm-up

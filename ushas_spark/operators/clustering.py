@@ -442,3 +442,151 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# ------------------------------------------ PCA top component (power method)
+
+PCA_DIM = 64
+PCA_SCALE = 1000  # embedding quantisation: x_int = round(x * 1000)
+PCA_ROUNDS = 3
+
+_PCA_ORACLE = f"""
+WITH x AS (
+  SELECT list_transform(embedding::DOUBLE[],
+                        e -> CAST(ROUND(e * {PCA_SCALE}) AS BIGINT)) AS xs
+  FROM embeddings
+),
+cells AS (
+  SELECT i, j, SUM(xs[CAST(i AS INT) + 1] * xs[CAST(j AS INT) + 1]) AS s
+  FROM x, range({PCA_DIM}) r1(i), range({PCA_DIM}) r2(j)
+  GROUP BY i, j
+),
+mu AS (
+  SELECT i, SUM(xs[CAST(i AS INT) + 1]) AS m
+  FROM x, range({PCA_DIM}) r(i) GROUP BY i
+),
+nn AS (SELECT COUNT(*) AS n FROM x),
+c AS (
+  SELECT a.i, a.j, (SELECT n FROM nn) * a.s - mi.m * mj.m AS c
+  FROM cells a JOIN mu mi ON mi.i = a.i JOIN mu mj ON mj.i = a.j
+),
+u1 AS (SELECT i, SUM(c * 1000) AS u FROM c GROUP BY i),
+s1 AS (SELECT GREATEST(MAX(ABS(u)) // 1000, 1) AS d FROM u1),
+v1 AS (SELECT i, CASE WHEN u < 0 THEN -1 ELSE 1 END
+                 * (ABS(u) // (SELECT d FROM s1)) AS v FROM u1),
+u2 AS (SELECT c.i, SUM(c.c * v1.v) AS u FROM c JOIN v1 ON v1.i = c.j
+       GROUP BY c.i),
+s2 AS (SELECT GREATEST(MAX(ABS(u)) // 1000, 1) AS d FROM u2),
+v2 AS (SELECT i, CASE WHEN u < 0 THEN -1 ELSE 1 END
+                 * (ABS(u) // (SELECT d FROM s2)) AS v FROM u2),
+u3 AS (SELECT c.i, SUM(c.c * v2.v) AS u FROM c JOIN v2 ON v2.i = c.j
+       GROUP BY c.i),
+s3 AS (SELECT GREATEST(MAX(ABS(u)) // 1000, 1) AS d FROM u3),
+v3 AS (SELECT i, CASE WHEN u < 0 THEN -1 ELSE 1 END
+                 * (ABS(u) // (SELECT d FROM s3)) AS v FROM u3)
+SELECT CAST(i AS BIGINT) AS dim,
+       CAST(v AS BIGINT) AS loading_q,
+       CAST((SELECT MAX(ABS(u)) FROM u3) // 1000 AS BIGINT) AS eigenvalue_est
+FROM v3 ORDER BY dim
+"""
+
+
+@query("sim_pca_power_iteration", oracle=_PCA_ORACLE)
+def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by {PCA_ROUNDS}
+    fixed rounds of the power method -- the building block for
+    embedding whitening, ABase/PCA'd product quantisation, and drift
+    monitoring (tracking the lead component across snapshot deltas).
+
+    Distributed shape, designed corpus-pass-first:
+
+    - ONE pass over the corpus builds the (uncentered) second-moment
+      matrix: each row fans out its {PCA_DIM}x{PCA_DIM} products via an
+      in-row nested ``transform`` + one explode, and the groupBy(i,j)
+      aggregation is map-side combinable, so the shuffle carries at
+      most 4096 cells per map partition regardless of corpus size --
+      never the corpus itself. Means come from the same pass's
+      posexplode aggregate.
+    - Centering is EXACT integer algebra: C = n*S - m_i*m_j (no float
+      mean subtraction), on x{PCA_SCALE}-quantised coordinates.
+    - The 4096-cell matrix is materialized once; each power-method
+      round is then a broadcast join of C against the 64-row vector
+      plus a 64-group aggregate -- per-round cost is O(D^2) cells, not
+      another corpus scan. Rescaling divides by max|u|/1000 with
+      sign-safe nonnegative integer division, identical in both
+      engines.
+
+    Overflow budget (BIGINT): |x_int| <= 600 for unit-normalised
+    embeddings, so S cells <= rows*3.6e5 and C ~ n^2*cov; safe through
+    ~1e6 rows at x1000 quantisation. A 100 TB run drops PCA_SCALE to
+    x100 (C shrinks by 1e4) or swaps the cell dtype to DECIMAL(38,0) --
+    the plan shape is unchanged.
+
+    Determinism: fixed v0 = all-ones, fixed round count, integer
+    rescale -- both engines walk the identical integer sequence, so the
+    eigenvector sign ambiguity never arises."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xs = F.transform(
+        _dvec(F.col("embedding")),
+        lambda v: F.round(v * PCA_SCALE).cast("long"),
+    )
+    rows = emb.select(xs.alias("xs"))
+
+    pairs = rows.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(0, {PCA_DIM - 1}), i -> "
+                f"transform(sequence(0, {PCA_DIM - 1}), j -> "
+                "named_struct('i', i, 'j', j, 'p', xs[i] * xs[j]))))"
+            )
+        ).alias("s")
+    ).select("s.i", "s.j", "s.p")
+    cells = pairs.groupBy("i", "j").agg(F.sum("p").alias("s"))
+    mu = (
+        rows.select(F.posexplode("xs").alias("i", "xi"))
+        .groupBy("i")
+        .agg(F.sum("xi").alias("m"))
+    )
+    nn = rows.agg(F.count(F.lit(1)).alias("n"))
+    c = (
+        cells.join(F.broadcast(mu.select(F.col("i"), F.col("m").alias("mi"))), "i")
+        .join(
+            F.broadcast(mu.select(F.col("i").alias("j"), F.col("m").alias("mj"))),
+            "j",
+        )
+        .crossJoin(F.broadcast(nn))
+        .select("i", "j", (F.col("n") * F.col("s") - F.col("mi") * F.col("mj")).alias("c"))
+    )
+    c = materialize(c)  # 4096 cells; iteration rounds never re-scan the corpus
+
+    v = None  # round 1 uses the implicit all-ones * 1000 start vector
+    u = None
+    for _ in range(PCA_ROUNDS):
+        if v is None:
+            u = c.groupBy("i").agg(F.sum(F.col("c") * 1000).alias("u"))
+        else:
+            vj = F.broadcast(v.select(F.col("i").alias("j"), F.col("v").alias("vj")))
+            u = c.join(vj, "j").groupBy("i").agg(F.sum(F.col("c") * F.col("vj")).alias("u"))
+        u = materialize(u)  # 64 rows; keeps each round's plan flat (the
+        # d- and v-branches below both read u, and round k+1's join would
+        # otherwise re-derive rounds 1..k twice per branch)
+        d = u.agg(
+            F.greatest(F.expr("max(abs(u)) div 1000"), F.lit(1)).alias("d")
+        )
+        v = u.crossJoin(F.broadcast(d)).select(
+            "i",
+            (
+                F.when(F.col("u") < 0, -1).otherwise(1)
+                * F.expr("abs(u) div d")
+            ).alias("v"),
+        )
+    lam = u.agg(F.expr("max(abs(u)) div 1000").alias("eigenvalue_est"))
+    return (
+        v.crossJoin(F.broadcast(lam))
+        .select(
+            F.col("i").cast("long").alias("dim"),
+            F.col("v").cast("long").alias("loading_q"),
+            F.col("eigenvalue_est").cast("long"),
+        )
+        .orderBy("dim")
+    )

@@ -1559,3 +1559,174 @@ def multimodal_audio_dedup_clusters(
         F.max("n_members").alias("largest_cluster"),
         (F.sum("n_members") - F.count(F.lit(1))).alias("n_removable"),
     )
+
+
+# ----------------------------------------------------- video frame sampling
+# A minimal deterministic video container ("USVF": magic + header +
+# length-prefixed zlib-compressed grayscale frames). There is no stdlib
+# video codec, so the CONTAINER format is self-defined, but every layer
+# the operator exercises is real: struct-packed binary headers parsed
+# byte-for-byte, per-frame zlib decompression (stdlib, an actual codec),
+# and pixel arithmetic on the decompressed plane. Frame pixels are
+# deterministic in (asset_id, frame, x, y), so the DuckDB oracle
+# recomputes every sampled frame's luma statistics arithmetically
+# without touching the binary -- the same pattern as the WAV/PNG arms.
+
+_VIDEO_N_ASSETS = 150
+_VIDEO_SAMPLE_EVERY = 3  # keep frames 0, 3, 6, ...
+
+
+def _video_dims(asset_id: int) -> tuple[int, int, int, int]:
+    """(width, height, fps, n_frames) -- mirrored arithmetically in SQL."""
+    return (
+        6 + asset_id % 3,
+        4 + asset_id % 2,
+        10 + (asset_id % 3) * 5,
+        8 + asset_id % 9,
+    )
+
+
+def _video_pixel(asset_id: int, f: int, x: int, y: int) -> int:
+    """Deterministic 8-bit luma -- mirrored in SQL."""
+    return (asset_id * 7 + f * 13 + x * 3 + y * 5) % 256
+
+
+def synthesize_video_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build USVF containers, one per document id, as Arrow-batched
+    mapInPandas (each executor packs its own binaries; only
+    (id, payload) crosses the Arrow boundary)."""
+    import struct
+    import zlib
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _VIDEO_N_ASSETS
+    ).select(F.col("doc_id").alias("asset_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for aid in pdf["asset_id"]:
+                aid = int(aid)
+                w, h, fps, n = _video_dims(aid)
+                parts = [b"USVF", struct.pack("<HHHI", w, h, fps, n)]
+                for f in range(n):
+                    plane = bytes(
+                        _video_pixel(aid, f, x, y)
+                        for y in range(h)
+                        for x in range(w)
+                    )
+                    comp = zlib.compress(plane, 6)
+                    pts_ms = f * 1000 // fps
+                    parts.append(struct.pack("<II", pts_ms, len(comp)))
+                    parts.append(comp)
+                payloads.append(b"".join(parts))
+            yield pd.DataFrame(
+                {"asset_id": pdf["asset_id"], "payload": payloads}
+            )
+
+    return d.mapInPandas(gen, schema="asset_id bigint, payload binary")
+
+
+def sample_video_frames(assets: DataFrame, every: int = _VIDEO_SAMPLE_EVERY) -> DataFrame:
+    """Parse the container, keep every ``every``-th frame, decompress it
+    (REAL zlib decode), and emit per-frame luma statistics.
+
+    This is the training-data shape for video: one binary column in,
+    one row per SAMPLED frame out, with the decode running inside an
+    Arrow batch on the executor that already holds the bytes --
+    payloads never shuffle, and the output rows carry only metadata +
+    features. Sampling at parse time (rather than decode-then-filter)
+    means skipped frames are never even decompressed: the header walk
+    seeks over them by their length prefix."""
+    import struct
+    import zlib
+
+    out_schema = (
+        "asset_id bigint, frame_no bigint, pts_ms bigint, width bigint, "
+        "height bigint, luma_sum bigint, luma_mean_x100 bigint"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                buf = bytes(payload)
+                assert buf[:4] == b"USVF", "bad magic"
+                w, h, fps, n = struct.unpack_from("<HHHI", buf, 4)
+                off = 4 + 10
+                for f in range(n):
+                    pts_ms, clen = struct.unpack_from("<II", buf, off)
+                    off += 8
+                    if f % every == 0:
+                        plane = zlib.decompress(buf[off : off + clen])
+                        s = sum(plane)
+                        rows.append(
+                            {
+                                "asset_id": int(aid),
+                                "frame_no": f,
+                                "pts_ms": pts_ms,
+                                "width": w,
+                                "height": h,
+                                "luma_sum": s,
+                                "luma_mean_x100": 100 * s // (w * h),
+                            }
+                        )
+                    off += clen
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id",
+                    "frame_no",
+                    "pts_ms",
+                    "width",
+                    "height",
+                    "luma_sum",
+                    "luma_mean_x100",
+                ],
+            )
+
+    return assets.mapInPandas(op, schema=out_schema)
+
+
+_VIDEO_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id AS asset_id,
+         6 + doc_id % 3 AS w,
+         4 + doc_id % 2 AS h,
+         10 + (doc_id % 3) * 5 AS fps,
+         8 + doc_id % 9 AS n
+  FROM documents WHERE doc_id < {_VIDEO_N_ASSETS}
+),
+fr AS (
+  SELECT asset_id, w, h, fps, unnest(range(0, n)) AS f FROM p
+),
+kept AS (SELECT * FROM fr WHERE f % {_VIDEO_SAMPLE_EVERY} = 0),
+px AS (
+  SELECT k.asset_id, k.f, k.w, k.h, k.fps,
+         SUM((k.asset_id * 7 + k.f * 13 + x.x * 3 + y.y * 5) % 256) AS s
+  FROM kept k, range(0, 8) x(x), range(0, 5) y(y)
+  WHERE x.x < k.w AND y.y < k.h
+  GROUP BY k.asset_id, k.f, k.w, k.h, k.fps
+)
+SELECT asset_id,
+       CAST(f AS BIGINT) AS frame_no,
+       CAST(f * 1000 // fps AS BIGINT) AS pts_ms,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(s AS BIGINT) AS luma_sum,
+       CAST(100 * s // (w * h) AS BIGINT) AS luma_mean_x100
+FROM px ORDER BY asset_id, frame_no
+"""
+
+
+@query("multimodal_video_frame_sample", oracle=_VIDEO_ORACLE)
+def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end video arm: synthesize real length-prefixed containers
+    -> Arrow batch -> header walk + stride sampling + zlib frame decode
+    -> per-sampled-frame luma stats. Completes the modality set beside
+    the WAV (audio) and PNG (image) arms; the oracle regenerates every
+    sampled frame arithmetically, so the header parse, the seek-over-
+    skipped-frames logic, pts arithmetic, and the decompressed pixel
+    sums are all value-gated."""
+    assets = synthesize_video_assets(spark, sf_dir)
+    return sample_video_frames(assets).orderBy("asset_id", "frame_no")

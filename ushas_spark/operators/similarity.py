@@ -1406,3 +1406,96 @@ def sim_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# -------------------------------------------- Matryoshka prefix-dim recall
+
+PREFIX_DIMS = 16  # leading dims scored in the truncated arm (of 64)
+
+_MATRYOSHKA_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {N_QUERIES}),
+full_scored AS (
+  SELECT qid, v.vec_id AS cand_id,
+         CAST(ROUND({sql_cosine("qe", "e")} * 1000000) AS BIGINT) AS sim_x1m
+  FROM q JOIN v ON v.vec_id <> qid
+),
+full_ranked AS (
+  SELECT qid, cand_id,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY sim_x1m DESC, cand_id) AS rnk
+  FROM full_scored
+),
+truth AS (SELECT qid, cand_id FROM full_ranked WHERE rnk <= {TOP_K}),
+pre_scored AS (
+  SELECT qid, v.vec_id AS cand_id,
+         CAST(ROUND({sql_cosine(f"qe[1:{PREFIX_DIMS}]", f"e[1:{PREFIX_DIMS}]")}
+              * 1000000) AS BIGINT) AS sim_x1m
+  FROM q JOIN v ON v.vec_id <> qid
+),
+pre_ranked AS (
+  SELECT qid, cand_id,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY sim_x1m DESC, cand_id) AS rnk
+  FROM pre_scored
+),
+pre AS (SELECT qid AS p_qid, cand_id AS p_cand
+        FROM pre_ranked WHERE rnk <= {TOP_K})
+SELECT qid,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       CAST(SUM(CASE WHEN p_cand IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hit,
+       CAST(1000 * SUM(CASE WHEN p_cand IS NOT NULL THEN 1 ELSE 0 END)
+            // COUNT(*) AS BIGINT) AS recall_at_k_x1000
+FROM truth LEFT JOIN pre ON qid = p_qid AND cand_id = p_cand
+GROUP BY qid
+ORDER BY qid
+"""
+
+
+@query("sim_matryoshka_prefix_recall", oracle=_MATRYOSHKA_ORACLE)
+def sim_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of a PREFIX-dimension (Matryoshka-style) index
+    against the full-dimension exact top-{TOP_K}, per query.
+
+    Matryoshka representation learning trains embeddings whose leading
+    dimensions are themselves a usable lower-dimensional embedding;
+    production retrieval then scores candidates with the first
+    {PREFIX_DIMS} of 64 dims (4x less memory bandwidth and ADC work)
+    and only re-ranks survivors at full width. Before trusting the
+    truncation, you measure exactly this table: how much of the true
+    top-k the prefix index retains. Both arms reuse the broadcast-query
+    corpus-scan shape of cosine_topk (no all-pairs, no collect); the
+    truncated arm just slices the array before the fold, which at 100 TB
+    is the same one corpus pass with {PREFIX_DIMS}/64 of the flops."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e")
+    )
+    truth = cosine_topk(q, emb).select("qid", "cand_id")
+    q_pre = q.select("qid", F.slice("e", 1, PREFIX_DIMS).alias("e"))
+    emb_pre = emb.select("vec_id", F.slice("e", 1, PREFIX_DIMS).alias("e"))
+    pre = cosine_topk(q_pre, emb_pre).select(
+        F.col("qid").alias("p_qid"), F.col("cand_id").alias("p_cand")
+    )
+    joined = truth.join(
+        pre,
+        (F.col("qid") == F.col("p_qid")) & (F.col("cand_id") == F.col("p_cand")),
+        "left",
+    )
+    return (
+        joined.groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.col("p_cand").isNotNull().cast("long")).alias("n_hit"),
+        )
+        .select(
+            "qid",
+            "k",
+            "n_hit",
+            F.expr("1000 * n_hit div k").alias("recall_at_k_x1000"),
+        )
+        .orderBy("qid")
+    )

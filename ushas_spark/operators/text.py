@@ -1572,3 +1572,95 @@ def text_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------ cross-document boilerplate grams
+
+BOILER_N = 3          # token n-gram width
+BOILER_MIN_DOCS = 5   # grams present in >= this many docs are boilerplate
+
+_BOILER_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(text, ' ') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - {BOILER_N - 2}),
+                i -> array_to_string(toks[i:i + {BOILER_N - 1}], ' '))) AS gram
+  FROM t
+),
+df AS (
+  SELECT gram, COUNT(DISTINCT doc_id) AS n_docs FROM g GROUP BY gram
+),
+boiler AS (SELECT gram FROM df WHERE n_docs >= {BOILER_MIN_DOCS}),
+per_doc AS (
+  SELECT g.doc_id,
+         COUNT(*) AS n_grams,
+         SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+  FROM g LEFT JOIN boiler b ON g.gram = b.gram
+  GROUP BY g.doc_id
+)
+SELECT doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_boiler AS BIGINT) AS n_boiler,
+       CAST(1000 * n_boiler // n_grams AS BIGINT) AS boiler_x1000
+FROM per_doc ORDER BY doc_id
+"""
+
+
+@query("text_boilerplate_ngrams", oracle=_BOILER_ORACLE)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate measurement: token {BOILER_N}-grams
+    that recur in >= {BOILER_MIN_DOCS} distinct documents (navigation
+    chrome, cookie banners, license footers in a web corpus) and each
+    document's fraction of such grams -- the structural complement to
+    the per-document Gopher/repetition rules, and the signal CC-style
+    pipelines use to strip template text before dedup.
+
+    Scale shape (two corpus passes, both shuffle-bounded):
+    1. doc-frequency: explode grams -> distinct (gram, doc) -> count
+       per gram. Both steps shuffle on the gram key with map-side
+       partial aggregation; no reducer sees a document, only a gram's
+       postings count.
+    2. scoring: the boilerplate set is the HIGH-doc-frequency tail --
+       by construction orders of magnitude smaller than the gram
+       universe -- so the join back to per-doc grams is a broadcast
+       LEFT SEMI-shaped probe, then one groupBy(doc_id) rollup.
+    A corpus where the boilerplate set outgrows broadcast range (a
+    pathologically templated crawl) raises BOILER_MIN_DOCS -- the knob
+    IS the size bound."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(split(text, ' ')) - {BOILER_N - 1}),"
+                f" k -> concat_ws(' ', slice(split(text, ' '), k, {BOILER_N})))"
+            )
+        ).alias("gram"),
+    )
+    df_counts = (
+        grams.select("gram", "doc_id")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    boiler = df_counts.filter(F.col("n_docs") >= BOILER_MIN_DOCS).select("gram")
+    scored = grams.join(
+        F.broadcast(boiler.withColumn("is_boiler", F.lit(1))), "gram", "left"
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("is_boiler"), F.lit(0))).alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long"),
+            F.col("n_boiler").cast("long"),
+            F.expr("1000 * n_boiler div n_grams").alias("boiler_x1000"),
+        )
+        .orderBy("doc_id")
+    )

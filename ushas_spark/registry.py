@@ -219,7 +219,13 @@ _PRIORITY_NAMES: list[str] = [
 # Queries ADDED this round (never in any module the gate has half-walked):
 # rank them behind every older never-checked query so the ~50-slot prefix
 # certifies the backlog first; these get their turn in a later round.
-_DEFER_NEW: set[str] = set()
+_DEFER_NEW: set[str] = {
+    # Round-6 additions (r08+ tier).
+    "sim_matryoshka_prefix_recall",
+    "sim_pca_power_iteration",
+    "text_boilerplate_ngrams",
+    "multimodal_video_frame_sample",
+}
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
 # permanently at the back of the walk order.
