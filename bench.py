@@ -141,6 +141,10 @@ HEADLINE = [
     "sim_matryoshka_prefix_recall",
     "text_boilerplate_ngrams",
     "multimodal_video_frame_sample",
+    "pipeline_bloom_prefilter",
+    "pipeline_padding_efficiency",
+    "events_ab_test_zscore",
+    "events_bot_gap_regularity",
 ]
 
 ITERATIONS = 3  # best-of-N, after one untimed warm-up

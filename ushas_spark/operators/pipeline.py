@@ -1522,3 +1522,260 @@ def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------- Bloom decontamination prefilter
+
+BLOOM_BITS = 4096
+BLOOM_HASHES = 3
+
+_BLOOM_ORACLE = f"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+           FROM documents),
+ng AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+         ELSE [] END AS ngs
+  FROM t
+),
+flat AS (SELECT doc_id, unnest(ngs) AS ng FROM ng),
+hashed AS (
+  SELECT doc_id, ng,
+         {sql_hash60('ng')} % {BLOOM_BITS} AS h1,
+         1 + {sql_hash60("ng || '|'")} % {BLOOM_BITS - 1} AS h2
+  FROM flat
+),
+ev AS (SELECT DISTINCT ng, h1, h2 FROM hashed
+       WHERE doc_id % {_DECONTAM_EVAL_MOD} = 0),
+bits AS (
+  SELECT DISTINCT (h1 + i * h2) % {BLOOM_BITS} AS bit
+  FROM ev, range({BLOOM_HASHES}) r(i)
+),
+words AS (
+  SELECT bit // 62 AS w, BIT_OR(1::BIGINT << CAST(bit % 62 AS INT)) AS mask
+  FROM bits GROUP BY bit // 62
+),
+tr AS (SELECT * FROM hashed WHERE doc_id % {_DECONTAM_EVAL_MOD} <> 0),
+probe_bits AS (
+  SELECT tr.doc_id, tr.ng, (tr.h1 + r.i * tr.h2) % {BLOOM_BITS} AS bit
+  FROM tr, range({BLOOM_HASHES}) r(i)
+),
+probe AS (
+  SELECT pb.doc_id, pb.ng,
+         MIN(CASE WHEN (words.mask &
+             (1::BIGINT << CAST(pb.bit % 62 AS INT))) <> 0
+             THEN 1 ELSE 0 END) AS hit
+  FROM probe_bits pb LEFT JOIN words ON words.w = pb.bit // 62
+  GROUP BY pb.doc_id, pb.ng
+),
+truth AS (SELECT DISTINCT ng FROM flat WHERE doc_id % {_DECONTAM_EVAL_MOD} = 0)
+SELECT p.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(p.hit) AS BIGINT) AS n_bloom_candidates,
+       CAST(SUM(CASE WHEN truth.ng IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_true_contaminated,
+       CAST(SUM(p.hit) - SUM(CASE WHEN truth.ng IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_positives
+FROM probe p LEFT JOIN truth ON p.ng = truth.ng
+GROUP BY p.doc_id
+ORDER BY p.doc_id
+"""
+
+
+@query("pipeline_bloom_prefilter", oracle=_BLOOM_ORACLE)
+def pipeline_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination PREFILTER, plus its measured
+    false-positive cost against the exact broadcast-set answer.
+
+    pipeline_decontaminate broadcasts the eval set's distinct n-grams
+    verbatim; at benchmark-suite scale that is MBs and fine, but a
+    frequently-refreshed or multi-benchmark eval union can outgrow
+    comfortable broadcast. The production alternative is this operator:
+    fold the eval n-grams into a {BLOOM_BITS}-bit Bloom filter stored as
+    {BLOOM_BITS // 62 + 1} BIGINT words (62 bits per word: DuckDB's
+    checked left shift refuses 1 << 63, so both engines pack 62) -- built DISTRIBUTEDLY (bit
+    positions are grouped per word with a map-side-combinable BIT_OR,
+    never collected to the driver) -- then broadcast the 64-row word
+    table and probe each training gram with {BLOOM_HASHES} double-hashed
+    positions. A positive probe is only a CANDIDATE; the n_false_
+    positives column quantifies exactly what the exact-verify pass
+    downstream must absorb, which is the number that sizes BLOOM_BITS
+    before a 100 TB run.
+
+    Engine-exact by construction: bit positions come from the md5-based
+    hash60 (identical in DuckDB), double hashing h1 + i*h2 is integer
+    arithmetic, and both engines fold bits with two's-complement BIGINT
+    shifts and BIT_OR."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    n = F.size(toks)
+    ngs = F.when(
+        n >= 3,
+        F.array_distinct(
+            F.zip_with(
+                F.slice(toks, 1, n - 2),
+                F.zip_with(
+                    F.slice(toks, 2, n - 2),
+                    F.slice(toks, 3, n - 2),
+                    lambda b, c: F.concat_ws(" ", b, c),
+                ),
+                lambda a, bc: F.concat_ws(" ", a, bc),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashed = d.select("doc_id", F.explode(ngs).alias("ng")).select(
+        "doc_id",
+        "ng",
+        (hash60(F.col("ng")) % BLOOM_BITS).alias("h1"),
+        (F.lit(1) + hash60(F.concat(F.col("ng"), F.lit("|"))) % (BLOOM_BITS - 1)).alias(
+            "h2"
+        ),
+    )
+    ev = hashed.filter(F.col("doc_id") % _DECONTAM_EVAL_MOD == 0)
+    bits = (
+        ev.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(BLOOM_HASHES - 1)),
+                    lambda i: (F.col("h1") + i * F.col("h2")) % BLOOM_BITS,
+                )
+            ).alias("bit")
+        )
+        .distinct()
+    )
+    words = bits.groupBy(F.expr("bit div 62").alias("w")).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 62 AS INT))")
+        ).alias("mask")
+    )
+    tr = hashed.filter(F.col("doc_id") % _DECONTAM_EVAL_MOD != 0)
+    probe = (
+        tr.select(
+            "doc_id",
+            "ng",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(BLOOM_HASHES - 1)),
+                    lambda i: (F.col("h1") + i * F.col("h2")) % BLOOM_BITS,
+                )
+            ).alias("bit"),
+        )
+        .join(F.broadcast(words), F.expr("bit div 62") == F.col("w"), "left")
+        .select(
+            "doc_id",
+            "ng",
+            (
+                F.coalesce(F.col("mask"), F.lit(0)).bitwiseAND(
+                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 62 AS INT))")
+                )
+                != 0
+            )
+            .cast("long")
+            .alias("hit_i"),
+        )
+        .groupBy("doc_id", "ng")
+        .agg(F.min("hit_i").alias("hit"))
+    )
+    truth = (
+        hashed.filter(F.col("doc_id") % _DECONTAM_EVAL_MOD == 0)
+        .select("ng")
+        .distinct()
+        .withColumn("is_true", F.lit(1))
+    )
+    return (
+        probe.join(F.broadcast(truth), "ng", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("hit").alias("n_bloom_candidates"),
+            F.sum(F.coalesce(F.col("is_true"), F.lit(0))).alias(
+                "n_true_contaminated"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long"),
+            F.col("n_bloom_candidates").cast("long"),
+            F.col("n_true_contaminated").cast("long"),
+            (F.col("n_bloom_candidates") - F.col("n_true_contaminated"))
+            .cast("long")
+            .alias("n_false_positives"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------ length-bucketed padding ROI
+
+PAD_BUCKET_TOKENS = 32  # bucket width in tokens
+
+_PADDING_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tok
+  FROM documents
+),
+g AS (SELECT MAX(n_tok) AS gmax FROM t),
+b AS (
+  SELECT n_tok // {PAD_BUCKET_TOKENS} AS bucket,
+         COUNT(*) AS n_docs,
+         SUM(n_tok) AS sum_tokens,
+         MAX(n_tok) AS bucket_max
+  FROM t GROUP BY n_tok // {PAD_BUCKET_TOKENS}
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(sum_tokens AS BIGINT) AS sum_tokens,
+       CAST(bucket_max AS BIGINT) AS bucket_max,
+       CAST(1000 * (n_docs * bucket_max - sum_tokens)
+            // (n_docs * bucket_max) AS BIGINT) AS bucket_waste_x1000,
+       CAST(1000 * (n_docs * (SELECT gmax FROM g) - sum_tokens)
+            // (n_docs * (SELECT gmax FROM g)) AS BIGINT) AS global_waste_x1000
+FROM b ORDER BY bucket
+"""
+
+
+@query("pipeline_padding_efficiency", oracle=_PADDING_ORACLE)
+def pipeline_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding waste of length-bucketed batching vs pad-to-corpus-max --
+    the measurement that decides bucket boundaries before a tokenize-
+    and-batch run. Every doc in a bucket pads to the bucket max;
+    bucket_waste_x1000 is the fraction of batch slots burned on pad
+    tokens under that scheme, global_waste_x1000 what the same docs
+    waste when everything pads to the corpus max (the no-bucketing
+    baseline). The gap between the two columns is the training-throughput
+    ROI of bucketing.
+
+    Scale shape: one corpus projection to token counts, one
+    map-side-combinable groupBy on the bucket id (|buckets| cells), and
+    a broadcast 1-row corpus-max merge -- no sort, no window, no doc
+    payloads past the first projection."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_tok")
+    )
+    g = t.agg(F.max("n_tok").alias("gmax"))
+    b = t.groupBy(F.expr(f"n_tok div {PAD_BUCKET_TOKENS}").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("sum_tokens"),
+        F.max("n_tok").alias("bucket_max"),
+    )
+    return (
+        b.crossJoin(F.broadcast(g))
+        .select(
+            F.col("bucket").cast("long"),
+            F.col("n_docs").cast("long"),
+            F.col("sum_tokens").cast("long"),
+            F.col("bucket_max").cast("long"),
+            F.expr(
+                "1000 * (n_docs * bucket_max - sum_tokens)"
+                " div (n_docs * bucket_max)"
+            ).alias("bucket_waste_x1000"),
+            F.expr(
+                "1000 * (n_docs * gmax - sum_tokens) div (n_docs * gmax)"
+            ).alias("global_waste_x1000"),
+        )
+        .orderBy("bucket")
+    )

@@ -2947,3 +2947,202 @@ def events_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "total_value", "n_events")
         .orderBy(F.desc("total_value"), F.desc("n_events"), "user_id")
     )
+
+
+# ------------------------------------------------------- A/B test z-score
+
+_AB_TEST_ORACLE = """
+WITH flags AS (
+  SELECT user_id,
+         CAST(user_id % 2 AS BIGINT) AS arm,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(converted) AS BIGINT) AS x
+  FROM flags GROUP BY arm
+),
+wide AS (
+  SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+         MAX(CASE WHEN arm = 0 THEN x END) AS x0,
+         MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+         MAX(CASE WHEN arm = 1 THEN x END) AS x1
+  FROM arms
+)
+SELECT n0, x0, n1, x1,
+       CAST(1000000 * x0 // n0 AS BIGINT) AS p0_x1e6,
+       CAST(1000000 * x1 // n1 AS BIGINT) AS p1_x1e6,
+       CASE WHEN x0 + x1 > 0 AND x0 + x1 < n0 + n1 THEN
+         CAST(ROUND(
+           (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+           / SQRT((CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                  * (1.0 - CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                  * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+           * 10000) AS BIGINT)
+       END AS z_x1e4
+FROM wide
+"""
+
+
+@query("events_ab_test_zscore", oracle=_AB_TEST_ORACLE)
+def events_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B z-test on conversion ('purchase') with the
+    assignment arm derived from user_id parity -- the experiment
+    read-out every growth dashboard computes, expressed as exact
+    integer counts plus ONE closed-form double evaluation (the
+    oracle_exact moment pattern: +,-,*,/ and IEEE sqrt are
+    correctly-rounded and engine-identical; only libm transcendentals
+    are not, and none appear here).
+
+    Scale shape: per-user conversion flags are a map-side-combinable
+    MAX groupBy on user_id; the arm rollup is 2 cells; the z arithmetic
+    runs on one row. No window, no join -- two shuffles whose second
+    carries two rows."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    flags = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("converted")
+    )
+    arms = flags.groupBy((F.col("user_id") % 2).alias("arm")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("x")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("x"))).alias("x0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("x"))).alias("x1"),
+    )
+    n0d, x0d = F.col("n0").cast("double"), F.col("x0").cast("double")
+    n1d, x1d = F.col("n1").cast("double"), F.col("x1").cast("double")
+    pool = (x0d + x1d) / (n0d + n1d)
+    z = (x1d / n1d - x0d / n0d) / F.sqrt(
+        pool * (F.lit(1.0) - pool) * (F.lit(1.0) / n0d + F.lit(1.0) / n1d)
+    )
+    # Degenerate experiments (0% or 100% pooled conversion) have a zero
+    # standard error: z is undefined, and ANSI-mode Spark would throw on
+    # the double division where DuckDB yields inf. NULL on both engines.
+    z_guarded = F.when(
+        (F.col("x0") + F.col("x1") > 0)
+        & (F.col("x0") + F.col("x1") < F.col("n0") + F.col("n1")),
+        F.round(z * 10000).cast("long"),
+    )
+    return wide.select(
+        "n0", "x0", "n1", "x1",
+        F.expr("1000000 * x0 div n0").alias("p0_x1e6"),
+        F.expr("1000000 * x1 div n1").alias("p1_x1e6"),
+        z_guarded.alias("z_x1e4"),
+    )
+
+
+# ------------------------------------------------- bot-like gap regularity
+
+_BOT_GAP_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+gaps AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) - epoch_us(prev_ts) AS BIGINT) AS gap_us,
+         CAST((epoch_us(ts) - epoch_us(prev_ts)) // 1000000 AS BIGINT) AS gap_s
+  FROM seq WHERE prev_ts IS NOT NULL
+),
+stats AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(gap_s) AS BIGINT) AS s1,
+         CAST(SUM(gap_s * gap_s) AS BIGINT) AS s2,
+         CAST(MIN(gap_us) AS BIGINT) AS min_gap_us
+  FROM gaps GROUP BY user_id
+),
+scored AS (
+  SELECT user_id, n_gaps, min_gap_us,
+         CAST(s1 // n_gaps AS BIGINT) AS mean_gap_s,
+         CASE WHEN n_gaps >= 2 AND s1 > 0 THEN
+           CAST(ROUND(
+             SQRT(GREATEST((CAST(n_gaps AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)), 0.0)
+                  / (CAST(n_gaps AS DOUBLE) * (CAST(n_gaps AS DOUBLE) - 1.0)))
+             / (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)) * 10000)
+           AS BIGINT)
+         END AS cv_x1e4
+  FROM stats
+)
+SELECT user_id, n_gaps, mean_gap_s, min_gap_us, cv_x1e4,
+       CAST(CASE WHEN cv_x1e4 IS NOT NULL
+                  AND (cv_x1e4 < 2500 OR min_gap_us < 1000000)
+             THEN 1 ELSE 0 END AS BIGINT) AS bot_flag
+FROM scored ORDER BY user_id
+"""
+
+
+@query("events_bot_gap_regularity", oracle=_BOT_GAP_ORACLE)
+def events_bot_gap_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot-likeness from inter-event timing: per user, the coefficient
+    of variation of consecutive gaps (machines are REGULAR: cv near 0)
+    and the minimum gap (machines are FAST: sub-second). Flag when
+    cv < 0.25 or any gap < 1s -- the pre-training traffic-cleaning
+    heuristic that drops scripted sessions before engagement data
+    becomes training signal.
+
+    Exactness: gaps are exact integer microseconds, with moments
+    accumulated at second resolution so squares stay far inside BIGINT
+    even for month-scale gaps; cv is one
+    closed-form double evaluation rounded to x1e4, and the flag bands
+    on the ROUNDED integer, so both engines agree at the threshold.
+
+    Scale shape: one window partitioned by user_id (the natural event
+    partitioning -- no global window), then a map-side-combinable
+    per-user aggregate. Nothing downstream exceeds |users| rows."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "user_id",
+            (F.unix_micros("ts") - F.unix_micros("prev_ts")).alias("gap_us"),
+        )
+        # Moments accumulate at SECOND resolution: a month-long gap is
+        # ~2.6e12 us, whose square overflows BIGINT; in seconds the
+        # square is ~6.7e12, leaving six orders of headroom for the
+        # per-user sum. min_gap keeps microseconds (the bot check needs
+        # sub-second resolution).
+        .withColumn("gap_s", F.expr("gap_us div 1000000"))
+    )
+    stats = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_s").alias("s1"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).alias("s2"),
+        F.min("gap_us").alias("min_gap_us"),
+    )
+    nd = F.col("n_gaps").cast("double")
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    cv = F.sqrt(
+        F.greatest(nd * s2d - s1d * s1d, F.lit(0.0)) / (nd * (nd - F.lit(1.0)))
+    ) / (s1d / nd)
+    scored = stats.select(
+        "user_id",
+        "n_gaps",
+        F.expr("s1 div n_gaps").alias("mean_gap_s"),
+        "min_gap_us",
+        F.when(
+            (F.col("n_gaps") >= 2) & (F.col("s1") > 0),
+            F.round(cv * 10000).cast("long"),
+        ).alias("cv_x1e4"),
+    )
+    return scored.select(
+        "user_id",
+        "n_gaps",
+        "mean_gap_s",
+        "min_gap_us",
+        "cv_x1e4",
+        (
+            F.col("cv_x1e4").isNotNull()
+            & ((F.col("cv_x1e4") < 2500) | (F.col("min_gap_us") < 1_000_000))
+        )
+        .cast("long")
+        .alias("bot_flag"),
+    ).orderBy("user_id")

@@ -225,6 +225,10 @@ _DEFER_NEW: set[str] = {
     "sim_pca_power_iteration",
     "text_boilerplate_ngrams",
     "multimodal_video_frame_sample",
+    "pipeline_bloom_prefilter",
+    "pipeline_padding_efficiency",
+    "events_ab_test_zscore",
+    "events_bot_gap_regularity",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
