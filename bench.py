@@ -145,6 +145,7 @@ HEADLINE = [
     "pipeline_padding_efficiency",
     "events_ab_test_zscore",
     "events_bot_gap_regularity",
+    "text_ccnet_lm_buckets",
 ]
 
 ITERATIONS = 3  # best-of-N, after one untimed warm-up

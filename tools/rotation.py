@@ -70,8 +70,13 @@ def main(paths: list[str]) -> None:
                         subsequent_indent="    "))
     if greened_defer:
         print(f"\nDrop from _DEFER_NEW (now green): {greened_defer}")
+    greened_priority = sorted(green & set(registry._PRIORITY_NAMES))
+    if greened_priority:
+        print(f"\nDelete from _PRIORITY_NAMES (now green, {len(greened_priority)}):")
+        for n in greened_priority:
+            print(f"  {n}")
     print(f"\nStill never driver-checked after this fold: {len(never)}")
-    for n in never[:60]:
+    for n in never:
         print(f"  {n}")
 
 

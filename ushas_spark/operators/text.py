@@ -1167,6 +1167,40 @@ def _fluency_bigrams() -> Column:
     )
 
 
+def fluency_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fluency_x1m): the add-one-smoothed bigram mean-probability
+    score each fluency consumer (per-source rollup, CCNet buckets) builds
+    on. See text_lm_fluency for the full derivation and scale notes."""
+    d = load_table(spark, sf_dir, "documents")
+    bg = d.select("doc_id", F.explode(_fluency_bigrams()).alias("bigram"))
+    docbg = bg.groupBy("doc_id", "bigram").agg(
+        F.count(F.lit(1)).alias("n_in_doc")
+    )
+    cbg = docbg.groupBy("bigram").agg(F.sum("n_in_doc").alias("c12"))
+    cbg = cbg.withColumn("prefix", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+    cpre = cbg.groupBy("prefix").agg(F.sum("c12").alias("c1"))
+    vocab = cpre.agg(F.count(F.lit(1)).alias("v"))
+    scored = (
+        cbg.join(cpre, "prefix")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bigram",
+            F.expr(f"((c12 + 1) * {FLUENCY_SCALE}) div (c1 + v)").alias(
+                "p_x1m"
+            ),
+        )
+    )
+    return (
+        docbg.join(scored, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("sum(n_in_doc * p_x1m) div sum(n_in_doc)").alias(
+                "fluency_x1m"
+            )
+        )
+    )
+
+
 @query("text_lm_fluency", oracle=_FLUENCY_ORACLE)
 def text_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-LM fluency scoring, the CCNet/Wikipedia-LM quality-filter
@@ -1187,33 +1221,7 @@ def text_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bigram/prefix keys only. The |V|-row vocab count rides along as
     a broadcast 1-row relation; no Python, no pair explosion."""
     d = load_table(spark, sf_dir, "documents")
-    bg = d.select("doc_id", F.explode(_fluency_bigrams()).alias("bigram"))
-    docbg = bg.groupBy("doc_id", "bigram").agg(
-        F.count(F.lit(1)).alias("n_in_doc")
-    )
-    cbg = docbg.groupBy("bigram").agg(F.sum("n_in_doc").alias("c12"))
-    cbg = cbg.withColumn("prefix", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
-    cpre = cbg.groupBy("prefix").agg(F.sum("c12").alias("c1"))
-    vocab = cpre.agg(F.count(F.lit(1)).alias("v"))
-    scored = (
-        cbg.join(cpre, "prefix")
-        .crossJoin(F.broadcast(vocab))
-        .select(
-            "bigram",
-            F.expr(f"((c12 + 1) * {FLUENCY_SCALE}) div (c1 + v)").alias(
-                "p_x1m"
-            ),
-        )
-    )
-    perdoc = (
-        docbg.join(scored, "bigram")
-        .groupBy("doc_id")
-        .agg(
-            F.expr("sum(n_in_doc * p_x1m) div sum(n_in_doc)").alias(
-                "fluency_x1m"
-            )
-        )
-    )
+    perdoc = fluency_per_doc(spark, sf_dir)
     return (
         perdoc.join(d.select("doc_id", "source"), "doc_id")
         .groupBy("source")
@@ -1661,6 +1669,114 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_grams").cast("long"),
             F.col("n_boiler").cast("long"),
             F.expr("1000 * n_boiler div n_grams").alias("boiler_x1000"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------- CCNet head/middle/tail
+
+_CCNET_ORACLE = f"""
+WITH bg AS MATERIALIZED (
+  SELECT doc_id, unnest({_FLUENCY_BIGRAMS_SQL}) AS bigram FROM documents
+), docbg AS (
+  SELECT doc_id, bigram, CAST(COUNT(*) AS BIGINT) AS n_in_doc
+  FROM bg GROUP BY doc_id, bigram
+), cbg AS (
+  SELECT bigram, CAST(SUM(n_in_doc) AS BIGINT) AS c12,
+         split_part(bigram, ' ', 1) AS prefix
+  FROM docbg GROUP BY bigram
+), cpre AS (
+  SELECT prefix, CAST(SUM(c12) AS BIGINT) AS c1 FROM cbg GROUP BY prefix
+), vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM cpre),
+scored AS (
+  SELECT cbg.bigram,
+         ((c12 + 1) * {FLUENCY_SCALE}) // (c1 + v) AS p_x1m
+  FROM cbg JOIN cpre ON cbg.prefix = cpre.prefix CROSS JOIN vocab
+), perdoc AS MATERIALIZED (
+  SELECT d.doc_id,
+         SUM(d.n_in_doc * s.p_x1m) // SUM(d.n_in_doc) AS fluency_x1m
+  FROM docbg d JOIN scored s ON d.bigram = s.bigram
+  GROUP BY d.doc_id
+), langed AS MATERIALIZED (
+  SELECT p.doc_id, doc.lang, p.fluency_x1m
+  FROM perdoc p JOIN documents doc ON p.doc_id = doc.doc_id
+), vr AS (
+  SELECT lang, fluency_x1m AS s, CAST(COUNT(*) AS BIGINT) AS c
+  FROM langed GROUP BY lang, fluency_x1m
+), cum AS (
+  SELECT lang, s,
+         CAST(SUM(c) OVER (PARTITION BY lang ORDER BY s) AS BIGINT) AS cm
+  FROM vr
+), tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM vr GROUP BY lang),
+thr AS (
+  SELECT cum.lang,
+         MIN(CASE WHEN 3 * cm >= n THEN s END) AS t1,
+         MIN(CASE WHEN 3 * cm >= 2 * n THEN s END) AS t2
+  FROM cum JOIN tot ON cum.lang = tot.lang
+  GROUP BY cum.lang
+)
+SELECT l.doc_id, l.lang,
+       CAST(l.fluency_x1m AS BIGINT) AS fluency_x1m,
+       CASE WHEN l.fluency_x1m > thr.t2 THEN 'head'
+            WHEN l.fluency_x1m > thr.t1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM langed l JOIN thr ON l.lang = thr.lang
+ORDER BY l.doc_id
+"""
+
+
+@query("text_ccnet_lm_buckets", oracle=_CCNET_ORACLE)
+def text_ccnet_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): per
+    LANGUAGE, rank every document's corpus-LM fluency score and assign
+    the best tercile to 'head', the next to 'middle', the rest to
+    'tail' -- the bucketing CCNet publishes its Common Crawl releases
+    under, and the knob LLaMA-style pipelines use (keep head+middle,
+    drop tail).
+
+    Scale shape: the tercile boundaries do NOT come from a window over
+    the corpus -- scores collapse to a per-(lang, value) frequency
+    rollup first (map-side combinable; the rollup is |langs| x
+    |distinct x1m scores|, corpus-size-independent), the cumulative
+    walk runs over that bounded rollup partitioned by lang, and the two
+    thresholds per language come from conditional MINs. Documents then
+    bucket via one broadcast join against the |langs|-row threshold
+    table. Banding compares INTEGER score vs integer threshold, so both
+    engines cut the terciles identically (ties fall to the lower
+    bucket by the strict > comparisons)."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    langed = fluency_per_doc(spark, sf_dir).join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    vr = langed.groupBy("lang", F.col("fluency_x1m").alias("s")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = W.partitionBy("lang").orderBy("s").rowsBetween(W.unboundedPreceding, 0)
+    cum = vr.select("lang", "s", F.sum("c").over(w).alias("cm"))
+    tot = vr.groupBy("lang").agg(F.sum("c").alias("n"))
+    thr = (
+        cum.join(tot, "lang")
+        .groupBy("lang")
+        .agg(
+            F.min(F.when(3 * F.col("cm") >= F.col("n"), F.col("s"))).alias("t1"),
+            F.min(F.when(3 * F.col("cm") >= 2 * F.col("n"), F.col("s"))).alias(
+                "t2"
+            ),
+        )
+    )
+    return (
+        langed.join(F.broadcast(thr), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("fluency_x1m").cast("long"),
+            F.when(F.col("fluency_x1m") > F.col("t2"), "head")
+            .when(F.col("fluency_x1m") > F.col("t1"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
         )
         .orderBy("doc_id")
     )

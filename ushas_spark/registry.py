@@ -229,6 +229,7 @@ _DEFER_NEW: set[str] = {
     "pipeline_padding_efficiency",
     "events_ab_test_zscore",
     "events_bot_gap_regularity",
+    "text_ccnet_lm_buckets",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
