@@ -39,6 +39,16 @@ blocks and GC debt bleed into the heaviest query's window. Fix below:
 _release_storage now unpersists BLOCKING -- it runs after the timed
 region, so the wait costs sweep wall-clock, not measured time, and the
 next query starts with storage actually clear.
+
+Round-6 full-sweep pair (77 queries, quiet machine, back-to-back):
+run 1 total 109.7s, run 2 total 118.1s -- but the composition of each
+total swings: mmr 6.7 -> 1.6 (run 2 has the periodicGC fix below; its
+broadcast-litter theory held), triangle 9.0 -> 22.8 (same code, 7.7s
+in a 2-query sweep minutes earlier). Long-sweep heavyweights swing
+2-4x run-to-run with identical plans; the per-query map in
+BENCH_DETAIL.json is ONE sweep's sample, and cross-round triage should
+keep comparing PLANS.md structure, isolated re-pins, and controls --
+never a single sweep cell.
 """
 
 from __future__ import annotations
@@ -189,7 +199,16 @@ def _release_storage(spark) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("ushas-bench")
+    # _release_storage drops RDD blocks, but BROADCAST blocks pile up
+    # across a ~400-run sweep and are only reclaimed when the context
+    # cleaner sees a driver GC -- which a large quiet heap may not run
+    # for the whole sweep. A 2-minute periodic GC keeps broadcast litter
+    # bounded without the per-query forced-GC cost measured-and-rejected
+    # in _release_storage's docstring. (Observed: sim_mmr_rerank 2.1s
+    # alone or 2nd in a sweep, 6.7s at position ~52 of 77.)
+    spark = get_spark(
+        "ushas-bench", extra_conf={"spark.cleaner.periodicGC.interval": "2min"}
+    )
     registry.load_all()
 
     names = [n for n in HEADLINE if n in registry.QUERIES]

@@ -1480,8 +1480,10 @@ def sim_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre = cosine_topk(q_pre, emb_pre).select(
         F.col("qid").alias("p_qid"), F.col("cand_id").alias("p_cand")
     )
+    # Both arms are |queries| x k rows; without the hint the planner
+    # saw unsized shuffles on each side and picked a sort-merge join.
     joined = truth.join(
-        pre,
+        F.broadcast(pre),
         (F.col("qid") == F.col("p_qid")) & (F.col("cand_id") == F.col("p_cand")),
         "left",
     )

@@ -1747,9 +1747,16 @@ def text_ccnet_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket by the strict > comparisons)."""
     from pyspark.sql import Window as W
 
+    from ushas_spark.durability import materialize
+
     d = load_table(spark, sf_dir, "documents")
-    langed = fluency_per_doc(spark, sf_dir).join(
-        d.select("doc_id", "lang"), "doc_id"
+    # Materialized: the (doc, lang, score) frame feeds BOTH the
+    # threshold derivation and the final bucket join -- without the
+    # truncation each branch re-runs the whole corpus-scale fluency
+    # pipeline (measured: 29-shuffle duplicated plan -> 12 across two
+    # segments, and one corpus pass instead of two at scale).
+    langed = materialize(
+        fluency_per_doc(spark, sf_dir).join(d.select("doc_id", "lang"), "doc_id")
     )
     vr = langed.groupBy("lang", F.col("fluency_x1m").alias("s")).agg(
         F.count(F.lit(1)).alias("c")
