@@ -156,6 +156,7 @@ HEADLINE = [
     "events_ab_test_zscore",
     "events_bot_gap_regularity",
     "text_ccnet_lm_buckets",
+    "graph_components_incremental",
 ]
 
 ITERATIONS = 3  # best-of-N, after one untimed warm-up

@@ -631,6 +631,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    init_labels: DataFrame | None = None,
 ) -> DataFrame:
     """Connected components via hash-min label propagation.
 
@@ -653,6 +654,13 @@ def connected_components(
       (the classic iterative-Spark failure mode);
     - the convergence probe aggregates a single change count per round
       (a scalar to the driver, not data).
+
+    ``init_labels`` ((id, label) rows) seeds the propagation instead of
+    the identity labelling -- the INCREMENTAL-maintenance entry point:
+    seed with yesterday's converged labels and run over today's edge
+    set, and the loop only pays rounds proportional to the diameter of
+    the REGIONS THE NEW EDGES MERGE, not the full component diameter.
+    Nodes without a seed row label themselves (new arrivals).
     """
     # Materialize the (possibly expensive) edge derivation ONCE, BEFORE
     # the symmetrizing union -- the union's two branches would otherwise
@@ -674,11 +682,19 @@ def connected_components(
     # At 100 TB this shrinks the iterated relation to the candidate-pair
     # minority; at sf0.1 it is 477 of 5000 docs (10x less per-round
     # shuffle; whole query 5.2s -> 4.8s isolated, best-of-3).
-    labels = materialize(
-        sym.select(F.col("s").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-    )
+    edge_nodes = sym.select(F.col("s").alias("id")).distinct()
+    if init_labels is None:
+        labels = materialize(edge_nodes.withColumn("label", F.col("id")))
+    else:
+        seeds = init_labels.select(
+            F.col(init_labels.columns[0]).alias("sid"),
+            F.col(init_labels.columns[1]).alias("slabel"),
+        )
+        labels = materialize(
+            edge_nodes.join(seeds, edge_nodes.id == seeds.sid, "left").select(
+                "id", F.coalesce("slabel", F.col("id")).alias("label")
+            )
+        )
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.s == labels.id)

@@ -1015,3 +1015,127 @@ def graph_hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("role", "node", "score_x1e9", F.col("rnk").cast("long"))
         .orderBy("role", "rnk")
     )
+
+
+# ------------------------------------------ incremental connected components
+
+INC_DELTA_MOD = 5  # (cust*31 + supp*17) % 5 == 0 -> the "new today" edges
+
+_INC_CC_ORACLE = f"""
+WITH RECURSIVE raw AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderkey % 8 = 0
+),
+pairs AS (
+  SELECT cust AS a, supp + 1000000000 AS b
+  FROM raw
+),
+edges AS (
+  SELECT a AS s, b AS d FROM pairs UNION ALL SELECT b, a FROM pairs
+),
+nodes AS (SELECT DISTINCT s AS id FROM edges),
+reach(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.id
+),
+full_labels AS (SELECT id, MIN(label) AS label FROM reach GROUP BY id),
+base_pairs AS (
+  SELECT cust AS a, supp + 1000000000 AS b FROM raw
+  WHERE (cust * 31 + supp * 17) % {INC_DELTA_MOD} <> 0
+),
+base_edges AS (
+  SELECT a AS s, b AS d FROM base_pairs UNION ALL SELECT b, a FROM base_pairs
+),
+base_reach(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.d, r.label FROM base_reach r JOIN base_edges e ON e.s = r.id
+),
+base_labels AS (SELECT id, MIN(label) AS label FROM base_reach GROUP BY id)
+SELECT f.id AS node,
+       CAST(f.label AS BIGINT) AS cluster_id,
+       CAST(b.label AS BIGINT) AS base_cluster_id,
+       CAST(CASE WHEN f.label <> b.label THEN 1 ELSE 0 END AS BIGINT)
+         AS relabelled_by_delta
+FROM full_labels f JOIN base_labels b ON f.id = b.id
+ORDER BY node
+"""
+
+
+@query("graph_components_incremental", oracle=_INC_CC_ORACLE)
+def graph_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL connected-components maintenance: labels for the
+    customer-supplier graph are first converged on the "yesterday"
+    edge set (a deterministic 4/5 hash split), then today's delta edges
+    arrive and the propagation RESUMES FROM THE CONVERGED LABELS over
+    the full edge set -- the daily-maintenance shape of every
+    production dedup/identity graph, where recomputing components from
+    scratch on 100 TB of accumulated edges for a 1% daily delta is the
+    naive plan this operator replaces.
+
+    Why it is cheap: label propagation seeded with converged labels
+    only pays rounds proportional to the diameter of the regions the
+    NEW edges merge (most rounds touch nothing and the change-count
+    probe exits immediately); the per-round shuffle still carries only
+    edge-participating nodes. Correctness is the whole point of the
+    oracle: the output must equal the from-scratch batch recompute
+    (the DuckDB recursive CTE), making incremental == batch a GATED
+    equivalence, not a hope -- PER NODE: every row carries the node's
+    incremental label and its yesterday label, so a single mislabelled
+    node anywhere in the graph fails the value hash.
+    """
+    from ushas_spark.operators.dedup import connected_components
+
+    # 1-in-8 order subset: the full customer-supplier graph is so dense
+    # it is one component with or without the delta, which would leave
+    # the seeded MERGE path untested. The sparse subgraph has many base
+    # components and the delta edges perform real merges (asserted
+    # non-zero in tests).
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    raw = (
+        orders.filter(F.col("o_orderkey") % 8 == 0)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    raw = materialize(raw)
+    pairs = raw.select(
+        F.col("cust").alias("a"),
+        (F.col("supp") + 1_000_000_000).alias("b"),
+        ((F.col("cust") * 31 + F.col("supp") * 17) % INC_DELTA_MOD == 0).alias(
+            "is_delta"
+        ),
+    )
+    nodes = (
+        pairs.select(F.col("a").alias("id"))
+        .unionAll(pairs.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    base = pairs.filter(~F.col("is_delta"))
+    base_labels = connected_components(
+        nodes, base, id_col="id", src="a", dst="b"
+    )
+    base_labels = materialize(base_labels)
+    full_labels = connected_components(
+        nodes, pairs, id_col="id", src="a", dst="b", init_labels=base_labels
+    )
+    return (
+        full_labels.join(
+            base_labels.select(
+                F.col("id").alias("bid"), F.col("label").alias("base_label")
+            ),
+            full_labels.id == F.col("bid"),
+        )
+        .select(
+            F.col("id").alias("node"),
+            F.col("label").cast("long").alias("cluster_id"),
+            F.col("base_label").cast("long").alias("base_cluster_id"),
+            (F.col("label") != F.col("base_label"))
+            .cast("long")
+            .alias("relabelled_by_delta"),
+        )
+        .orderBy("node")
+    )

@@ -230,6 +230,7 @@ _DEFER_NEW: set[str] = {
     "events_ab_test_zscore",
     "events_bot_gap_regularity",
     "text_ccnet_lm_buckets",
+    "graph_components_incremental",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
