@@ -157,6 +157,7 @@ HEADLINE = [
     "events_bot_gap_regularity",
     "text_ccnet_lm_buckets",
     "graph_components_incremental",
+    "pipeline_rendezvous_sharding",
 ]
 
 ITERATIONS = 3  # best-of-N, after one untimed warm-up

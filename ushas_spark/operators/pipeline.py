@@ -1779,3 +1779,117 @@ def pipeline_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ------------------------------------------------ rendezvous shard stability
+
+HRW_SHARDS_BEFORE = 8
+HRW_SHARDS_AFTER = 9
+
+_HRW_ORACLE = f"""
+WITH docs AS (SELECT doc_id FROM documents),
+before_w AS (
+  SELECT doc_id, s.i AS shard,
+         {sql_hash60("CAST(doc_id AS VARCHAR) || '#' || CAST(s.i AS VARCHAR)")}
+           AS w
+  FROM docs, range({HRW_SHARDS_BEFORE}) s(i)
+),
+before_pick AS (
+  SELECT doc_id, ARG_MAX(shard, printf('%020d|%03d', w, 999 - shard))
+           AS shard_before
+  FROM before_w GROUP BY doc_id
+),
+after_w AS (
+  SELECT doc_id, s.i AS shard,
+         {sql_hash60("CAST(doc_id AS VARCHAR) || '#' || CAST(s.i AS VARCHAR)")}
+           AS w
+  FROM docs, range({HRW_SHARDS_AFTER}) s(i)
+),
+after_pick AS (
+  SELECT doc_id, ARG_MAX(shard, printf('%020d|%03d', w, 999 - shard))
+           AS shard_after
+  FROM after_w GROUP BY doc_id
+),
+merged AS (
+  SELECT b.doc_id, b.shard_before, a.shard_after,
+         CASE WHEN b.shard_before <> a.shard_after THEN 1 ELSE 0 END AS moved,
+         (b.doc_id % {HRW_SHARDS_BEFORE}) AS mod_before,
+         (b.doc_id % {HRW_SHARDS_AFTER}) AS mod_after
+  FROM before_pick b JOIN after_pick a ON b.doc_id = a.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(moved) AS BIGINT) AS hrw_moved,
+       CAST(1000 * SUM(moved) // COUNT(*) AS BIGINT) AS hrw_moved_x1000,
+       CAST(SUM(CASE WHEN mod_before <> mod_after THEN 1 ELSE 0 END) AS BIGINT)
+         AS mod_moved,
+       CAST(1000 * SUM(CASE WHEN mod_before <> mod_after THEN 1 ELSE 0 END)
+            // COUNT(*) AS BIGINT) AS mod_moved_x1000
+FROM merged
+"""
+
+
+@query("pipeline_rendezvous_sharding", oracle=_HRW_ORACLE)
+def pipeline_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment and its
+    stability under a {HRW_SHARDS_BEFORE} -> {HRW_SHARDS_AFTER} rescale,
+    vs naive modulo sharding -- the measurement that justifies HRW for
+    any corpus whose shard map must survive capacity changes (adding
+    one shard should move ~1/(N+1) of keys; modulo reshuffles almost
+    everything, invalidating every downstream cache/placement).
+
+    Per key, HRW scores every (key, shard) pair with the md5-based
+    hash60 and keeps the argmax; the rescale just adds one more scored
+    column per key, so existing winners only lose to the NEW shard --
+    the 1/(N+1) bound by construction, and this operator reports the
+    measured fractions for both schemes side by side.
+
+    Scale shape: the score fanout is |keys| x N rows through one
+    map-side-combinable max_by aggregate per epoch (no join between
+    epochs until the final |keys|-row merge); N is the shard count, a
+    constant. Ties (never observed with a 60-bit hash, but defined):
+    lowest shard id wins, encoded as a fixed-width printf sort key
+    because DuckDB's ARG_MAX takes no composite ordering."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def pick(n_shards: int, out: str) -> DataFrame:
+        w = d.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1))).alias("shard"),
+        ).select(
+            "doc_id",
+            "shard",
+            hash60(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("#"),
+                    F.col("shard").cast("string"),
+                )
+            ).alias("w"),
+        )
+        return w.groupBy("doc_id").agg(
+            F.expr(
+                "max_by(shard, format_string('%020d|%03d', w, 999 - shard))"
+            ).alias(out)
+        )
+
+    before = pick(HRW_SHARDS_BEFORE, "shard_before")
+    after = pick(HRW_SHARDS_AFTER, "shard_after")
+    both = before.join(after, "doc_id").select(
+        "doc_id",
+        "shard_before",
+        "shard_after",
+        (F.col("shard_before") != F.col("shard_after")).cast("long").alias("moved"),
+        (F.col("doc_id") % HRW_SHARDS_BEFORE).alias("mod_before"),
+        (F.col("doc_id") % HRW_SHARDS_AFTER).alias("mod_after"),
+    )
+    return both.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("moved").alias("hrw_moved"),
+        F.expr("1000 * sum(moved) div count(*)").alias("hrw_moved_x1000"),
+        F.sum((F.col("mod_before") != F.col("mod_after")).cast("long")).alias(
+            "mod_moved"
+        ),
+        F.expr(
+            "1000 * sum(cast(mod_before <> mod_after as long)) div count(*)"
+        ).alias("mod_moved_x1000"),
+    )

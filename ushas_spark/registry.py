@@ -231,6 +231,7 @@ _DEFER_NEW: set[str] = {
     "events_bot_gap_regularity",
     "text_ccnet_lm_buckets",
     "graph_components_incremental",
+    "pipeline_rendezvous_sharding",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
