@@ -232,6 +232,7 @@ _DEFER_NEW: set[str] = {
     "text_ccnet_lm_buckets",
     "graph_components_incremental",
     "pipeline_rendezvous_sharding",
+    "streaming_incremental_components",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them

@@ -481,3 +481,109 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         output_mode="append",
     )
     return out.orderBy("user_id", "event_type")
+
+
+_STREAM_CC_ORACLE = """
+WITH RECURSIVE raw AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderkey % 8 = 0
+),
+edges AS (
+  SELECT cust AS s, supp + 1000000000 AS d FROM raw
+  UNION ALL SELECT supp + 1000000000, cust FROM raw
+),
+nodes AS (SELECT DISTINCT s AS id FROM edges),
+reach(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.id
+)
+SELECT id AS node, CAST(MIN(label) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id ORDER BY node
+"""
+
+
+@query("streaming_incremental_components", oracle=_STREAM_CC_ORACLE)
+def streaming_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING graph maintenance: connected-component labels kept
+    current across edge micro-batches via foreachBatch, each batch
+    RESUMING label propagation from the previous batch's converged
+    labels (connected_components' init_labels seed) -- the streaming
+    composition of graph_components_incremental, and the shape of a
+    production identity/dedup graph fed by a change stream.
+
+    The sparse customer-supplier edges arrive as FOUR files streamed
+    one per micro-batch (maxFilesPerTrigger=1), so propagation really
+    runs four times on growing state; each round's work is bounded by
+    the regions the batch's edges merge, not the accumulated graph's
+    diameter. Accumulated edges and labels are materialized per batch
+    (the durability.py iterative policy; on a cluster the reliable-
+    checkpoint switch makes state survive executor loss).
+
+    A finite replay must equal the batch recompute: the oracle is the
+    from-scratch recursive-CTE closure over the full edge log, compared
+    PER NODE -- the same incremental == batch gate as the batch
+    operator, now across micro-batch boundaries."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ushas_spark.durability import materialize
+    from ushas_spark.io import load_table
+    from ushas_spark.operators.dedup import connected_components
+
+    feed = tempfile.mkdtemp(prefix="ushas_cc_feed_")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.filter(F.col("o_orderkey") % 8 == 0)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("a"),
+            (F.col("l_suppkey") + 1_000_000_000).alias("b"),
+        )
+        .distinct()
+    )
+    pairs.repartition(4).write.mode("overwrite").parquet(feed)
+
+    edge_stream = (
+        spark.readStream.schema("a bigint, b bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+
+    state: dict = {
+        "edges": spark.createDataFrame([], "a bigint, b bigint"),
+        "labels": None,
+    }
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        edges_all = materialize(
+            state["edges"].unionByName(batch.select("a", "b")).distinct()
+        )
+        nodes = (
+            edges_all.select(F.col("a").alias("id"))
+            .unionAll(edges_all.select(F.col("b").alias("id")))
+            .distinct()
+        )
+        labels = connected_components(
+            nodes,
+            edges_all,
+            id_col="id",
+            src="a",
+            dst="b",
+            init_labels=state["labels"],
+        )
+        state["edges"] = edges_all
+        state["labels"] = materialize(labels)
+
+    q = edge_stream.writeStream.outputMode("update").foreachBatch(merge).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    return state["labels"].select(
+        F.col("id").alias("node"), F.col("label").cast("long").alias("cluster_id")
+    ).orderBy("node")
