@@ -158,6 +158,8 @@ HEADLINE = [
     "text_ccnet_lm_buckets",
     "graph_components_incremental",
     "pipeline_rendezvous_sharding",
+    "pipeline_temperature_mixture",
+    "events_engagement_curve",
 ]
 
 ITERATIONS = 3  # best-of-N, after one untimed warm-up

@@ -1893,3 +1893,89 @@ def pipeline_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "1000 * sum(cast(mod_before <> mod_after as long)) div count(*)"
         ).alias("mod_moved_x1000"),
     )
+
+
+# ---------------------------------------------- temperature source mixture
+
+TEMP_EPOCH_DOCS = 1000  # planned docs per training epoch
+
+_TEMP_MIX_ORACLE = f"""
+WITH per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+tot AS (
+  -- Deterministic total: fold sqrt weights in SOURCE order (a plain
+  -- SUM(double) is accumulation-order-undefined across engines).
+  SELECT list_reduce(
+           list_prepend(0.0, list(sqrt(CAST(n_docs AS DOUBLE))
+                                  ORDER BY source)),
+           (acc, v) -> acc + v) AS wsum
+  FROM per_src
+)
+SELECT source, n_docs,
+       CAST(ROUND(1000000 * sqrt(CAST(n_docs AS DOUBLE))
+                  / (SELECT wsum FROM tot)) AS BIGINT) AS share_x1e6,
+       CAST(ROUND({TEMP_EPOCH_DOCS} * sqrt(CAST(n_docs AS DOUBLE))
+                  / (SELECT wsum FROM tot)) AS BIGINT) AS epoch_quota,
+       CAST(1000000 * n_docs // (SELECT SUM(n_docs) FROM per_src) AS BIGINT)
+         AS natural_share_x1e6
+FROM per_src
+ORDER BY source
+"""
+
+
+@query("pipeline_temperature_mixture", oracle=_TEMP_MIX_ORACLE)
+def pipeline_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source balancing at T=2 (the mT5/multilingual
+    sampling rule p_s proportional to n_s^(1/T)): per-source epoch
+    quotas where sqrt damping boosts low-resource sources relative to
+    their natural share -- the standard fix for head-source domination
+    in multilingual/multi-domain pretraining, reported beside the
+    natural (proportional) share so the boost is visible per source.
+
+    Exactness: T=2 is chosen deliberately -- n^(1/2) is IEEE sqrt,
+    correctly rounded and engine-identical, unlike pow()/exp() whose
+    libm implementations diverge in the last ulp. The weight total is
+    a SEQUENTIAL LEFT FOLD over sqrt weights in source order
+    (F.aggregate over the sorted collect, list_reduce in DuckDB): a
+    plain SUM(double) has engine-dependent accumulation order, the
+    one float trap in an otherwise integer operator.
+
+    Scale shape: one map-side-combinable count per source, a |sources|-
+    row fold, a broadcast 1-row total -- nothing after the first
+    aggregate exceeds |sources| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per_src.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("source", "n_docs"))),
+                lambda s: F.sqrt(s["n_docs"].cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("wsum"),
+        F.sum("n_docs").alias("total_docs"),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(
+                1_000_000 * F.sqrt(F.col("n_docs").cast("double")) / F.col("wsum")
+            )
+            .cast("long")
+            .alias("share_x1e6"),
+            F.round(
+                TEMP_EPOCH_DOCS
+                * F.sqrt(F.col("n_docs").cast("double"))
+                / F.col("wsum")
+            )
+            .cast("long")
+            .alias("epoch_quota"),
+            F.expr("1000000 * n_docs div total_docs").alias("natural_share_x1e6"),
+        )
+        .orderBy("source")
+    )

@@ -3146,3 +3146,75 @@ def events_bot_gap_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bot_flag"),
     ).orderBy("user_id")
+
+
+# -------------------------------------------------- engagement (L30) curve
+
+_ENGAGEMENT_ORACLE = """
+WITH act AS (
+  SELECT user_id, COUNT(DISTINCT date_trunc('day', ts)) AS n_active_days
+  FROM events GROUP BY user_id
+),
+hist AS (
+  SELECT n_active_days, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM act GROUP BY n_active_days
+),
+tot AS (SELECT CAST(SUM(n_users) AS BIGINT) AS total_users FROM hist)
+SELECT h.n_active_days,
+       h.n_users,
+       CAST((SELECT SUM(h2.n_users) FROM hist h2
+             WHERE h2.n_active_days >= h.n_active_days) AS BIGINT)
+         AS users_at_least,
+       CAST(1000 * (SELECT SUM(h2.n_users) FROM hist h2
+                    WHERE h2.n_active_days >= h.n_active_days)
+            // (SELECT total_users FROM tot) AS BIGINT)
+         AS share_at_least_x1000
+FROM hist h
+ORDER BY h.n_active_days
+"""
+
+
+@query("events_engagement_curve", oracle=_ENGAGEMENT_ORACLE)
+def events_engagement_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The L30 engagement curve: how many users were active on at
+    least K distinct days of the window, for every K observed -- the
+    power-user curve product analytics reads DAU quality from (a
+    right-shifted curve means a habit product; a wall at K=1 means
+    drive-by traffic).
+
+    Scale shape: distinct active days per user is one map-side-
+    combinable groupBy (the (user, day) distinct rides the same
+    shuffle); the curve itself lives on the |distinct day counts|
+    rollup (<= days-in-window rows), where the tail-cumulative is a
+    broadcast theta self-join on the bounded histogram -- the repo's
+    standard prefix-sum discipline, no global window."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    act = (
+        e.distinct()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_active_days"))
+    )
+    hist = act.groupBy("n_active_days").agg(F.count(F.lit(1)).alias("n_users"))
+    tot = hist.agg(F.sum("n_users").alias("total_users"))
+    h2 = hist.select(
+        F.col("n_active_days").alias("d2"), F.col("n_users").alias("n2")
+    )
+    cum = (
+        hist.join(F.broadcast(h2), F.col("d2") >= F.col("n_active_days"))
+        .groupBy("n_active_days", "n_users")
+        .agg(F.sum("n2").alias("users_at_least"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "n_active_days",
+            F.col("n_users").cast("long"),
+            F.col("users_at_least").cast("long"),
+            F.expr("1000 * users_at_least div total_users").alias(
+                "share_at_least_x1000"
+            ),
+        )
+        .orderBy("n_active_days")
+    )

@@ -233,6 +233,8 @@ _DEFER_NEW: set[str] = {
     "graph_components_incremental",
     "pipeline_rendezvous_sharding",
     "streaming_incremental_components",
+    "pipeline_temperature_mixture",
+    "events_engagement_curve",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
