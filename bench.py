@@ -160,6 +160,7 @@ HEADLINE = [
     "pipeline_rendezvous_sharding",
     "pipeline_temperature_mixture",
     "events_engagement_curve",
+    "layout_hilbert_histogram",
 ]
 
 ITERATIONS = 3  # best-of-N, after one untimed warm-up

@@ -333,3 +333,162 @@ def layout_bitmap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_key")
     )
+
+
+# ----------------------------------------------------- Hilbert curve layout
+
+_H_BITS = 16
+_H_N = 1 << _H_BITS  # 65536 x 65536 grid; d fits 32 bits
+
+
+def _hilbert_steps(df: DataFrame, bits: list[int]) -> DataFrame:
+    """Apply the xy2d rotation steps for the given bit positions.
+
+    BRANCHLESS integer arithmetic (rx/ry as 0/1 ints, the quadrant as
+    3*rx + ry - 2*rx*ry) instead of CASE chains, and one projection per
+    step: the naive single-expression unroll references each prior
+    column ~4x per step, so Catalyst's analysis tree grows 4^steps --
+    the first cut simply hung. Even with per-step projections,
+    CollapseProject re-inlines everything, so the CALLER must place a
+    materialize() barrier between the two 8-step halves (3^8 ~ 6.5k
+    nodes per column per half -- trivially analyzable; 3^16 is not)."""
+    out = df
+    for i in bits:
+        sbit = 1 << i
+        out = out.select(
+            F.expr(f"cast(shiftright(hx, {i}) & 1 as bigint)").alias("rx"),
+            F.expr(f"cast(shiftright(hy, {i}) & 1 as bigint)").alias("ry"),
+            "hx",
+            "hy",
+            "hd",
+            "nx",
+            "ny",
+        ).select(
+            (
+                F.col("hd")
+                + (
+                    3 * F.col("rx")
+                    + F.col("ry")
+                    - 2 * F.col("rx") * F.col("ry")
+                )
+                * F.lit(sbit * sbit).cast("long")
+            ).alias("hd"),
+            (
+                F.col("ry") * F.col("hx")
+                + (1 - F.col("ry"))
+                * (
+                    F.col("rx") * (F.lit(_H_N - 1) - F.col("hy"))
+                    + (1 - F.col("rx")) * F.col("hy")
+                )
+            ).alias("hx"),
+            (
+                F.col("ry") * F.col("hy")
+                + (1 - F.col("ry"))
+                * (
+                    F.col("rx") * (F.lit(_H_N - 1) - F.col("hx"))
+                    + (1 - F.col("rx")) * F.col("hx")
+                )
+            ).alias("hy"),
+            "nx",
+            "ny",
+        )
+    return out
+
+
+def _sql_hilbert_cte_chain(x0: str, y0: str, src: str) -> str:
+    """The identical unrolled steps as chained CTEs (DuckDB mirror).
+
+    The midpoint CTE is AS MATERIALIZED for the same reason the Spark
+    side materializes: a purely-inlined 16-step chain multiplies the
+    shared subtrees in the binder."""
+    parts = [
+        f"h0 AS (SELECT {x0} AS hx, {y0} AS hy, CAST(0 AS BIGINT) AS hd,"
+        f" {x0} AS nx, {y0} AS ny FROM {src})"
+    ]
+    for k, i in enumerate(range(_H_BITS - 1, -1, -1)):
+        sbit = 1 << i
+        rx = f"CAST((hx >> {i}) & 1 AS BIGINT)"
+        ry = f"CAST((hy >> {i}) & 1 AS BIGINT)"
+        mat = " MATERIALIZED" if k + 1 == _H_BITS // 2 else ""
+        parts.append(
+            f"h{k + 1} AS{mat} (SELECT"
+            f" hd + (3 * {rx} + {ry} - 2 * {rx} * {ry}) * {sbit * sbit} AS hd,"
+            f" {ry} * hx + (1 - {ry}) * ({rx} * ({_H_N - 1} - hy)"
+            f"   + (1 - {rx}) * hy) AS hx,"
+            f" {ry} * hy + (1 - {ry}) * ({rx} * ({_H_N - 1} - hx)"
+            f"   + (1 - {rx}) * hx) AS hy,"
+            f" nx, ny FROM h{k})"
+        )
+    return ",\n".join(parts)
+
+
+_HILBERT_ORACLE = f"""
+WITH stats AS (
+  SELECT MIN({_Z_X}) AS xlo, MAX({_Z_X}) AS xhi,
+         MIN({_Z_Y}) AS ylo, MAX({_Z_Y}) AS yhi
+  FROM lineitem),
+pts AS (
+  SELECT {_sql_norm(_Z_X, "xlo", "xhi")} AS px,
+         {_sql_norm(_Z_Y, "ylo", "yhi")} AS py
+  FROM lineitem, stats),
+{_sql_hilbert_cte_chain("px", "py", "pts")}
+SELECT hd >> 20 AS h_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(hd) AS BIGINT) AS h_min,
+       CAST(MAX(hd) AS BIGINT) AS h_max,
+       CAST(MAX(nx) - MIN(nx) AS BIGINT) AS x_span,
+       CAST(MAX(ny) - MIN(ny) AS BIGINT) AS y_span
+FROM h{_H_BITS} GROUP BY h_bucket ORDER BY h_bucket
+"""
+
+
+@query("layout_hilbert_histogram", oracle=_HILBERT_ORACLE)
+def layout_hilbert_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve bucket histogram of lineitem over the same
+    normalized (partkey, orderkey) plane as the Z-order gate query --
+    the modern clustering layout (Hilbert has no quadrant seams, so a
+    bucket's x_span/y_span stay bounded where the Z-curve's seam
+    buckets stretch across the plane; the spans are in the output so
+    the locality advantage is measurable, not asserted). The xy2d
+    conversion is the public-domain Wikipedia formulation, unrolled
+    branchless with a materialize() barrier between the two 8-step
+    halves (see _hilbert_steps for why the barrier is load-bearing).
+
+    Scale shape: one broadcast 1-row min/max aggregate for
+    normalization, two shuffle-free projection passes over the corpus
+    separated by the barrier, one map-side-combinable histogram
+    groupBy. A writer would repartitionByRange on hd exactly like
+    zorder_by."""
+    from ushas_spark.durability import materialize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.min(_Z_X).alias("xlo"),
+        F.max(_Z_X).alias("xhi"),
+        F.min(_Z_Y).alias("ylo"),
+        F.max(_Z_Y).alias("yhi"),
+    )
+    nx = _normalized(F.col(_Z_X), F.col("xlo"), F.col("xhi"))
+    ny = _normalized(F.col(_Z_Y), F.col("ylo"), F.col("yhi"))
+    pts = li.crossJoin(F.broadcast(stats)).select(
+        nx.alias("hx"),
+        ny.alias("hy"),
+        F.lit(0).cast("long").alias("hd"),
+        nx.alias("nx"),
+        ny.alias("ny"),
+    )
+    half = list(range(_H_BITS - 1, -1, -1))
+    first = _hilbert_steps(pts, half[: _H_BITS // 2])
+    first = materialize(first)
+    done = _hilbert_steps(first, half[_H_BITS // 2 :])
+    return (
+        done.groupBy(F.shiftright(F.col("hd"), 20).alias("h_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("hd").alias("h_min"),
+            F.max("hd").alias("h_max"),
+            (F.max("nx") - F.min("nx")).alias("x_span"),
+            (F.max("ny") - F.min("ny")).alias("y_span"),
+        )
+        .orderBy("h_bucket")
+    )

@@ -235,6 +235,7 @@ _DEFER_NEW: set[str] = {
     "streaming_incremental_components",
     "pipeline_temperature_mixture",
     "events_engagement_curve",
+    "layout_hilbert_histogram",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
