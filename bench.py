@@ -161,6 +161,7 @@ HEADLINE = [
     "pipeline_temperature_mixture",
     "events_engagement_curve",
     "layout_hilbert_histogram",
+    "dedup_keep_longest",
 ]
 
 ITERATIONS = 3  # best-of-N, after one untimed warm-up

@@ -1455,3 +1455,92 @@ def dedup_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------- keep-best canonical selection
+
+_KEEP_LONGEST_ORACLE = f"""
+WITH RECURSIVE sh_all AS (
+  SELECT doc_id, unnest({sql_shingles()}) AS shingle FROM documents
+), hot AS (
+  SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) > {NGRAM_DF_CAP}
+), sh AS (
+  SELECT * FROM sh_all WHERE shingle NOT IN (SELECT shingle FROM hot)
+), sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= {JACCARD_THRESHOLD}
+), edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+), reach(id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.id
+), clusters AS (
+  SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id
+), scored AS (
+  SELECT c.cluster_id, c.doc_id, d.n_chars
+  FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+)
+SELECT cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       ARG_MAX(doc_id, printf('%012d|%012d', n_chars, 999999999999 - doc_id))
+         AS survivor_doc,
+       CAST(MAX(n_chars) AS BIGINT) AS survivor_chars,
+       CAST(SUM(n_chars) - MAX(n_chars) AS BIGINT) AS chars_dropped
+FROM scored
+GROUP BY cluster_id
+HAVING COUNT(*) > 1
+ORDER BY cluster_id
+"""
+
+
+@query("dedup_keep_longest", oracle=_KEEP_LONGEST_ORACLE)
+def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical selection with a KEEP-LONGEST policy: within every
+    near-dup cluster, survive the document with the most characters
+    (ties to the smaller doc_id) instead of the arbitrary min-id that
+    dedup_survivor_stats uses -- the policy real curation pipelines
+    prefer, since near-dup clusters usually contain one full document
+    plus truncated/boilerplate-stripped copies, and min-id keeps a
+    random one. Only multi-member clusters appear (singletons have no
+    selection to make); chars_dropped is the corpus-size saving the
+    policy realises per cluster.
+
+    Scale shape: clusters come from the standard banded/capped Jaccard
+    candidate graph + label propagation (never all-pairs); the policy
+    itself is ONE map-side-combinable max_by aggregate over the
+    |docs|-row (cluster, doc, n_chars) frame. The composite argmax key
+    is a fixed-width printf string on both engines (DuckDB's ARG_MAX
+    takes no struct ordering)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _jaccard_pairs(spark, sf_dir).filter(
+        F.col("jac") >= JACCARD_THRESHOLD
+    )
+    labels = connected_components(
+        docs, pairs, id_col="doc_id", src="doc_a", dst="doc_b"
+    )
+    scored = labels.select(
+        F.col("label").alias("cluster_id"), F.col("id").alias("doc_id")
+    ).join(docs.select("doc_id", "n_chars"), "doc_id")
+    return (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.expr(
+                "max_by(doc_id, format_string('%012d|%012d', n_chars,"
+                " 999999999999 - doc_id))"
+            ).alias("survivor_doc"),
+            F.max("n_chars").alias("survivor_chars"),
+            (F.sum("n_chars") - F.max("n_chars")).alias("chars_dropped"),
+        )
+        .filter(F.col("n_members") > 1)
+        .orderBy("cluster_id")
+    )

@@ -236,6 +236,7 @@ _DEFER_NEW: set[str] = {
     "pipeline_temperature_mixture",
     "events_engagement_curve",
     "layout_hilbert_histogram",
+    "dedup_keep_longest",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
