@@ -351,7 +351,11 @@ def _hilbert_steps(df: DataFrame, bits: list[int]) -> DataFrame:
     the first cut simply hung. Even with per-step projections,
     CollapseProject re-inlines everything, so the CALLER must place a
     materialize() barrier between the two 8-step halves (3^8 ~ 6.5k
-    nodes per column per half -- trivially analyzable; 3^16 is not)."""
+    nodes per column per half -- trivially analyzable; 3^16 is not).
+    Chunk size 4 (not 8): an 8-step chunk's generated code exceeds the
+    whole-stage-codegen method limit and the projection silently runs
+    INTERPRETED -- measured 12.6s for the histogram at sf0.1, vs ~0.4s
+    with 4-step chunks whose methods stay within codegen limits."""
     out = df
     for i in bits:
         sbit = 1 << i
@@ -451,13 +455,14 @@ def layout_hilbert_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets stretch across the plane; the spans are in the output so
     the locality advantage is measurable, not asserted). The xy2d
     conversion is the public-domain Wikipedia formulation, unrolled
-    branchless with a materialize() barrier between the two 8-step
-    halves (see _hilbert_steps for why the barrier is load-bearing).
+    branchless in 4-step chunks separated by materialize() barriers
+    (see _hilbert_steps for why both the barriers and the chunk size
+    are load-bearing).
 
     Scale shape: one broadcast 1-row min/max aggregate for
-    normalization, two shuffle-free projection passes over the corpus
-    separated by the barrier, one map-side-combinable histogram
-    groupBy. A writer would repartitionByRange on hd exactly like
+    normalization, four shuffle-free codegen'd projection passes over
+    the corpus separated by barriers, one map-side-combinable
+    histogram groupBy. A writer would repartitionByRange on hd exactly like
     zorder_by."""
     from ushas_spark.durability import materialize
 
@@ -477,10 +482,13 @@ def layout_hilbert_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         nx.alias("nx"),
         ny.alias("ny"),
     )
-    half = list(range(_H_BITS - 1, -1, -1))
-    first = _hilbert_steps(pts, half[: _H_BITS // 2])
-    first = materialize(first)
-    done = _hilbert_steps(first, half[_H_BITS // 2 :])
+    bits = list(range(_H_BITS - 1, -1, -1))
+    chunk = 4  # see _hilbert_steps: codegen method limit, not analysis
+    done = pts
+    for c in range(0, _H_BITS, chunk):
+        done = _hilbert_steps(done, bits[c : c + chunk])
+        if c + chunk < _H_BITS:
+            done = materialize(done)
     return (
         done.groupBy(F.shiftright(F.col("hd"), 20).alias("h_bucket"))
         .agg(

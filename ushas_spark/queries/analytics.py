@@ -3191,12 +3191,20 @@ def events_engagement_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "user_id", F.date_trunc("day", F.col("ts")).alias("day")
     )
+    from ushas_spark.durability import materialize
+
     act = (
         e.distinct()
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_active_days"))
     )
-    hist = act.groupBy("n_active_days").agg(F.count(F.lit(1)).alias("n_users"))
+    # Materialized: the <= |days-in-window|-row histogram feeds three
+    # branches (itself, the theta self-join side, the total) -- without
+    # truncation each branch re-runs the corpus pipeline (audited: 10
+    # shuffles -> 4 across two segments, one corpus pass instead of 3).
+    hist = materialize(
+        act.groupBy("n_active_days").agg(F.count(F.lit(1)).alias("n_users"))
+    )
     tot = hist.agg(F.sum("n_users").alias("total_users"))
     h2 = hist.select(
         F.col("n_active_days").alias("d2"), F.col("n_users").alias("n2")
