@@ -53,8 +53,11 @@ never a single sweep cell.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
+import subprocess
 import sys
 import time
 
@@ -202,6 +205,73 @@ def _release_storage(spark) -> None:
         rdd.unpersist(True)
 
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _this_round() -> int:
+    """Infer the current round from committed driver artifacts.
+
+    The driver writes BENCH_r{N}.json AFTER bench.py runs, so at bench
+    time the highest committed BENCH_r* belongs to the PREVIOUS round.
+    """
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(_REPO, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def _prev_detail() -> dict[str, float]:
+    """Per-query map of the previous round's sweep (for the variance guard).
+
+    Prefer the newest round-stamped snapshot; fall back to the legacy
+    un-stamped BENCH_DETAIL.json (committed at r06)."""
+    # Exclude this round's own snapshot (bench may run more than once per
+    # round; the guard must compare across rounds, not across sweeps).
+    this_round = _this_round()
+    stamped = sorted(
+        (
+            p
+            for p in glob.glob(os.path.join(_REPO, "BENCH_DETAIL_r*.json"))
+            if int(re.search(r"_r(\d+)\.json$", p).group(1)) < this_round
+        ),
+        key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
+    )
+    path = stamped[-1] if stamped else os.path.join(_REPO, "BENCH_DETAIL.json")
+    try:
+        with open(path) as f:
+            return dict(json.load(f).get("queries", {}))
+    except (OSError, ValueError):
+        return {}
+
+
+def _repin_isolated(name: str) -> float | None:
+    """Best-of-3 re-run of one query in a FRESH subprocess JVM.
+
+    This is the in-harness version of the manual quiet-machine re-pin the
+    judge performed in r04-r06: sweep-state pollution (storage/broadcast
+    litter, GC debt, JIT state) cannot follow a query into a new process,
+    so a sweep-vs-isolated gap cleanly separates machine noise from a
+    plan regression. Runs AFTER the sweep's timed region, so it costs
+    wall-clock only."""
+    env = dict(os.environ, USHAS_BENCH_QUERIES=name, USHAS_BENCH_CHILD="1")
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        for ln in reversed(proc.stdout.strip().splitlines()):
+            if ln.startswith("{"):
+                return json.loads(ln)["queries"].get(name)
+    except (subprocess.TimeoutExpired, ValueError, KeyError, OSError):
+        pass
+    return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -243,6 +313,43 @@ def main() -> None:
         "queries": {k: round(v, 4) for k, v in timings.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+
+    child = os.environ.get("USHAS_BENCH_CHILD") == "1"
+
+    # Variance guard (r06 verdict item 3): every round so far, 1-4
+    # sub-second queries read >1.5x their prior-round sweep value on
+    # byte-identical plans, and a manual isolated re-pin cleared each one
+    # (window_topk_per_group r06: sweep 1.69s -> isolated 0.62s). Do that
+    # re-pin in-harness: compare against the previous round's committed
+    # per-query map and re-run outliers best-of-3 in a fresh subprocess
+    # JVM, emitting BOTH numbers so the judge never has to. Capped at 8:
+    # more simultaneous "outliers" means uniform machine drift (seen in
+    # r04), where per-query re-pins prove nothing -- plans are the
+    # cross-round comparator there.
+    if not child:
+        spark.stop()  # quiet the JVM before isolated re-pins
+        prev = _prev_detail()
+        outliers = sorted(
+            (
+                (timings[n] / prev[n], n)
+                for n in timings
+                if prev.get(n, 0) > 0.05 and timings[n] > 1.5 * prev[n]
+            ),
+            reverse=True,
+        )
+        repinned: dict[str, dict[str, float]] = {}
+        for ratio, name in outliers[:8]:
+            iso = _repin_isolated(name)
+            if iso is not None:
+                repinned[name] = {
+                    "prev": round(prev[name], 4),
+                    "sweep": round(timings[name], 4),
+                    "isolated": round(iso, 4),
+                }
+        if repinned:
+            out["repinned"] = repinned
+        if len(outliers) > 8:
+            out["uniform_drift_outliers"] = len(outliers)
     # Full per-query payload goes to a file: the driver captures only the
     # LAST ~2000 chars of stdout and parses the JSON line it finds there,
     # so a 68-query map on one line overflows the window and the round's
@@ -250,10 +357,14 @@ def main() -> None:
     # "parsed": null, the line visibly truncated mid-JSON). Keep stdout's
     # single JSON line compact enough to always fit: inline only the
     # slowest queries when the full map would overflow.
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
-    with open(detail_path, "w") as f:
-        json.dump(out, f, indent=1, sort_keys=True)
-        f.write("\n")
+    if not child:
+        # Round-stamped snapshot (r06 verdict item 7) so cross-round
+        # per-query diffs come from committed artifacts, plus the
+        # un-stamped path the tooling already reads.
+        for fname in ("BENCH_DETAIL.json", "BENCH_DETAIL_r%02d.json" % _this_round()):
+            with open(os.path.join(_REPO, fname), "w") as f:
+                json.dump(out, f, indent=1, sort_keys=True)
+                f.write("\n")
     line = json.dumps(out)
     if len(line) > 1800:
         slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:15])
@@ -262,7 +373,8 @@ def main() -> None:
         out["detail"] = "BENCH_DETAIL.json"
         line = json.dumps(out)
     print(line)
-    spark.stop()
+    if child:
+        spark.stop()
 
 
 if __name__ == "__main__":
