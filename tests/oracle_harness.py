@@ -18,6 +18,34 @@ import pandas as pd
 from ushas_spark.io import TABLES
 
 
+# DataFrame cache for bind_views, keyed by parquet path (paths are unique
+# tmp_path_factory dirs per test run; the session-scoped SparkSession
+# keeps the DataFrames valid for the whole run).
+_BIND_CACHE: dict = {}
+
+
+def bind_views(spark, paths: dict) -> None:
+    """(Re)bind a fixture's bare-name temp views immediately before a
+    query executes.
+
+    Several execution modules bind OVERLAPPING bare table names onto the
+    session-scoped SparkSession (TPC-DS / modified-TPC-DS / decimal-q18
+    all bind date_dim, store_sales, ...; TPC-DS, SSB and TPC-H all bind
+    `customer`). Binding only at module-fixture setup is therefore
+    ordering-dependent: under pytest-xdist or randomized ordering, a
+    later module's fixture silently rebinds the names out from under an
+    earlier module's still-running tests. Rebinding from the invoking
+    fixture's own path map at every execution makes each query see its
+    own tables no matter which module fixtures are live. The DataFrame
+    objects are cached per path so the per-call cost is a catalog update,
+    not a parquet footer re-read."""
+    for table, path in paths.items():
+        df = _BIND_CACHE.get(path)
+        if df is None:
+            df = _BIND_CACHE.setdefault(path, spark.read.parquet(path))
+        df.createOrReplaceTempView(table)
+
+
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for name in TABLES:

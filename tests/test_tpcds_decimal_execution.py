@@ -44,7 +44,7 @@ import duckdb
 import pandas as pd
 import pytest
 
-from tests.oracle_harness import compare_frames
+from tests.oracle_harness import bind_views, compare_frames
 from tests.test_tpcds_execution import _ddl_columns, _gen_cell, _positional
 
 RES_V14 = "/root/reference/sql/core/src/test/resources/tpcds"
@@ -198,6 +198,7 @@ def _counts_are_powers_of_two(spark, year: int, gender: str) -> None:
 
 
 def _run_both(spark, paths: dict, sql: str, label: str) -> None:
+    bind_views(spark, paths)  # overlapping-name safety: see oracle_harness
     spark_pdf = spark.sql(sql).toPandas()
     con = duckdb.connect()
     try:

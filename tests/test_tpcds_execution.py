@@ -27,7 +27,7 @@ import duckdb
 import pandas as pd
 import pytest
 
-from tests.oracle_harness import compare_frames
+from tests.oracle_harness import bind_views, compare_frames
 
 REF_SUITE = (
     "/root/reference/sql/core/src/test/scala/org/apache/spark/sql/"
@@ -553,6 +553,7 @@ def _positional(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def _run_both(spark, paths: dict, sql: str, label: str) -> None:
+    bind_views(spark, paths)  # overlapping-name safety: see oracle_harness
     spark_pdf = spark.sql(sql).toPandas()
     con = duckdb.connect()
     try:
@@ -582,6 +583,24 @@ def test_tpcds_query_executes_exactly(spark, tpcds_data, name):
     with open(os.path.join(RES, f"{name}.sql"), encoding="utf-8") as fh:
         sql = fh.read()
     _run_both(spark, tpcds_data, sql, name)
+
+
+def test_run_both_survives_foreign_view_rebinding(spark, tpcds_data):
+    """Ordering-independence regression test for the cross-module
+    temp-view hazard: another module's fixture (modified-TPC-DS,
+    decimal-q18, SSB, TPC-H) rebinding a shared bare name between our
+    fixture setup and a query execution must not change results --
+    _run_both rebinds from its own path map at call time."""
+    spark.createDataFrame(
+        [(0,)], "d_date_sk int"
+    ).createOrReplaceTempView("date_dim")
+    spark.createDataFrame(
+        [(0,)], "ss_item_sk int"
+    ).createOrReplaceTempView("store_sales")
+    name = QUERIES[0]
+    with open(os.path.join(RES, f"{name}.sql"), encoding="utf-8") as fh:
+        sql = fh.read()
+    _run_both(spark, tpcds_data, sql, f"{name}-after-foreign-rebind")
 
 
 # ------------------------------------------------- TPC-DS v2.7 variants

@@ -29,7 +29,7 @@ import duckdb
 import pandas as pd
 import pytest
 
-from tests.oracle_harness import compare_frames
+from tests.oracle_harness import bind_views, compare_frames
 from tests.test_tpcds_execution import _ddl_columns, _mix, _positional
 
 RES_MOD = "/root/reference/sql/core/src/test/resources/tpcds-modifiedQueries"
@@ -537,6 +537,7 @@ def tpcds_mod_data(spark, tmp_path_factory):
 
 
 def _run_both_mod(spark, paths: dict, sql: str, label: str) -> None:
+    bind_views(spark, paths)  # overlapping-name safety: see oracle_harness
     spark_pdf = spark.sql(sql).toPandas()
     con = duckdb.connect()
     try:

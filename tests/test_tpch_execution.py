@@ -51,7 +51,7 @@ import duckdb
 import pandas as pd
 import pytest
 
-from tests.oracle_harness import compare_frames
+from tests.oracle_harness import bind_views, compare_frames
 from tests.test_tpcds_execution import _mix, _positional
 
 RES_TPCH = "/root/reference/sql/core/src/test/resources/tpch"
@@ -280,6 +280,7 @@ def tpch_data(spark, tmp_path_factory):
 
 
 def _run_both_tpch(spark, paths: dict, sql: str, label: str) -> None:
+    bind_views(spark, paths)  # overlapping-name safety: see oracle_harness
     spark_pdf = spark.sql(sql).toPandas()
     con = duckdb.connect()
     try:
