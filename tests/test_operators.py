@@ -806,3 +806,64 @@ def test_corpus_divergence_zero_for_single_source(spark, sf_dir, tmp_path):
     assert len(rows) == 1
     assert rows[0]["chi2_x1m"] == 0
     assert rows[0]["source"] == "only"
+
+
+def test_boilerplate_ngrams_short_docs_emit_no_grams(spark, sf_dir, tmp_path):
+    """Documents shorter than BOILER_N tokens must vanish from the
+    result, not crash: unguarded sequence(1, size-2) on a 1-2 token doc
+    is DESCENDING ([1,0]) and slice() then throws under ANSI / emits
+    bogus grams, while the DuckDB oracle's range() is simply empty
+    (ADVICE r06)."""
+    import os
+
+    from ushas_spark.operators.text import text_boilerplate_ngrams
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    short = spark.createDataFrame(
+        [
+            (9_000_001, "one", "en", "web", 3),
+            (9_000_002, "two words", "en", "web", 9),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    staged = str(tmp_path / "sf_short_docs")
+    os.makedirs(staged)
+    docs.unionByName(short).write.parquet(os.path.join(staged, "documents.parquet"))
+    rows = text_boilerplate_ngrams(spark, staged).collect()
+    ids = {r["doc_id"] for r in rows}
+    assert 9_000_001 not in ids and 9_000_002 not in ids
+    assert len(rows) == 20  # every >=3-token doc still scored
+
+
+def test_bot_gap_single_subsecond_gap_flags(spark, sf_dir, tmp_path):
+    """A user with exactly ONE gap (cv undefined -> cv_x1e4 NULL) is
+    still flagged when that gap is sub-second: the min-gap arm of the
+    bot heuristic is independent of the cv arm (ADVICE r06)."""
+    import datetime
+    import os
+
+    from ushas_spark.queries.analytics import events_bot_gap_regularity
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    fast = [
+        (8_000_001, t0, 7_000_001, "click", 1.0, "{}"),
+        (8_000_002, t0 + datetime.timedelta(milliseconds=50), 7_000_001,
+         "click", 1.0, "{}"),
+        # control: one gap of an hour -> NOT a bot
+        (8_000_003, t0, 7_000_002, "click", 1.0, "{}"),
+        (8_000_004, t0 + datetime.timedelta(hours=1), 7_000_002,
+         "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        fast,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    staged = str(tmp_path / "sf_bot_events")
+    os.makedirs(staged)
+    df.write.parquet(os.path.join(staged, "events.parquet"))
+    rows = {r["user_id"]: r for r in events_bot_gap_regularity(spark, staged).collect()}
+    assert rows[7_000_001]["n_gaps"] == 1
+    assert rows[7_000_001]["cv_x1e4"] is None
+    assert rows[7_000_001]["bot_flag"] == 1
+    assert rows[7_000_002]["bot_flag"] == 0

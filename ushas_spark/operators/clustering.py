@@ -516,11 +516,17 @@ def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
       sign-safe nonnegative integer division, identical in both
       engines.
 
-    Overflow budget (BIGINT): |x_int| <= 600 for unit-normalised
-    embeddings, so S cells <= rows*3.6e5 and C ~ n^2*cov; safe through
-    ~1e6 rows at x1000 quantisation. A 100 TB run drops PCA_SCALE to
-    x100 (C shrinks by 1e4) or swaps the cell dtype to DECIMAL(38,0) --
-    the plan shape is unchanged.
+    Overflow budget (BIGINT), worst case: |x_int| <= 1000 at x1000
+    quantisation, so |S| <= 1e6*n, |C| = |n*S - m_i*m_j| <= 2e6*n^2,
+    and a power-iteration cell u_i = sum_j C_ij*v_j with |v| <= 1000
+    over 64 dims reaches 64 * 2e6*n^2 * 1000 ~ 1.3e11*n^2 -- which
+    crosses the 9.2e18 BIGINT ceiling near n ~ 2.6e5 rows (ANSI Spark
+    would throw, DuckDB errors; neither engine goes silently wrong).
+    Tested scales (sf0.1 = 1.5e4 embedding rows) sit ~300x inside the
+    bound. Past ~2e5 rows, drop PCA_SCALE to x100 (C shrinks 1e4x ->
+    bound moves to ~2.6e7 rows) and/or rescale v to |v| <= 100, or
+    swap the cell dtype to DECIMAL(38,0) -- the plan shape is
+    unchanged by any of these.
 
     Determinism: fixed v0 = all-ones, fixed round count, integer
     rescale -- both engines walk the identical integer sequence, so the

@@ -1638,13 +1638,18 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     pathologically templated crawl) raises BOILER_MIN_DOCS -- the knob
     IS the size bound."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    # Docs shorter than BOILER_N tokens emit NO grams: without the guard,
+    # sequence(1, size-2) on a short doc is DESCENDING (sequence(1,0) =
+    # [1,0]) and slice() then throws / fabricates grams, while the DuckDB
+    # oracle's range(1, 0) is simply empty.
     grams = d.select(
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(1, size(split(text, ' ')) - {BOILER_N - 1}),"
+                f"CASE WHEN size(split(text, ' ')) >= {BOILER_N} THEN"
+                f" transform(sequence(1, size(split(text, ' ')) - {BOILER_N - 1}),"
                 f" k -> concat_ws(' ', slice(split(text, ' '), k, {BOILER_N})))"
+                f" ELSE CAST(array() AS array<string>) END"
             )
         ).alias("gram"),
     )

@@ -3071,8 +3071,8 @@ scored AS (
   FROM stats
 )
 SELECT user_id, n_gaps, mean_gap_s, min_gap_us, cv_x1e4,
-       CAST(CASE WHEN cv_x1e4 IS NOT NULL
-                  AND (cv_x1e4 < 2500 OR min_gap_us < 1000000)
+       CAST(CASE WHEN (cv_x1e4 IS NOT NULL AND cv_x1e4 < 2500)
+                   OR min_gap_us < 1000000
              THEN 1 ELSE 0 END AS BIGINT) AS bot_flag
 FROM scored ORDER BY user_id
 """
@@ -3139,9 +3139,13 @@ def events_bot_gap_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_gap_s",
         "min_gap_us",
         "cv_x1e4",
+        # Sub-second minimum gap flags independently of cv: a user with a
+        # single gap (cv undefined, cv_x1e4 NULL) is still a bot if that
+        # gap is machine-speed. coalesce() keeps the OR two-valued so the
+        # NULL cv never poisons the flag.
         (
-            F.col("cv_x1e4").isNotNull()
-            & ((F.col("cv_x1e4") < 2500) | (F.col("min_gap_us") < 1_000_000))
+            F.coalesce(F.col("cv_x1e4") < 2500, F.lit(False))
+            | (F.col("min_gap_us") < 1_000_000)
         )
         .cast("long")
         .alias("bot_flag"),

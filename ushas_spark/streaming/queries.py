@@ -8,6 +8,8 @@ StreamTest methodology, collapsed to one scripted action)."""
 
 from __future__ import annotations
 
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ushas_spark.registry import query
@@ -449,6 +451,10 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+        # The merged state is localCheckpoint-ed (materialize), so it no
+        # longer references the feed files; reclaim the SF-sized feed dir
+        # instead of leaking one per invocation.
+        shutil.rmtree(feed, ignore_errors=True)
 
     return (
         state["df"]
@@ -583,6 +589,9 @@ def streaming_incremental_components(spark: SparkSession, sf_dir: str) -> DataFr
         q.processAllAvailable()
     finally:
         q.stop()
+        # Labels/edges are localCheckpoint-ed; the parquet feed is dead
+        # weight after the stream stops -- reclaim it.
+        shutil.rmtree(feed, ignore_errors=True)
 
     return state["labels"].select(
         F.col("id").alias("node"), F.col("label").cast("long").alias("cluster_id")
