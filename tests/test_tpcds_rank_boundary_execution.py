@@ -1,0 +1,247 @@
+"""TPC-DS rank/NULL-order-tie class, closed (r06 verdict #5).
+
+The last systematic execution absences -- v1.4 q67 + q14a and v2.7
+q14a/q22a/q67a -- all share one blocker shape: a final ``ORDER BY`` over
+rollup grouping columns (which contain NULLs at the aggregated levels)
+with a BINDING ``LIMIT 100``. Spark orders NULL-first ascending, DuckDB
+NULL-last, and rank/sort ties straddle the cutoff, so the engines
+legitimately return different 100-row subsets of the same ordered
+multiset. The divergence is a property of the boundary, not of the
+computation.
+
+Dissolution, the q18-fixture discipline applied to rank boundaries: a
+dedicated fixture sized so every text's FULL result has fewer than 100
+rows. The LIMIT then never binds, both engines return the complete
+multiset, and the order-insensitive value comparison gates the actual
+computation (rollup levels, correlated averages, cross-channel
+INTERSECT, windows) bit-for-bit. NULL-order divergence needs a binding
+boundary to act on; below it, agreement is REQUIRED -- so these runs
+certify the engine on exactly the parts of the five queries that are
+engine-independent, and tests assert the LIMIT headroom explicitly.
+
+Exactness design (see ushas_spark/oracle_exact.py patterns):
+- every channel row has quantity * list_price = 1 * 100.0, so q14a's
+  corpus-wide average_sales is EXACTLY 100.0 on both engines and the
+  HAVING ``sum > average_sales`` margins are 2x, never a float boundary;
+- q22a's inventory quantities are constant per item, so every grouped
+  average is the constant itself, and the grand average is a /4 of an
+  integer sum (dyadic-exact in double);
+- out-of-window rows (1998 sales at list_price 77777, 1999 inventory at
+  quantity 999999) would blow the averages 700x if any window leaked --
+  the fixture proves the date restrictions are applied, not merely that
+  the joins compile.
+
+Windows covered by one calendar (d_month_seq = 1200 + months since
+1999-01): q67 reads year 1999 (seq 1200-1211), q67a/q22a read year 2000
+(seq 1212-1223), v1.4 q14a aggregates Nov 2001 over a 1999-2001 base,
+v2.7 q14a aggregates Nov 2000 over the same base.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+from tests.oracle_harness import bind_views, compare_frames
+from tests.test_tpcds_execution import _positional
+
+RES_V14 = "/root/reference/sql/core/src/test/resources/tpcds"
+RES_V27 = "/root/reference/sql/core/src/test/resources/tpcds-v2.7.0"
+
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.isdir(RES_V14), reason="reference resources not available"
+    ),
+    pytest.mark.xdist_group("tpcds_bare_views"),
+]
+
+# Four items: 1-2 share (brand_id, class_id, category_id) = (1, 1, 1) and
+# sell in all three channels (the q14a INTERSECT needle); 3-4 exist only
+# in inventory (q22a's /4-exact grand average needs four products).
+_ITEMS = pd.DataFrame(
+    {
+        "i_item_sk": [1, 2, 3, 4],
+        "i_brand_id": [1, 1, 2, 2],
+        "i_class_id": [1, 1, 2, 2],
+        "i_category_id": [1, 1, 2, 2],
+        "i_brand": ["BR_1", "BR_1", "BR_2", "BR_2"],
+        "i_class": ["CL_1", "CL_1", "CL_2", "CL_2"],
+        "i_category": ["CAT_A", "CAT_A", "CAT_B", "CAT_B"],
+        "i_product_name": ["PROD_1", "PROD_2", "PROD_3", "PROD_4"],
+    }
+)
+
+
+def _dsk(year: int, month: int) -> int:
+    return 1000 + (year - 1998) * 12 + (month - 1)
+
+
+@pytest.fixture(scope="module")
+def rank_boundary_data(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("tpcds_rank_boundary")
+
+    dates = [
+        (
+            _dsk(y, m),
+            y,
+            m,
+            1 + (m - 1) // 3,
+            1200 + (y - 1999) * 12 + (m - 1),
+        )
+        for y in (1998, 1999, 2000, 2001)
+        for m in range(1, 13)
+    ]
+    date_dim = pd.DataFrame(
+        dates, columns=["d_date_sk", "d_year", "d_moy", "d_qoy", "d_month_seq"]
+    )
+
+    store = pd.DataFrame({"s_store_sk": [1], "s_store_id": ["STORE_001"]})
+    warehouse = pd.DataFrame({"w_warehouse_sk": [1]})
+
+    # (item_sk, date_sk, sales_price); quantity=1, list_price=100.0 rows.
+    ss = [
+        # q67's year-1999 slice: 2 items x 2 quarters, distinct sumsales.
+        (1, _dsk(1999, 1), 11.0),
+        (1, _dsk(1999, 7), 13.0),
+        (2, _dsk(1999, 1), 17.0),
+        (2, _dsk(1999, 7), 19.0),
+        # v2.7 q14a's Nov-2000 slice -- also q67a's year-2000 rollup base.
+        (1, _dsk(2000, 11), 23.0),
+        (2, _dsk(2000, 11), 29.0),
+        # v1.4 q14a's Nov-2001 slice.
+        (1, _dsk(2001, 11), 31.0),
+        (2, _dsk(2001, 11), 37.0),
+    ]
+    store_sales = pd.DataFrame(
+        {
+            "ss_item_sk": [r[0] for r in ss],
+            "ss_sold_date_sk": [r[1] for r in ss],
+            "ss_store_sk": 1,
+            "ss_quantity": 1,
+            "ss_list_price": 100.0,
+            "ss_sales_price": [r[2] for r in ss],
+        }
+    )
+    # Window-leak canary: outside 1999-2001 and every d_month_seq window;
+    # would move average_sales from 100.0 to ~8700 if it leaked in.
+    store_sales.loc[len(store_sales)] = [1, _dsk(1998, 6), 1, 1, 77777.0, 5.0]
+
+    def channel(prefix: str, rows):
+        return pd.DataFrame(
+            {
+                f"{prefix}_item_sk": [r[0] for r in rows],
+                f"{prefix}_sold_date_sk": [r[1] for r in rows],
+                f"{prefix}_quantity": 1,
+                f"{prefix}_list_price": 100.0,
+            }
+        )
+
+    # Catalog/web presence in 1999-2001 (cross_items needs the brand/
+    # class/category combo in ALL THREE channels) + both Novembers.
+    other = [
+        (1, _dsk(2000, 3)),
+        (2, _dsk(2000, 3)),
+        (1, _dsk(2000, 11)),
+        (2, _dsk(2000, 11)),
+        (1, _dsk(2001, 11)),
+        (2, _dsk(2001, 11)),
+    ]
+    catalog_sales = channel("cs", other)
+    web_sales = channel("ws", other)
+
+    # q22a: constant quantity per item; 3 snapshots each in year 2000.
+    inv = [
+        (sk, _dsk(2000, m), qty)
+        for sk, qty in ((1, 96), (2, 160), (3, 224), (4, 288))
+        for m in (2, 6, 10)
+    ]
+    inventory = pd.DataFrame(
+        {
+            "inv_item_sk": [r[0] for r in inv],
+            "inv_date_sk": [r[1] for r in inv],
+            "inv_warehouse_sk": 1,
+            "inv_quantity_on_hand": [r[2] for r in inv],
+        }
+    )
+    # Window-leak canary for the 1212-1223 d_month_seq window.
+    inventory.loc[len(inventory)] = [1, _dsk(1999, 5), 1, 999999]
+
+    paths = {}
+    for name, pdf in (
+        ("date_dim", date_dim),
+        ("store", store),
+        ("warehouse", warehouse),
+        ("item", _ITEMS),
+        ("store_sales", store_sales),
+        ("catalog_sales", catalog_sales),
+        ("web_sales", web_sales),
+        ("inventory", inventory),
+    ):
+        path = str(root / f"{name}.parquet")
+        pdf.to_parquet(path)
+        paths[name] = path
+    yield paths
+
+
+def _run_both(spark, paths: dict, sql: str, label: str) -> pd.DataFrame:
+    bind_views(spark, paths)  # overlapping-name safety: see oracle_harness
+    spark_pdf = spark.sql(sql).toPandas()
+    con = duckdb.connect()
+    try:
+        for table, path in paths.items():
+            con.execute(
+                f'CREATE VIEW "{table}" AS SELECT * FROM read_parquet(\'{path}\')'
+            )
+        duck_pdf = con.execute(sql.replace("`", '"')).fetchdf()
+    finally:
+        con.close()
+    assert 0 < len(spark_pdf) < 100, (
+        f"{label}: {len(spark_pdf)} rows -- the fixture must keep the "
+        "full result strictly under the LIMIT 100 boundary"
+    )
+    problems = compare_frames(_positional(spark_pdf), _positional(duck_pdf))
+    assert not problems, f"{label}: " + "; ".join(problems)
+    return spark_pdf
+
+
+def _text(res_dir: str, name: str) -> str:
+    with open(os.path.join(res_dir, f"{name}.sql"), encoding="utf-8") as fh:
+        return fh.read()
+
+
+def test_q67_v14_executes_exactly(spark, rank_boundary_data):
+    pdf = _run_both(spark, rank_boundary_data, _text(RES_V14, "q67"), "q67")
+    # 4 base combos roll up through 9 levels; every row passes rk <= 100.
+    assert (pdf["rk"] >= 1).all()
+
+
+def test_q67a_v27_executes_exactly(spark, rank_boundary_data):
+    _run_both(spark, rank_boundary_data, _text(RES_V27, "q67a"), "q67a")
+
+
+def test_q22a_v27_executes_exactly(spark, rank_boundary_data):
+    pdf = _run_both(spark, rank_boundary_data, _text(RES_V27, "q22a"), "q22a")
+    # Grand average over the four per-item constants: (96+160+224+288)/4.
+    grand = pdf[pdf.iloc[:, 0].isna()]
+    assert len(grand) == 1 and float(grand.iloc[0]["qoh"]) == 192.0
+
+
+def test_q14a_v14_executes_exactly(spark, rank_boundary_data):
+    pdf = _run_both(spark, rank_boundary_data, _text(RES_V14, "q14a"), "q14a")
+    # Three channels qualify (each Nov-2001 group sums 200.0 > the exact
+    # corpus average 100.0); grand rollup row carries the 600.0 total.
+    grand = pdf[pdf["channel"].isna()]
+    assert len(grand) == 1
+    assert float(grand.iloc[0, 4]) == 600.0 and int(grand.iloc[0, 5]) == 6
+
+
+def test_q14a_v27_executes_exactly(spark, rank_boundary_data):
+    pdf = _run_both(
+        spark, rank_boundary_data, _text(RES_V27, "q14a"), "v2.7/q14a"
+    )
+    grand = pdf[pdf["channel"].isna()]
+    assert len(grand) == 1
+    assert float(grand.iloc[0, 4]) == 600.0 and int(grand.iloc[0, 5]) == 6
