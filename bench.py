@@ -165,6 +165,11 @@ HEADLINE = [
     "events_engagement_curve",
     "layout_hilbert_histogram",
     "dedup_keep_longest",
+    # round 7 additions
+    "text_dedup_rebuild",
+    "text_rank_fusion",
+    "pipeline_token_budget_select",
+    "pipeline_lang_alpha_sampling",
 ]
 
 ITERATIONS = 3  # best-of-N, after one untimed warm-up

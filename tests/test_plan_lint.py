@@ -67,6 +67,17 @@ GLOBAL_WINDOW_OK: dict[str, tuple[int, str]] = {
         "top-10 rank over the distinct-path rollup, bounded by "
         "|event_type|^3 rows",
     ),
+    "text_rank_fusion": (
+        3,
+        "exclusive running sums over three per-value frequency rollups "
+        "(|distinct signal values| rows each; the corpus-side rank is a "
+        "broadcast join, never a corpus window)",
+    ),
+    "pipeline_token_budget_select": (
+        1,
+        "threshold search over the per-score token rollup (|distinct "
+        "scores| rows); the boundary-score greedy sum is partitioned",
+    ),
 }
 
 # Python row/arrow eval is the conformance subject matter here, not a

@@ -1979,3 +1979,199 @@ def pipeline_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- token-budget selection (quality-per-token curation) -------------------
+
+BUDGET_DIV = 5  # select under a budget of total_tokens / 5 (20%)
+
+_BUDGET_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         (100 * LENGTH(text)) // len(string_split(text, ' ')) AS score
+  FROM documents),
+budget AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) // {BUDGET_DIV} AS b FROM scored),
+per_score AS (
+  SELECT score, CAST(SUM(n_tokens) AS BIGINT) AS toks
+  FROM scored GROUP BY score),
+cum AS (
+  SELECT score, toks,
+         COALESCE(SUM(toks) OVER (ORDER BY score DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above
+  FROM per_score),
+marked AS (
+  SELECT s.doc_id, s.n_tokens, s.score, c.above,
+         CASE WHEN c.above + c.toks <= (SELECT b FROM budget) THEN 'full'
+              WHEN c.above < (SELECT b FROM budget) THEN 'boundary'
+              ELSE 'out' END AS tier,
+         SUM(s.n_tokens) OVER (PARTITION BY s.score ORDER BY s.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM scored s JOIN cum c ON s.score = c.score)
+SELECT doc_id, CAST(score AS BIGINT) AS score,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM marked
+WHERE tier = 'full'
+   OR (tier = 'boundary' AND above + run <= (SELECT b FROM budget))
+ORDER BY doc_id
+"""
+
+
+@query("pipeline_token_budget_select", oracle=_BUDGET_SQL)
+def pipeline_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy quality-per-token curation under a global token budget:
+    rank documents by an integer quality score (mean chars per token,
+    x100) and keep the best until total_tokens / {BUDGET_DIV} tokens
+    are spent -- the "fill the training budget with the best data
+    first" selection every budgeted pretraining run performs.
+
+    Scale shape (100 TB): the naive design is a corpus-wide sort plus a
+    running sum -- an unpartitioned window over every row. Instead:
+    (1) ONE map-side-combinable rollup of token totals per DISTINCT
+    SCORE (the score domain is bounded by construction, not
+    corpus-sized); (2) an exclusive running sum over that small rollup
+    finds the threshold score -- every better-scored doc is selected
+    outright, no per-row work; (3) only the single boundary score's
+    docs need a greedy running sum, and that window is PARTITIONED by
+    the boundary score (one score group, doc_id order). The corpus is
+    never globally sorted and never carries a window; the only
+    full-width shuffles are the score rollup and the final broadcast
+    of |distinct scores| rows back onto the scan.
+
+    Determinism: integer score, integer budget, doc_id tie-break
+    inside the boundary score -- both engines select the identical
+    set (the boundary-interior ORDER BY doc_id is total)."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.expr(
+            "(100 * cast(length(text) as bigint)) div size(split(text, ' '))"
+        ).alias("score"),
+    )
+    budget = scored.agg(
+        (F.sum("n_tokens") / F.lit(BUDGET_DIV)).cast("long").alias("b")
+    )
+    per_score = scored.groupBy("score").agg(F.sum("n_tokens").alias("toks"))
+    cum = per_score.select(
+        "score",
+        "toks",
+        F.coalesce(
+            F.sum("toks").over(
+                W.orderBy(F.col("score").desc()).rowsBetween(
+                    W.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("above"),
+    )
+    # Single corpus pass: the per-score greedy running sum is computed
+    # for every row (PARTITIONED window, no skew beyond one score's
+    # ties), then one filter keeps full tiers outright and trims the
+    # boundary score -- a full/boundary UNION would scan the corpus
+    # twice and re-derive the rollup window per branch.
+    marked = (
+        scored.join(F.broadcast(cum), "score")
+        .crossJoin(F.broadcast(budget))
+        .withColumn(
+            "tier",
+            F.when(F.col("above") + F.col("toks") <= F.col("b"), "full")
+            .when(F.col("above") < F.col("b"), "boundary")
+            .otherwise("out"),
+        )
+        .withColumn(
+            "run",
+            F.sum("n_tokens").over(
+                W.partitionBy("score")
+                .orderBy("doc_id")
+                .rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        marked.filter(
+            (F.col("tier") == "full")
+            | (
+                (F.col("tier") == "boundary")
+                & (F.col("above") + F.col("run") <= F.col("b"))
+            )
+        )
+        .select(
+            "doc_id",
+            F.col("score").cast("long").alias("score"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- multilingual alpha-sampling weights (XLM-R style, alpha = 0.5) --------
+
+_ALPHA_SQL = """
+WITH per_lang AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang),
+tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+         list_reduce(
+             list_prepend(0.0, list(SQRT(n_docs) ORDER BY lang)),
+             (acc, x) -> acc + x) AS sum_sqrt
+  FROM per_lang)
+SELECT p.lang,
+       p.n_docs,
+       CAST(FLOOR(1000000 * SQRT(p.n_docs) / t.sum_sqrt) AS BIGINT)
+         AS weight_x1m,
+       CAST(1000000 * p.n_docs // t.total AS BIGINT) AS natural_x1m
+FROM per_lang p, tot t
+ORDER BY p.lang
+"""
+
+
+@query("pipeline_lang_alpha_sampling", oracle=_ALPHA_SQL)
+def pipeline_lang_alpha_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual sampling weights with alpha = 0.5 (the XLM-R /
+    mBERT exponent family): a language's sampling probability is
+    sqrt(n_l) / sum_l sqrt(n_l), flattening the head languages and
+    up-weighting the tail relative to their natural shares -- emitted
+    beside the natural share so the rebalancing factor is visible.
+
+    Determinism across engines: sqrt of an exact integer is correctly
+    rounded under IEEE-754 (bit-identical on both engines), and the
+    DENOMINATOR is a sequential left fold over the lang-sorted sqrt
+    list (F.aggregate here, list_reduce in the oracle) so the handful
+    of double additions happen in the same order -- the
+    oracle_exact.py fold pattern. One floor division per language
+    after that, no other float arithmetic.
+
+    Scale shape: one map-side-combinable count per language (the
+    rollup is |languages| rows); the fold runs over that single
+    aggregated row. The corpus is scanned once, projected to one
+    column."""
+    d = load_table(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per_lang.agg(
+        F.sum("n_docs").alias("total"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("lang", "n_docs"))
+                ),
+                lambda s: F.sqrt(s["n_docs"]),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("sum_sqrt"),
+    )
+    return (
+        per_lang.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            F.floor(1_000_000 * F.sqrt("n_docs") / F.col("sum_sqrt"))
+            .cast("long")
+            .alias("weight_x1m"),
+            F.expr("1000000 * n_docs div total").alias("natural_x1m"),
+        )
+        .orderBy("lang")
+    )

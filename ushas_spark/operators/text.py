@@ -1792,3 +1792,207 @@ def text_ccnet_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- cross-corpus duplicate-span REMOVAL (first occurrence wins) ----------
+
+_REBUILD_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+chunks AS (
+  SELECT doc_id,
+         g.i AS pos,
+         array_to_string(
+             tk[(g.i * {CHUNK_TOKENS} + 1):((g.i + 1) * {CHUNK_TOKENS})], ' ')
+           AS chunk
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(
+        0, CAST(CEIL(len(tk) / {CHUNK_TOKENS}.0) AS INT) - 1)) AS i) g),
+firsts AS (
+  SELECT md5(chunk) AS ch,
+         MIN(doc_id * 1048576 + pos) AS first_key
+  FROM chunks GROUP BY md5(chunk)),
+kept AS (
+  SELECT c.doc_id, c.pos, c.chunk,
+         (c.doc_id * 1048576 + c.pos = f.first_key) AS keep
+  FROM chunks c JOIN firsts f ON md5(c.chunk) = f.ch)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       CAST(COALESCE(LENGTH(STRING_AGG(chunk, ' ' ORDER BY pos)
+                            FILTER (WHERE keep)), 0) AS BIGINT)
+         AS clean_chars,
+       md5(COALESCE(STRING_AGG(chunk, ' ' ORDER BY pos)
+                    FILTER (WHERE keep), '')) AS clean_md5
+FROM kept GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("text_dedup_rebuild", oracle=_REBUILD_SQL)
+def text_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of cross-corpus span dedup (text_chunk_dedup is
+    the accounting half): every {CHUNK_TOKENS}-token chunk keeps only
+    its globally FIRST occurrence -- ordered by (doc_id, position), the
+    C4/RefinedWeb "remove duplicated spans, first writer wins" rule --
+    and each document's surviving text is reassembled in position
+    order. Output is the per-doc rebuild accounting plus an md5 of the
+    cleaned text (the cleaned corpus itself in a real run; hashed here
+    so the gate compares content without shipping it).
+
+    Scale shape (100 TB): first-occurrence resolution is ONE map-side-
+    combinable groupBy(fingerprint) computing min(packed doc_id*2^20 +
+    pos) -- the global tie-break needs no sort and no window; the join
+    back is co-partitioned on the same fingerprint key (exchange
+    reused), and the rebuild is a groupBy(doc_id) whose in-group
+    sort_array is bounded by document length. Zero windows, zero
+    driver state; same plan family as text_chunk_dedup so the two
+    passes share scan + explode work in a fused curation pipeline.
+
+    Reference surface: complements the reference's dedup operators
+    (SURVEY.md section 2 LLM-pipeline tier); no equivalent exists
+    there -- this is the Spark-first design the tier calls for."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tk")
+    )
+    n_chunks = (F.ceil(F.size("tk") / F.lit(float(CHUNK_TOKENS)))).cast("int")
+    chunks = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("pos"),
+        "tk",
+    ).select(
+        "doc_id",
+        "pos",
+        F.array_join(
+            F.slice(F.col("tk"), F.col("pos") * CHUNK_TOKENS + 1, CHUNK_TOKENS),
+            " ",
+        ).alias("chunk"),
+    )
+    chunks = chunks.withColumn("ch", F.md5("chunk")).withColumn(
+        "pos_key", F.col("doc_id") * F.lit(1048576) + F.col("pos")
+    )
+    firsts = chunks.groupBy("ch").agg(F.min("pos_key").alias("first_key"))
+    kept = chunks.join(firsts, "ch").withColumn(
+        "keep", F.col("pos_key") == F.col("first_key")
+    )
+    rebuilt = F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("keep"), F.struct("pos", "chunk"))
+                )
+            ),
+            lambda s: s["chunk"],
+        ),
+        " ",
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_removed"),
+            F.length(rebuilt).cast("long").alias("clean_chars"),
+            F.md5(rebuilt).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- reciprocal-rank fusion of quality signals -----------------------------
+
+RRF_K = 60  # the standard RRF damping constant
+
+
+_RRF_SQL = f"""
+WITH sig AS (
+  SELECT doc_id,
+         LENGTH(text) AS s_len,
+         1000000 * len(list_distinct(string_split(text, ' ')))
+             // len(string_split(text, ' ')) AS s_ttr,
+         100 * LENGTH(REPLACE(text, ' ', ''))
+             // len(string_split(text, ' ')) AS s_tok
+  FROM documents),
+r AS (
+  SELECT doc_id,
+         RANK() OVER (ORDER BY s_len DESC) AS r_len,
+         RANK() OVER (ORDER BY s_ttr DESC) AS r_ttr,
+         RANK() OVER (ORDER BY s_tok DESC) AS r_tok
+  FROM sig)
+SELECT doc_id,
+       CAST(r_len AS BIGINT) AS r_len,
+       CAST(r_ttr AS BIGINT) AS r_ttr,
+       CAST(r_tok AS BIGINT) AS r_tok,
+       CAST(1000000 // ({RRF_K} + r_len) + 1000000 // ({RRF_K} + r_ttr)
+            + 1000000 // ({RRF_K} + r_tok) AS BIGINT) AS rrf_x1m
+FROM r ORDER BY doc_id
+"""
+
+
+@query("text_rank_fusion", oracle=_RRF_SQL)
+def text_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of three independent quality signals
+    (document length, type-token ratio, mean token length) into one
+    curation ordering -- the standard way to combine heterogeneous
+    quality scores without calibrating their scales, integer-exact at
+    x1e6 so both engines agree bit-for-bit.
+
+    Scale shape (100 TB): corpus-wide RANK() is NOT computed with a
+    global window (the oracle may; we must not). rank(v) = 1 + #{rows
+    with a strictly better value}, so each signal builds its per-value
+    frequency histogram (map-side-combinable groupBy, output bounded
+    by the signal's value domain, NOT the corpus), takes an exclusive
+    running sum over that small rollup, and broadcast-joins ranks back
+    to the corpus. Ties share a rank exactly like RANK(), so no
+    corpus-wide sort, no tie-break column, and full determinism. The
+    three windows the plan lint sees run over |distinct signal values|
+    rows each (reviewed in tests/test_plan_lint.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    # Integer division on BOTH engines: DuckDB CAST(double AS BIGINT)
+    # rounds while Spark truncates, so float ratios must never reach a
+    # cast (div here, // in the oracle).
+    sig = d.select(
+        "doc_id",
+        F.length("text").alias("s_len"),
+        F.expr(
+            "(1000000 * cast(size(array_distinct(split(text, ' '))) as bigint))"
+            " div size(split(text, ' '))"
+        ).alias("s_ttr"),
+        F.expr(
+            "(100 * cast(length(replace(text, ' ', '')) as bigint))"
+            " div size(split(text, ' '))"
+        ).alias("s_tok"),
+    )
+
+    from pyspark.sql import Window as W
+
+    out = sig
+    for col in ("s_len", "s_ttr", "s_tok"):
+        hist = sig.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
+        ranks = hist.select(
+            col,
+            (
+                1
+                + F.coalesce(
+                    F.sum("n").over(
+                        W.orderBy(F.col(col).desc()).rowsBetween(
+                            W.unboundedPreceding, -1
+                        )
+                    ),
+                    F.lit(0),
+                )
+            ).alias("r" + col[1:]),
+        )
+        out = out.join(F.broadcast(ranks), col)
+    return out.select(
+        "doc_id",
+        F.col("r_len").cast("long"),
+        F.col("r_ttr").cast("long"),
+        F.col("r_tok").cast("long"),
+        (
+            F.expr(f"1000000 div ({RRF_K} + r_len)")
+            + F.expr(f"1000000 div ({RRF_K} + r_ttr)")
+            + F.expr(f"1000000 div ({RRF_K} + r_tok)")
+        )
+        .cast("long")
+        .alias("rrf_x1m"),
+    ).orderBy("doc_id")

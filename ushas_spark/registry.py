@@ -54,21 +54,22 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # by-design "err" rows (_ROWS_ONLY_TAIL).
 # ROUND-7 state: r06 was 50/50 green (FOURTH perfect round); its greens
 # are folded into _DRIVER_GREEN below, cumulative driver-green = 288 of
-# 378 registered. _PRIORITY_NAMES is the ENTIRE never-driver-checked
-# backlog in priority order (73 names after the r07 rotation; plus 16
-# r06 additions parked in _DEFER_NEW and expr_xpath_url_battery pinned
-# rows-only at the tail). Each round: run
+# 382 registered (378 + the 4 r07 operator additions). _PRIORITY_NAMES
+# is the ENTIRE never-driver-checked backlog in priority order (73
+# names after the r07 rotation; plus 16 r06 + 4 r07 additions parked
+# in _DEFER_NEW and expr_xpath_url_battery pinned rows-only at the
+# tail). Each round: run
 # `python tools/rotation.py CORRECTNESS_r0N.json`, fold the greens into
 # _DRIVER_GREEN, delete them from this list.
 # r07 expected sample (first ~50): 28 sql wave-1 grammar/coercion
 # shapes, the 11-query aggregate tier, the 9-query dedup/similarity
 # tier, then asof_nearest_order_to_event + join_interval_overlap.
 # R08 COMPLETION PLAN (write-once, per the r06 verdict): after r07
-# certifies its 50, exactly 40 never-checked queries remain -- the 23
+# certifies its 50, exactly 44 never-checked queries remain -- the 23
 # _PRIORITY_NAMES leftovers (join_tier_lookup, expr_mask_battery, the
 # 9-query text tier, the 10-query pipeline/multimodal tier, the
-# 3-query profiling tail) + the 16 r06 _DEFER_NEW additions = 39
-# oracled, and expr_xpath_url_battery (rows-only by design) at the
+# 3-query profiling tail) + the 16 r06 + 4 r07 _DEFER_NEW additions =
+# 43 oracled, and expr_xpath_url_battery (rows-only by design) at the
 # absolute tail. r08's rotation folds the r07 greens, dissolves
 # _DEFER_NEW into the priority list tail (order already correct:
 # oldest first), and the ~50-slot gate drains the backlog to ZERO --
@@ -186,6 +187,12 @@ _DEFER_NEW: set[str] = {
     "events_engagement_curve",
     "layout_hilbert_histogram",
     "dedup_keep_longest",
+    # Round-7 additions (r08/r09 tier; behind every r06 name in the
+    # stable sort because their modules register them later).
+    "text_dedup_rebuild",
+    "text_rank_fusion",
+    "pipeline_token_budget_select",
+    "pipeline_lang_alpha_sampling",
 }
 
 # No-oracle-by-design queries (golden/property-tested locally): keep them
