@@ -595,3 +595,27 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_plans_md_covers_full_headline():
+    """PLANS.md must audit exactly bench.HEADLINE (r07 verdict item 3).
+
+    Wall-seconds are not comparable across the per-round VMs (proven
+    bimodal drift r04/r07), so the PLANS.md structure table is the only
+    stable cross-round performance comparator -- it silently diverging
+    from the benched set (as happened when 4 r07 operators were added
+    without regenerating) would blind the audit. Regenerate with
+    `python tools/gen_plans_md.py` whenever HEADLINE changes.
+    """
+    import os
+    import re
+
+    import bench
+
+    plans_path = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    with open(plans_path) as f:
+        rows = set(re.findall(r"^\| `([a-z0-9_]+)` \|", f.read(), re.M))
+    assert rows == set(bench.HEADLINE), (
+        f"PLANS.md out of date: missing={sorted(set(bench.HEADLINE) - rows)} "
+        f"stale={sorted(rows - set(bench.HEADLINE))}"
+    )

@@ -2050,8 +2050,10 @@ def pipeline_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(100 * cast(length(text) as bigint)) div size(split(text, ' '))"
         ).alias("score"),
     )
+    # Integer division end-to-end (matches the oracle's BIGINT `//`):
+    # a double ratio cast('long') diverges once total tokens exceed 2^53.
     budget = scored.agg(
-        (F.sum("n_tokens") / F.lit(BUDGET_DIV)).cast("long").alias("b")
+        F.expr(f"sum(n_tokens) div {BUDGET_DIV}").alias("b")
     )
     per_score = scored.groupBy("score").agg(F.sum("n_tokens").alias("toks"))
     cum = per_score.select(

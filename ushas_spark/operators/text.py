@@ -1810,11 +1810,11 @@ chunks AS (
         0, CAST(CEIL(len(tk) / {CHUNK_TOKENS}.0) AS INT) - 1)) AS i) g),
 firsts AS (
   SELECT md5(chunk) AS ch,
-         MIN(doc_id * 1048576 + pos) AS first_key
+         MIN(struct_pack(d := doc_id, p := pos)) AS first
   FROM chunks GROUP BY md5(chunk)),
 kept AS (
   SELECT c.doc_id, c.pos, c.chunk,
-         (c.doc_id * 1048576 + c.pos = f.first_key) AS keep
+         (c.doc_id = f.first.d AND c.pos = f.first.p) AS keep
   FROM chunks c JOIN firsts f ON md5(c.chunk) = f.ch)
 SELECT doc_id,
        CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
@@ -1840,8 +1840,10 @@ def text_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the gate compares content without shipping it).
 
     Scale shape (100 TB): first-occurrence resolution is ONE map-side-
-    combinable groupBy(fingerprint) computing min(packed doc_id*2^20 +
-    pos) -- the global tie-break needs no sort and no window; the join
+    combinable groupBy(fingerprint) computing min(struct(doc_id, pos))
+    -- lexicographic struct ordering needs no packed-integer range
+    assumption (valid for any doc_id / chunk count, unlike a
+    doc_id*2^20+pos key), no sort and no window; the join
     back is co-partitioned on the same fingerprint key (exchange
     reused), and the rebuild is a groupBy(doc_id) whose in-group
     sort_array is bounded by document length. Zero windows, zero
@@ -1867,12 +1869,19 @@ def text_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("chunk"),
     )
-    chunks = chunks.withColumn("ch", F.md5("chunk")).withColumn(
-        "pos_key", F.col("doc_id") * F.lit(1048576) + F.col("pos")
+    chunks = chunks.withColumn("ch", F.md5("chunk"))
+    # First-occurrence = lexicographic MIN over struct(doc_id, pos) -- a
+    # map-side-combinable agg with NO range assumption (the previous
+    # doc_id*2^20+pos packed key silently corrupted ordering for docs
+    # with >=2^20 chunks or doc_id >= 2^43, at odds with the 100 TB
+    # framing; the oracle mirrors the struct min).
+    firsts = chunks.groupBy("ch").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
     )
-    firsts = chunks.groupBy("ch").agg(F.min("pos_key").alias("first_key"))
     kept = chunks.join(firsts, "ch").withColumn(
-        "keep", F.col("pos_key") == F.col("first_key")
+        "keep",
+        (F.col("doc_id") == F.col("first.doc_id"))
+        & (F.col("pos") == F.col("first.pos")),
     )
     rebuilt = F.array_join(
         F.transform(

@@ -450,11 +450,13 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         q.processAllAvailable()
     finally:
-        q.stop()
         # The merged state is localCheckpoint-ed (materialize), so it no
         # longer references the feed files; reclaim the SF-sized feed dir
-        # instead of leaking one per invocation.
-        shutil.rmtree(feed, ignore_errors=True)
+        # even when q.stop() itself raises.
+        try:
+            q.stop()
+        finally:
+            shutil.rmtree(feed, ignore_errors=True)
 
     return (
         state["df"]
@@ -588,10 +590,13 @@ def streaming_incremental_components(spark: SparkSession, sf_dir: str) -> DataFr
     try:
         q.processAllAvailable()
     finally:
-        q.stop()
         # Labels/edges are localCheckpoint-ed; the parquet feed is dead
-        # weight after the stream stops -- reclaim it.
-        shutil.rmtree(feed, ignore_errors=True)
+        # weight after the stream stops -- reclaim it even when q.stop()
+        # itself raises.
+        try:
+            q.stop()
+        finally:
+            shutil.rmtree(feed, ignore_errors=True)
 
     return state["labels"].select(
         F.col("id").alias("node"), F.col("label").cast("long").alias("cluster_id")
