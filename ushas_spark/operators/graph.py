@@ -968,8 +968,20 @@ def graph_hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     auths = None
     for _ in range(HITS_ITERS):
-        ar = pairs.join(hubs, "cust").groupBy("supp").agg(
-            F.sum("h").alias("raw")
+        # Truncate the iterative lineage at the ROUND AGGREGATE, before
+        # the max-normalise references it twice (agg + rescale): an
+        # unmaterialized loop DOUBLES the plan per iteration (measured:
+        # 474 shuffles / 188 SMJ in the pre-execution plan at 6 rounds vs
+        # 31 truncated), and truncating AFTER the rescale (as r07 did)
+        # still derived each round's edge join + groupBy twice -- once
+        # under the broadcast max subtree, once on the main path
+        # (measured: 70 -> 22 summed audited shuffles, 24 -> 6 SMJ). The
+        # rescale itself is a broadcast of a 1-row max over the
+        # checkpointed aggregate, so leaving it un-materialized is free.
+        ar = materialize(
+            pairs.join(hubs, "cust").groupBy("supp").agg(
+                F.sum("h").alias("raw")
+            )
         )
         amax = ar.agg(F.max("raw").alias("m"))
         auths = ar.crossJoin(F.broadcast(amax)).select(
@@ -978,8 +990,10 @@ def graph_hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("a"),
         )
-        hr = pairs.join(auths, "supp").groupBy("cust").agg(
-            F.sum("a").alias("raw")
+        hr = materialize(
+            pairs.join(auths, "supp").groupBy("cust").agg(
+                F.sum("a").alias("raw")
+            )
         )
         hmax = hr.agg(F.max("raw").alias("m"))
         hubs = hr.crossJoin(F.broadcast(hmax)).select(
@@ -988,13 +1002,6 @@ def graph_hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("h"),
         )
-        # Truncate the iterative lineage each round: the max-normalise
-        # references its round's aggregate twice (agg + rescale), so an
-        # unmaterialized loop DOUBLES the plan per iteration (measured:
-        # 474 shuffles / 188 SMJ in the pre-execution plan at 6 rounds vs
-        # 31 truncated). Same discipline as the PageRank/k-core loops.
-        auths = materialize(auths)
-        hubs = materialize(hubs)
     from pyspark.sql import Window as W
 
     a_ranked = auths.select(
