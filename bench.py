@@ -206,6 +206,9 @@ def _release_storage(spark) -> None:
     (Measured and rejected: a forced System.gc() between queries --
     per-query numbers still swing with ambient machine load, and the
     full GCs add minutes of wall time to a 42-query sweep.)"""
+    # Drop CacheManager entries first (pin_partitioned caches register
+    # there, not only as raw persistent RDDs), then the RDD blocks.
+    spark.catalog.clearCache()
     for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
         rdd.unpersist(True)
 

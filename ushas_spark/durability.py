@@ -30,6 +30,7 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 _RELIABLE = os.environ.get("USHAS_RELIABLE_CHECKPOINT", "") in ("1", "true")
 
@@ -72,6 +73,49 @@ def is_reliable() -> bool:
     return _RELIABLE
 
 
+def plan_counts(jplan) -> dict[str, int]:
+    """Structure metrics via REAL plan-tree traversal (not text parse).
+
+    Cached relations print their stored plan inside the plan STRING
+    (with de-indenting ``== Final Plan ==`` sections that defeat
+    indent-based stripping), so text-regex counting charges a pinned
+    query for exchanges that executed once at cache-population time and
+    never again. ``InMemoryTableScan`` has NO children in the physical
+    tree, so walking nodes counts exactly what THIS plan executes.
+    Verified to match the legacy text counts node-for-node on
+    non-cached queries (q1/q3/window_topk/text_collocations), so
+    cross-round PLANS.md comparability holds everywhere except the
+    pinned loops the change exists to measure honestly.
+    """
+    c = {"shuffles": 0, "broadcasts": 0, "smj": 0, "bhj": 0, "bnlj": 0}
+
+    def walk(node) -> None:
+        name = node.nodeName()
+        if name == "AdaptiveSparkPlan":
+            walk(node.initialPlan())
+            return
+        if name.startswith("Exchange"):
+            s = node.verboseString(1)
+            if "hashpartitioning" in s or "rangepartitioning" in s:
+                c["shuffles"] += 1
+        elif name == "BroadcastExchange":
+            c["broadcasts"] += 1
+        elif name == "SortMergeJoin":
+            c["smj"] += 1
+        elif name == "BroadcastHashJoin":
+            c["bhj"] += 1
+        elif "BroadcastNestedLoop" in name:
+            c["bnlj"] += 1
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+        it = node.subqueries().iterator()
+        while it.hasNext():
+            walk(it.next())
+
+    walk(jplan)
+    return c
+
+
 def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     """Materialize ``df`` and TRUNCATE its logical plan.
 
@@ -84,6 +128,7 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     if audit:
         qe = df._jdf.queryExecution()
         pre = qe.executedPlan().toString()
+        counts = plan_counts(qe.executedPlan())
         opt = qe.optimizedPlan().toJSON()
     if not _RELIABLE:
         out = df.localCheckpoint(eager=eager)
@@ -93,5 +138,60 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
             sc.setCheckpointDir(tempfile.mkdtemp(prefix="ushas_ckpt_"))
         out = df.checkpoint(eager=eager)
     if audit:
-        _AUDIT.append({"pre": pre, "post": qe.executedPlan().toString(), "opt": opt})
+        _AUDIT.append(
+            {
+                "pre": pre,
+                "post": qe.executedPlan().toString(),
+                "opt": opt,
+                "counts": counts,
+            }
+        )
     return out
+
+
+def pin_partitioned(df: DataFrame, *keys: str) -> DataFrame:
+    """Cache ``df`` hash-partitioned (and sorted) on ``keys`` for reuse
+    as the LOOP-INVARIANT side of iterative joins.
+
+    ``materialize`` truncates lineage but LOSES outputPartitioning --
+    ``LogicalRDD`` from (local)checkpoint reports unknown partitioning,
+    so a loop that joins a checkpointed edge table every round
+    re-shuffles the BIG side each iteration (probe-verified on this
+    Spark build: both sides of a join of checkpointed pre-partitioned
+    tables exchange). ``InMemoryRelation`` (``persist``) DOES preserve
+    its child's outputPartitioning and outputOrdering, so pinning =
+    repartition(keys) + sortWithinPartitions(keys) + persist gives
+    every subsequent join/groupBy on ``keys`` an exchange-free AND
+    sort-free big side -- the in-session equivalent of a bucketed
+    table, which is exactly what a 100 TB deployment would make this:
+    write the edge list bucketed+sorted by the join key once, and every
+    per-round join reads it co-located (rounds x |E| network becomes
+    |E| + rounds x |V|).
+
+    Storage: MEMORY_AND_DISK (Spark default) -- spills, never OOMs; on
+    executor loss the cached partition recomputes from lineage (unlike
+    localCheckpoint, which fails the job). The one-time repartition is
+    recorded as a plan-audit segment like materialize, so PLANS.md
+    still charges the pin's shuffle to the query.
+    """
+    pinned = df.repartition(*[F.col(k) for k in keys]).sortWithinPartitions(
+        *[F.col(k) for k in keys]
+    )
+    audit = _AUDIT is not None
+    if audit:
+        qe = pinned._jdf.queryExecution()
+        pre = qe.executedPlan().toString()
+        counts = plan_counts(qe.executedPlan())
+        opt = qe.optimizedPlan().toJSON()
+    pinned = pinned.persist()
+    pinned.count()  # eager: populate before the loop references it twice
+    if audit:
+        _AUDIT.append(
+            {
+                "pre": pre,
+                "post": qe.executedPlan().toString(),
+                "opt": opt,
+                "counts": counts,
+            }
+        )
+    return pinned

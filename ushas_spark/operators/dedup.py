@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ushas_spark.durability import materialize
+from ushas_spark.durability import materialize, pin_partitioned
 from ushas_spark.io import load_table
 from ushas_spark.registry import query
 
@@ -642,9 +642,10 @@ def connected_components(
     near-dup clusters is tiny (dup clusters are dense).
 
     Scale design (100 TB):
-    - each round is one shuffle join (edges x labels) + one groupBy min
-      on the node id -- hash-partitioned on the same key, so AQE keeps
-      the exchanges aligned;
+    - each round is one join (edges x labels) + one fused groupBy min on
+      the node id; the |E|-row edge side is PINNED partitioned+sorted on
+      the join key (pin_partitioned) so it never re-shuffles or re-sorts
+      -- per-round network is O(|V| labels), not O(|E|);
     - :func:`ushas_spark.durability.materialize` after every round
       (localCheckpoint by default; reliable checkpoint via
       ``durability.set_reliable(True)`` for executor-loss tolerance on
@@ -673,8 +674,16 @@ def connected_components(
     directed = materialize(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     )
-    sym = directed.union(
-        directed.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    # The symmetrized edge list is PINNED partitioned+sorted on s
+    # (cache, not checkpoint: InMemoryRelation preserves partitioning,
+    # LogicalRDD does not -- probe-verified r08), so every round's
+    # label-propagation join streams the |E| side with no exchange and
+    # no sort; only the |V|-row labels side moves per round.
+    sym = pin_partitioned(
+        directed.union(
+            directed.select(F.col("d").alias("s"), F.col("s").alias("d"))
+        ),
+        "s",
     )
     # Iterate ONLY over nodes that appear in an edge: singletons (the vast
     # majority of a deduped corpus) can never change label, so they join

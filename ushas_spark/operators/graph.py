@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ushas_spark.durability import materialize
+from ushas_spark.durability import materialize, pin_partitioned
 from ushas_spark.io import load_table
 from ushas_spark.registry import query
 
@@ -71,16 +71,18 @@ def pagerank(
     spark: SparkSession, sf_dir: str, iters: int = ITERS, damping: float = DAMPING
 ) -> DataFrame:
     """Ranks after ``iters`` synchronous rounds from the uniform start."""
-    # Degree is joined ONTO the edge list once and the result is
-    # repartitioned by src before materializing: every iteration then
-    # needs just one join (ranks ⋈ edges-with-deg) whose big side is
-    # already hash-partitioned on the join key -- checkpointed
-    # DataFrames keep their outputPartitioning, so only the |V|-row
-    # ranks side shuffles per round, plus the groupBy(dst). Two
-    # |V|-to-|E| exchanges per round instead of four.
+    # Degree is joined ONTO the edge list once and the result is PINNED
+    # hash-partitioned + sorted on src (pin_partitioned: repartition +
+    # sortWithinPartitions + persist). materialize/localCheckpoint LOSES
+    # outputPartitioning (probe-verified r08: LogicalRDD reports unknown
+    # partitioning, so every round re-shuffled the |E|-row side), while
+    # InMemoryRelation preserves it: each iteration's join now exchanges
+    # AND sorts only the |V|-row ranks side -- rounds x |E| network
+    # becomes |E| + rounds x |V|, the in-session analogue of the
+    # bucketed-by-src edge table a 100 TB deployment would write.
     edges = _edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ewd = materialize(edges.join(deg, "src").repartition("src"))
+    ewd = pin_partitioned(edges.join(deg, "src"), "src")
     # Everything downstream derives from the materialized edge table so
     # the orders ⋈ lineitem subtree is scanned exactly once, not once
     # per iteration (first cut measured 21 exchanges for 3 rounds; this
@@ -185,7 +187,7 @@ def random_walks(spark: SparkSession, sf_dir: str, length: int = WALK_LEN) -> Da
     per-walker argmin (min over (hash, dst) structs, map-side
     combinable); the walk table stays |walkers| rows end to end.
     """
-    edges = materialize(_edges(spark, sf_dir).distinct())
+    edges = pin_partitioned(_edges(spark, sf_dir).distinct(), "src")
     starts = (
         edges.select(F.col("src").alias("n0"))
         .where((F.col("n0") < 1_000_000_000) & (F.col("n0") % START_MOD == 0))
@@ -450,6 +452,13 @@ def graph_kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = edges
     keep = None
     for _ in range(KCORE_ROUNDS):
+        # NOTE (r08): do NOT materialize `keep` before the two semi
+        # joins -- both build sides are the IDENTICAL degrees subtree
+        # within one plan, so ReuseExchange already dedupes them;
+        # checkpointing it instead ADDS a segment per round (measured
+        # 30 -> 35 summed audited shuffles). Unlike the HITS
+        # max-normalize, where the duplicate subtrees sat in SEPARATE
+        # broadcast/main contexts that reuse could not cover.
         keep = degrees(cur).filter(F.col("d") >= KCORE_K).select("node")
         cur = (
             cur.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
@@ -741,7 +750,10 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the walk horizon) are filtered before the top slice."""
     edges = _edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ewd = materialize(edges.join(deg, "src").repartition("src"))
+    # Pinned (not checkpointed) edge table: InMemoryRelation preserves
+    # the src partitioning+ordering, so each round's contribution join
+    # exchanges only the |V|-row ranks side (see pagerank()).
+    ewd = pin_partitioned(edges.join(deg, "src"), "src")
     nodes = ewd.groupBy("src").agg(F.first("deg")).select(
         F.col("src").alias("node")
     )
@@ -852,7 +864,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale note: hop-limited BFS rounds = fixed round count; the
     visited/frontier tables shuffle on node id only."""
-    edges = materialize(_edges(spark, sf_dir).repartition("src"))
+    edges = pin_partitioned(_edges(spark, sf_dir), "src")
     visited = materialize(
         edges.sparkSession.createDataFrame(
             [(0, 0)], "node bigint, hops bigint"
@@ -955,14 +967,21 @@ def graph_hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
-    pairs = materialize(
+    base = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
             F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
         )
         .distinct()
-        .repartition("cust")
     )
+    # Two pinned layouts of the bipartite edge list -- by cust for the
+    # hub->authority half-round, by supp for the return half -- so both
+    # per-round joins stream the |E| side exchange- and sort-free (the
+    # second pin reads the first's cache, not the orders ⋈ lineitem
+    # subtree). The 2x storage is the price of the two bucketed layouts
+    # a 100 TB deployment would keep for exactly this access pattern.
+    pairs = pin_partitioned(base, "cust")
+    pairs_by_supp = pin_partitioned(pairs, "supp")
     hubs = pairs.select("cust").distinct().select(
         "cust", F.lit(HITS_SCALE).cast("long").alias("h")
     )
@@ -991,7 +1010,7 @@ def graph_hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("a"),
         )
         hr = materialize(
-            pairs.join(auths, "supp").groupBy("cust").agg(
+            pairs_by_supp.join(auths, "supp").groupBy("cust").agg(
                 F.sum("a").alias("raw")
             )
         )
