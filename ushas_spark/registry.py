@@ -61,17 +61,23 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # design) pinned at the absolute tail. 43 <= ~50 driver slots, so the
 # r08 gate DRAINS THE BACKLOG TO ZERO -- after r08, every registered
 # query has a driver CORRECTNESS row.
-# R09+ ENDGAME PLAN (write-once, per the r07 verdict): with coverage
-# evidence complete, remaining rounds go to (a) shuffle/segment
-# reduction on the densest iterative plans -- graph_hits_hub_authority
-# (70 shuffles), multimodal_audio_dedup_clusters (49),
-# graph_components_incremental (46) -- each has measured headroom in
-# fusing normalization joins into the per-round aggregate; progress is
-# adjudicated by PLANS.md plan counts, NEVER by cross-round wall
-# seconds (per-round VMs drift bimodally, proven r04/r07); and (b) any
-# driver-red CORRECTNESS row that ever appears, which takes absolute
-# priority. No new operators are required for coverage; add them only
-# if they close a SURVEY.md section 2 gap, and park them in _DEFER_NEW.
+# R09+ ENDGAME PLAN (per the r07 verdict; updated r08): the shuffle
+# reduction LANDED IN r08 ITSELF -- graph_hits_hub_authority 70 -> 11
+# executed shuffles, multimodal_audio_dedup_clusters 49 -> 16,
+# graph_components_incremental 46 -> 19 (materialize-at-the-round-
+# aggregate + durability.pin_partitioned edge tables + tree-counted
+# PLANS.md). Remaining priorities: (a) any driver-red CORRECTNESS row
+# (would be the first ever) takes absolute priority; (b) residual
+# dense plans have known adjudications -- sim_mmr_rerank 35 shuffles
+# over |queries|xK tiny tables (composite-key joins, pin inapplicable:
+# subset partitioning does not satisfy them), graph_kcore_summary 30
+# (ReuseExchange already dedupes its twin semi-join builds; probed
+# r08, materializing ADDS shuffles), events_rfm_segments 20 (the
+# deliberate distributed-NTILE design). Progress is adjudicated by
+# PLANS.md plan counts, NEVER cross-round wall seconds (per-round VMs
+# drift bimodally, proven r04/r07). No new operators are required for
+# coverage; add only for a real SURVEY.md section 2 gap, parked in
+# _DEFER_NEW.
 # ROUND-6 context (do not re-derive): benchmark execution is COMPLETE --
 # 183 reference texts value-exact (99/103 TPC-DS v1.4, 28/32 v2.7, 21+1
 # modified, 13/13 SSB, 22/22 TPC-H; every absence has a named
