@@ -621,3 +621,59 @@ def test_plans_md_covers_full_headline():
         f"PLANS.md out of date: missing={sorted(set(bench.HEADLINE) - rows)} "
         f"stale={sorted(rows - set(bench.HEADLINE))}"
     )
+
+
+def test_pin_partitioned_join_streams_cached_side(spark):
+    """pin_partitioned's contract: a join on the pinned key must shuffle
+    ONLY the other side (InMemoryRelation preserves partitioning and
+    ordering -- this is what makes every iterative loop's per-round
+    network O(|V|), not O(|E|)). If a Spark upgrade stops preserving
+    cached partitioning, this fails before the design silently degrades
+    back to per-round edge re-shuffles."""
+    from pyspark.sql import functions as F
+
+    from ushas_spark.durability import pin_partitioned, plan_counts
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = spark.range(20000).select(
+            (F.col("id") % 500).alias("k"), F.col("id").alias("payload")
+        )
+        pinned = pin_partitioned(big, "k")
+        small = spark.range(500).select(F.col("id").alias("k"))
+        joined = pinned.join(small, "k")
+        counts = plan_counts(joined._jdf.queryExecution().executedPlan())
+        assert counts["shuffles"] == 1, (
+            counts,
+            joined._jdf.queryExecution().executedPlan().toString(),
+        )
+        assert joined.count() == 20000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.catalog.clearCache()
+
+
+def test_plan_counts_matches_text_on_uncached(spark, sf_dir):
+    """Tree-walk counting (durability.plan_counts) must equal the legacy
+    text-regex counts on plans with no cached relations -- the
+    comparability contract that keeps pre-r08 PLANS.md rows adjudicable
+    against tree-counted ones."""
+    import re
+
+    from ushas_spark.durability import plan_counts
+
+    import __spark_entry__ as em
+
+    for name in ["q3_shipping_priority", "window_topk_per_group"]:
+        df = em.queries()[name](spark, sf_dir)
+        p = df._jdf.queryExecution().executedPlan()
+        txt = p.toString()
+        assert "InMemoryRelation" not in txt, name
+        c = plan_counts(p)
+        assert c["shuffles"] == len(
+            re.findall(r"Exchange (?:hash|range)partitioning", txt)
+        ), name
+        assert c["broadcasts"] == txt.count("BroadcastExchange"), name
+        assert c["smj"] == txt.count("SortMergeJoin"), name
+        assert c["bhj"] == txt.count("BroadcastHashJoin"), name

@@ -333,7 +333,11 @@ def triangle_summary(edges: DataFrame) -> DataFrame:
         F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t"),
     )
-    oriented = materialize(oriented)
+    # Pinned on s: the wedge join's e2 side (key s) streams straight
+    # off the cache with no exchange and no sort; e1 (key t) and the
+    # composite closing-edge check still shuffle -- those keys differ,
+    # so one pinned layout is the most a single cache can serve.
+    oriented = pin_partitioned(oriented, "s")
     e1 = oriented.alias("e1")
     e2 = oriented.alias("e2")
     e3 = oriented.alias("e3")
