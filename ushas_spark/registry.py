@@ -72,8 +72,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # over |queries|xK tiny tables (composite-key joins, pin inapplicable:
 # subset partitioning does not satisfy them), graph_kcore_summary 30
 # (ReuseExchange already dedupes its twin semi-join builds; probed
-# r08, materializing ADDS shuffles), events_rfm_segments 20 (the
-# deliberate distributed-NTILE design). Progress is adjudicated by
+# r08, materializing ADDS shuffles, and a survivor-set-over-pinned-
+# edges restructure hit 12 counted shuffles but LOST on wall -- 7.75s
+# vs 6.44s at sf0.1, repeated restrict re-derivation + per-round
+# broadcast builds -- so the shrinking-edge-copy design stands),
+# events_rfm_segments 20 (the deliberate distributed-NTILE design). Progress is adjudicated by
 # PLANS.md plan counts, NEVER cross-round wall seconds (per-round VMs
 # drift bimodally, proven r04/r07). No new operators are required for
 # coverage; add only for a real SURVEY.md section 2 gap, parked in
