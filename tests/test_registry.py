@@ -43,9 +43,13 @@ def test_all_no_oracle_queries_are_parked():
 
 
 def test_rows_only_queries_sort_last():
+    # A rows-only name may be explicitly head-pinned for one round to earn
+    # its driver row (r09: expr_xpath_url_battery); everything else in the
+    # tail set must still sort at the absolute back of the walk.
+    parked = registry._ROWS_ONLY_TAIL - set(registry._PRIORITY_NAMES)
     names = list(registry.QUERIES)
-    tail = names[-len(registry._ROWS_ONLY_TAIL):]
-    assert set(tail) == registry._ROWS_ONLY_TAIL
+    tail = names[-len(parked):]
+    assert set(tail) == parked
 
 
 def test_never_checked_queries_sort_before_greens():
@@ -81,4 +85,46 @@ def test_defer_new_names_exist_and_are_not_green():
     assert not greened, (
         f"_DEFER_NEW queries are driver-green -- drop them from the defer "
         f"set during rotation: {sorted(greened)}"
+    )
+
+
+def test_rotation_state_matches_correctness_files():
+    """rotation_state.py is generated -- regeneration must be a no-op.
+
+    Catches the recurring process gap: a round's CORRECTNESS_r{N}.json
+    landed but ``python tools/gen_rotation_state.py`` was not re-run, so
+    the walk order would re-certify rows that are no longer the stalest.
+    """
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    try:
+        import gen_rotation_state as gen
+    finally:
+        sys.path.pop(0)
+    last, red, files = gen.scan()
+    assert not red, f"RED driver rows with no later green: {red}"
+    with open(gen.OUT, encoding="utf-8") as fh:
+        on_disk = fh.read()
+    assert gen.render(last, files) == on_disk, (
+        "ushas_spark/rotation_state.py is stale -- re-run "
+        "`python tools/gen_rotation_state.py`"
+    )
+
+
+def test_greens_walk_oldest_evidence_first():
+    """The gate's ~50-slot prefix must hit the stalest driver rows."""
+    from ushas_spark.rotation_state import GREEN_LAST_ROUND
+
+    rounds = [
+        GREEN_LAST_ROUND[n]
+        for n in registry.QUERIES
+        if n in GREEN_LAST_ROUND
+        and n not in registry._ROWS_ONLY_TAIL
+        and n not in registry._PRIORITY_NAMES
+    ]
+    assert rounds == sorted(rounds), (
+        "driver-green queries are not ordered oldest-round-first"
     )

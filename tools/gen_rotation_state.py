@@ -1,0 +1,102 @@
+"""Regenerate ushas_spark/rotation_state.py from the CORRECTNESS_r*.json files.
+
+The driver's correctness gate walks ``registry.queries()`` in registration
+order and covers a ~50-name prefix per round. The walk order therefore
+encodes the verification strategy; since round 9 it is derived, not
+hand-maintained: this tool scans every committed ``CORRECTNESS_r{N}.json``
+in the repo root, records for each query the LATEST round in which it went
+green, and writes the map into ``ushas_spark/rotation_state.py``. The
+registry sorts driver-green queries oldest-evidence-first, so the gate
+re-certifies the stalest ~50 rows every round and the whole registry
+rolls over every ~8 rounds forever with zero bookkeeping edits.
+
+Green means: ``hash_match`` true (full oracle row), or the by-design
+rows-only marker (``err == "no_oracle"`` with a non-null spark row count).
+Anything else is a RED row -- reported loudly, never folded.
+
+Usage:  python tools/gen_rotation_state.py   (from the repo root)
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "ushas_spark", "rotation_state.py")
+
+HEADER = '''"""Driver-evidence ages -- GENERATED, do not edit by hand.
+
+Regenerate with ``python tools/gen_rotation_state.py`` after each round's
+``CORRECTNESS_r{{N}}.json`` lands (tests/test_registry.py asserts this file
+matches the JSON evidence on disk). Maps each registered query to the
+latest round whose driver CORRECTNESS row was green; the registry sorts
+greens oldest-round-first so the gate's ~50-slot prefix re-certifies the
+stalest evidence every round.
+"""
+
+# Derived from: {files}
+
+GREEN_LAST_ROUND: dict[str, int] = {{
+'''
+
+
+def is_green(row: dict) -> bool:
+    if row.get("hash_match"):
+        return True
+    return row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+
+
+def scan() -> tuple[dict[str, int], dict[str, str], list[str]]:
+    last: dict[str, int] = {}
+    red: dict[str, str] = {}
+    files = sorted(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    )
+    for path in files:
+        rnd = int(re.search(r"_r(\d+)", path).group(1))
+        with open(path, encoding="utf-8") as fh:
+            rows = json.load(fh)
+        for name, row in rows.items():
+            if is_green(row):
+                last[name] = rnd
+                red.pop(name, None)
+            else:
+                red[name] = (
+                    f"r{rnd:02d}: err={row.get('err')!r} "
+                    f"rows={row.get('rows_match')} hash={row.get('hash_match')}"
+                )
+    return last, red, [os.path.basename(p) for p in files]
+
+
+def render(last: dict[str, int], files: list[str]) -> str:
+    body = HEADER.format(files=", ".join(files))
+    for name in sorted(last):
+        body += f'    "{name}": {last[name]},\n'
+    return body + "}\n"
+
+
+def main() -> int:
+    last, red, files = scan()
+    text = render(last, files)
+    old = open(OUT, encoding="utf-8").read() if os.path.exists(OUT) else ""
+    if text != old:
+        with open(OUT, "w", encoding="utf-8") as fh:
+            fh.write(text)
+        print(f"wrote {OUT} ({len(last)} green names from {len(files)} rounds)")
+    else:
+        print(f"{OUT} unchanged ({len(last)} green names)")
+    if red:
+        print("\nRED rows with no later green -- fix before anything else:")
+        for name, why in sorted(red.items()):
+            print(f"  {name}: {why}")
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,87 +1,73 @@
-"""Registry rotation helper: fold a round's CORRECTNESS file into the
-walk-order bookkeeping.
+"""Registry rotation: fold a round's CORRECTNESS evidence into the walk order.
 
-Usage:  python tools/rotation.py CORRECTNESS_r04.json [...]
+Usage:  python tools/rotation.py [CORRECTNESS_rNN.json ...]
 
-Reads one or more driver CORRECTNESS files, reports which checked queries
-went green (hash_match, or rows-only with no error) vs red, and prints
-ready-to-paste updates for ushas_spark/registry.py:
+Since round 9 the walk order is DERIVED: this tool regenerates
+``ushas_spark/rotation_state.py`` from every ``CORRECTNESS_r*.json`` in
+the repo root (the file arguments are accepted for workflow compatibility
+but the scan always covers all rounds), then reports:
 
-- the new names to add to _DRIVER_GREEN,
-- _DEFER_NEW names that are now green (drop them from the defer set),
-- red rows needing investigation before anything else,
-- the count of still-never-checked queries remaining.
+- RED rows with no later green (fix before anything else -- would be the
+  first ever),
+- names still never driver-checked (they walk first automatically),
+- the staleness profile of the green evidence (which rounds the next
+  gate's ~50-slot prefix will re-certify).
 
-The hygiene suite (tests/test_registry.py) then enforces that the edit
-was applied consistently.
+Manual steps that remain: clear greened names out of _PRIORITY_NAMES /
+_DEFER_NEW in ushas_spark/registry.py (the hygiene suite flags leftovers).
 """
 
 from __future__ import annotations
 
-import json
 import os
 import sys
-import textwrap
+from collections import Counter
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from ushas_spark import registry  # noqa: E402
+import gen_rotation_state as gen  # noqa: E402
 
 
-def main(paths: list[str]) -> None:
+def main() -> int:
+    rc = gen.main()  # regenerates rotation_state.py, prints RED rows
+
+    # Reload the (possibly rewritten) state before importing the registry.
+    import importlib
+
+    import ushas_spark.rotation_state as state
+    importlib.reload(state)
+    from ushas_spark import registry
+    importlib.reload(registry)
     registry.load_all()
-    green: set[str] = set()
-    red: dict[str, str] = {}
-    for path in paths:
-        with open(path, encoding="utf-8") as fh:
-            rows = json.load(fh)
-        for name, r in rows.items():
-            if r.get("err"):
-                red[name] = f"err: {r['err'][:100]}"
-            elif r.get("hash_match") or (
-                r.get("rows_match") and "hash_match" not in r
-            ):
-                green.add(name)
-            else:
-                red[name] = (
-                    f"rows={r.get('rows_match')} schema={r.get('schema_match')}"
-                    f" hash={r.get('hash_match')}"
-                )
 
-    new_green = sorted(green - registry._DRIVER_GREEN)
-    greened_defer = sorted(green & registry._DEFER_NEW)
+    last = state.GREEN_LAST_ROUND
     never = [
-        n
-        for n in registry.QUERIES
-        if n not in registry._DRIVER_GREEN
-        and n not in green
-        and n not in registry._ROWS_ONLY_TAIL
+        n for n in registry.QUERIES
+        if n not in last and n not in registry._ROWS_ONLY_TAIL
     ]
-
-    print(f"checked: {sum(1 for _ in green) + len(red)}  "
-          f"green: {len(green)}  red: {len(red)}")
-    if red:
-        print("\nRED rows (fix before rotating):")
-        for n, why in sorted(red.items()):
-            print(f"  {n}: {why}")
-    print(f"\nAdd to _DRIVER_GREEN ({len(new_green)} names):")
-    body = ", ".join(f'"{n}"' for n in new_green)
-    print(textwrap.fill(body, 76, initial_indent="    ",
-                        subsequent_indent="    "))
-    if greened_defer:
-        print(f"\nDrop from _DEFER_NEW (now green): {greened_defer}")
-    greened_priority = sorted(green & set(registry._PRIORITY_NAMES))
+    print(f"\nregistered: {len(registry.QUERIES)}  green: {len(last)}  "
+          f"never-checked: {len(never)}")
+    if never:
+        for n in never:
+            print(f"  never: {n}")
+    profile = Counter(last[n] for n in last)
+    print("evidence age profile (round -> names):",
+          dict(sorted(profile.items())))
+    head = [n for n in registry.QUERIES][:50]
+    head_rounds = Counter(
+        f"r{last[n]:02d}" if n in last else "never" for n in head
+    )
+    print("next gate's ~50-slot prefix re-certifies:",
+          dict(sorted(head_rounds.items())))
+    greened_priority = sorted(set(last) & set(registry._PRIORITY_NAMES))
     if greened_priority:
-        print(f"\nDelete from _PRIORITY_NAMES (now green, {len(greened_priority)}):")
-        for n in greened_priority:
-            print(f"  {n}")
-    print(f"\nStill never driver-checked after this fold: {len(never)}")
-    for n in never:
-        print(f"  {n}")
+        print(f"\nDelete from _PRIORITY_NAMES (now green): {greened_priority}")
+    greened_defer = sorted(set(last) & registry._DEFER_NEW)
+    if greened_defer:
+        print(f"Drop from _DEFER_NEW (now green): {greened_defer}")
+    return rc
 
 
 if __name__ == "__main__":
-    if len(sys.argv) < 2:
-        print(__doc__)
-        sys.exit(1)
-    main(sys.argv[1:])
+    sys.exit(main())
