@@ -30,6 +30,29 @@ def spark():
     yield s
 
 
+@pytest.fixture(autouse=True)
+def _cold_cache_between_tests():
+    """Clear the CacheManager after every test (ADVICE r08).
+
+    Iterative operators pin loop-invariant tables via
+    durability.pin_partitioned and deliberately leave them cached for
+    the session (bench.py clears between queries); in the session-scoped
+    pytest Spark those pins would otherwise accumulate, and CacheManager
+    plan substitution would make plan-shape assertions test-order
+    dependent. Cached data recomputes lazily, so this only costs the
+    (tiny, sf0.001) recompute when a later test touches the same table.
+    """
+    yield
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is not None:
+        try:
+            s.catalog.clearCache()
+        except Exception:
+            pass
+
+
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR

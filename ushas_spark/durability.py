@@ -86,13 +86,31 @@ def plan_counts(jplan) -> dict[str, int]:
     non-cached queries (q1/q3/window_topk/text_collocations), so
     cross-round PLANS.md comparability holds everywhere except the
     pinned loops the change exists to measure honestly.
+
+    ``ReusedExchange`` is counted in its own bucket, NOT under
+    ``shuffles``: a reused exchange executes zero additional shuffles
+    (it reads the twin's shuffle files), so charging it would overcount
+    actual network -- but the legacy text regex DID match the child
+    plan text that ReusedExchange lines embed, so tree counts on
+    reuse-bearing plans (e.g. graph_kcore_summary's twin semi-join
+    builds) read LOWER than pre-r08 text rows by exactly ``reused``.
+    tests/test_plans.py::test_plan_counts_text_parity_with_reuse pins
+    the relation tree_shuffles + reused == text_count.
     """
-    c = {"shuffles": 0, "broadcasts": 0, "smj": 0, "bhj": 0, "bnlj": 0}
+    c = {
+        "shuffles": 0, "broadcasts": 0, "smj": 0, "bhj": 0, "bnlj": 0,
+        "reused": 0,
+    }
 
     def walk(node) -> None:
         name = node.nodeName()
         if name == "AdaptiveSparkPlan":
             walk(node.initialPlan())
+            return
+        if name.startswith("ReusedExchange"):
+            c["reused"] += 1
+            # Do not descend: the child is the twin's already-counted
+            # subtree; it executes once, there.
             return
         if name.startswith("Exchange"):
             s = node.verboseString(1)
@@ -186,10 +204,17 @@ def pin_partitioned(df: DataFrame, *keys: str) -> DataFrame:
     pinned = pinned.persist()
     pinned.count()  # eager: populate before the loop references it twice
     if audit:
+        # Cache population executes INSIDE the count()'s InMemoryTableScan,
+        # not through this qe, so no AQE-finalized plan of the population
+        # exists anywhere we can reach -- unlike materialize, whose eager
+        # checkpoint executes through the same qe. Record post=None so
+        # consumers (tools/gen_plans_md.py) fall back to the pre plan for
+        # text-derived columns instead of silently reading an un-executed
+        # "post" that is byte-identical to pre.
         _AUDIT.append(
             {
                 "pre": pre,
-                "post": qe.executedPlan().toString(),
+                "post": None,
                 "opt": opt,
                 "counts": counts,
             }
