@@ -1195,121 +1195,126 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-preserving and dropped), ties break on cand_id, so both
     engines pick identical sets.
 
-    Scale shape: candidate generation is the broadcast-query top-k
-    (corpus touched once); everything after runs on |queries| x
-    {TOP_K} rows -- the candidate table and its pairwise-sim table are
-    materialized once, and each greedy round is a join + per-query
-    argmax window on that tiny table. Rounds are a fixed-count
-    DataFrame loop, no collect; at a billion queries every stage
-    shuffles on qid only.
+    Scale shape (restructured r09, adjudicated in registry.py): the
+    per-query candidate set is bounded ({TOP_K} rows), so the WHOLE
+    greedy loop runs map-side on ONE packed row per query -- candidates
+    are collect_list'ed into an array (the only shuffle after top-k
+    generation), and each of the K-1 rounds is an unrolled
+    filter/transform/array_min higher-order expression computing
+    max-sim-to-selected in whole-stage codegen. No per-round joins, no
+    per-round materialize: the old formulation ran 5 jobs and 35
+    shuffles over |queries| x K tiny tables (pin_partitioned was
+    inapplicable -- composite-key joins); this one runs 1 job and ~4
+    shuffles, and at a billion queries still shuffles each candidate
+    row exactly once on qid.
     """
-    from pyspark.sql import Window as W
-
-    from ushas_spark.durability import materialize
-
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec(F.col("embedding")).alias("e")
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("e")
     )
-    cand = materialize(
-        cosine_topk(q, emb)
-        .join(
-            emb.select(
-                F.col("vec_id").alias("cand_id"), F.col("e").alias("ce")
-            ),
-            "cand_id",
-        )
-        .select("qid", "cand_id", "ce", "sim_x1m")
+    # Attach candidate vectors by broadcasting the tiny top-k table at
+    # the big corpus scan -- the corpus side never shuffles.
+    cand = F.broadcast(cosine_topk(q, emb).select("qid", "cand_id", "sim_x1m"))
+    cand_ce = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("e").alias("ce")
+    ).join(cand, "cand_id")
+    # One row per query: candidates sorted best-first (sim desc, cand_id
+    # asc -- encoded as an ascending struct sort on (-sim, cand_id)).
+    packed = cand_ce.groupBy("qid").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("sim_x1m")).alias("neg_sim"),
+                    F.col("cand_id").alias("cand_id"),
+                    F.col("sim_x1m").alias("sim_x1m"),
+                    F.col("ce").alias("ce"),
+                )
+            )
+        ).alias("cands")
     )
-    cc = materialize(
-        cand.alias("a")
-        .join(
-            cand.select(
-                F.col("qid").alias("qid_b"),
-                F.col("cand_id").alias("id_b"),
-                F.col("ce").alias("ce_b"),
-            ),
-            (F.col("qid") == F.col("qid_b"))
-            & (F.col("cand_id") != F.col("id_b")),
+
+    def cc_x1m(a: Column, b: Column) -> Column:
+        # Identical integer cosine to the old cc table / DuckDB oracle.
+        return F.round(cosine(a, b) * 1_000_000).cast("long")
+
+    def entry(rank: Column, cand: Column, score: Column) -> Column:
+        # Field names/types must match the fold's zero element exactly.
+        return F.struct(
+            rank.cast("long").alias("mmr_rank"),
+            cand["cand_id"].alias("cand_id"),
+            cand["sim_x1m"].alias("sim_x1m"),
+            score.cast("long").alias("score"),
+            cand["ce"].alias("ce"),
         )
-        .select(
-            "qid",
-            F.col("cand_id").alias("id_a"),
-            "id_b",
-            F.round(cosine(F.col("ce"), F.col("ce_b")) * 1_000_000)
-            .cast("long")
-            .alias("cc_x1m"),
+
+    def remaining(cands: Column, acc: Column) -> Column:
+        return F.filter(
+            cands,
+            lambda c: ~F.exists(acc, lambda s: s["cand_id"] == c["cand_id"]),
         )
-    )
-    w = W.partitionBy("qid")
-    first = (
-        cand.withColumn(
-            "rnk",
-            F.row_number().over(
-                w.orderBy(F.col("sim_x1m").desc(), "cand_id")
-            ),
-        )
-        .filter(F.col("rnk") == 1)
-        .select(
-            "qid",
-            "cand_id",
-            "sim_x1m",
-            F.lit(0).cast("long").alias("mmr_rank"),
-            (F.lit(7) * F.col("sim_x1m")).cast("long").alias("score"),
-        )
-    )
-    selected = first
-    for r in range(1, MMR_K):
-        sel_ids = selected.select("qid", F.col("cand_id").alias("sel_id"))
-        pen = (
-            cand.join(
-                sel_ids.withColumnRenamed("sel_id", "cand_id"),
-                ["qid", "cand_id"],
-                "left_anti",
-            )
-            .join(
-                cc,
-                (cc.qid == cand.qid) & (cc.id_a == cand.cand_id),
-                "inner",
-            )
-            .drop(cc.qid)
-            .join(
-                sel_ids.withColumnRenamed("sel_id", "id_b"),
-                ["qid", "id_b"],
-            )
-            .groupBy("qid", "cand_id", "sim_x1m")
-            .agg(F.max("cc_x1m").alias("pen_x1m"))
-        )
-        pick = (
-            pen.withColumn(
-                "score",
-                (F.lit(7) * F.col("sim_x1m") - F.lit(3) * F.col("pen_x1m"))
-                .cast("long"),
-            )
-            .withColumn(
-                "rnk",
-                F.row_number().over(
-                    w.orderBy(F.col("score").desc(), "cand_id")
+
+    def round_pick(cands: Column, acc: Column) -> Column:
+        # Greedy argmax of 7*sim - 3*max_sim(c, selected), ties on
+        # cand_id: ascending lexicographic min over (-score, cand_id).
+        return F.array_min(
+            F.transform(
+                remaining(cands, acc),
+                lambda c: F.struct(
+                    (
+                        -(
+                            F.lit(7) * c["sim_x1m"]
+                            - F.lit(3)
+                            * F.array_max(
+                                F.transform(
+                                    acc, lambda s: cc_x1m(c["ce"], s["ce"])
+                                )
+                            )
+                        )
+                    ).cast("long").alias("neg_score"),
+                    c["cand_id"].alias("cand_id"),
+                    c["sim_x1m"].alias("sim_x1m"),
+                    c["ce"].alias("ce"),
                 ),
             )
-            .filter(F.col("rnk") == 1)
-            .select(
-                "qid",
-                "cand_id",
-                "sim_x1m",
-                F.lit(r).cast("long").alias("mmr_rank"),
-                "score",
-            )
         )
-        # Truncate the accumulated plan each round: without this the
-        # round-r penalty join re-derives every prior round's join tree
-        # (plan grows combinatorially -- 362 shuffles / 120 SMJ at k=5).
-        # The selected table is |queries| x rounds rows, so the
-        # materialization is O(queries) tiny.
-        selected = materialize(selected.unionByName(pick))
-    return selected.orderBy("qid", "mmr_rank")
+
+    # ALL K-1 greedy rounds run inside ONE aggregate fold: the selected
+    # array is the fold accumulator, so each round references it as a
+    # bound lambda VARIABLE -- evaluated per round at runtime, never
+    # inlined. (The unrolled withColumn formulation duplicated the
+    # accumulator expression ~3x per round; Catalyst inlined the copies
+    # across rounds and optimization time went exponential -- the plan
+    # never finished compiling at K=5. Measured, r09.)
+    best0 = F.col("cands")[0]
+    sel = F.aggregate(
+        F.sequence(F.lit(1), F.lit(MMR_K - 1)),
+        F.array(entry(F.lit(0), best0, F.lit(7) * best0["sim_x1m"])),
+        lambda acc, r: F.when(
+            F.size(remaining(F.col("cands"), acc)) > 0,
+            F.concat(
+                acc,
+                # Bind the pick once as a lambda variable (evaluated one
+                # time per round) instead of inlining its tree twice.
+                F.transform(
+                    F.array(round_pick(F.col("cands"), acc)),
+                    lambda p: entry(r, p, -p["neg_score"]),
+                ),
+            ),
+        ).otherwise(acc),
+    )
+    return (
+        packed.select("qid", F.explode(sel).alias("s"))
+        .select(
+            "qid",
+            F.col("s.mmr_rank").alias("mmr_rank"),
+            F.col("s.cand_id").alias("cand_id"),
+            F.col("s.sim_x1m").alias("sim_x1m"),
+            F.col("s.score").alias("score"),
+        )
+        .orderBy("qid", "mmr_rank")
+    )
 
 
 # --------------------------------------------- ANN recall@k evaluation
