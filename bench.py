@@ -289,6 +289,27 @@ def main() -> None:
     # bounded without the per-query forced-GC cost measured-and-rejected
     # in _release_storage's docstring. (Observed: sim_mmr_rerank 2.1s
     # alone or 2nd in a sweep, 6.7s at position ~52 of 77.)
+    # The variance guard below compares against the PREVIOUS round's
+    # COMMITTED detail snapshot; an untracked/modified one means the
+    # cross-round drift numbers are about to be computed against a file
+    # nobody can audit (this bit three rounds in a row, r06-r08). Warn
+    # loudly on stderr -- never refuse or pollute stdout's JSON line:
+    # the driver's own per-round run must not be blocked.
+    if os.environ.get("USHAS_BENCH_CHILD") != "1":
+        try:
+            dirty = subprocess.run(
+                ["git", "status", "--porcelain", "--",
+                 "BENCH_DETAIL_r*.json", "CORRECTNESS_r*.json"],
+                cwd=_REPO, capture_output=True, text=True, timeout=10,
+            ).stdout.strip()
+            if dirty:
+                print(
+                    "bench.py WARNING: uncommitted round artifacts "
+                    "(variance guard reads committed snapshots):\n" + dirty,
+                    file=sys.stderr,
+                )
+        except OSError:
+            pass
     spark = get_spark(
         "ushas-bench", extra_conf={"spark.cleaner.periodicGC.interval": "2min"}
     )

@@ -331,3 +331,103 @@ def test_semdedup_drop_rule_matches_definition(spark, rows):
         .collect()
     }
     assert got == exp_counts
+
+
+def test_mmr_fold_matches_python_greedy_reference(spark, tmp_path):
+    """The r09 map-side MMR fold vs an independent pure-Python greedy.
+
+    The DuckDB oracle covers the shipped testdata; this drives the
+    HOF fold through the cases that data never hits: exact-duplicate
+    vectors (cosine ties -> cand_id tie-break inside array_min) and a
+    corpus smaller than MMR_K picks (the empty-remainder guard must
+    stop early, not emit null entries). Arithmetic mirrors bit-for-bit:
+    sequential left-fold dot products, IEEE sqrt/div, and Spark Round's
+    half-away-from-zero via Decimal(float) -- exact binary -- HALF_UP.
+    """
+    import math
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import types as T
+
+    from ushas_spark.operators.similarity import (
+        MMR_K,
+        N_QUERIES,
+        TOP_K,
+        sim_mmr_rerank,
+    )
+
+    def simx1m(a, b):
+        def dot(x, y):
+            acc = 0.0
+            for u, v in zip(x, y):
+                acc += u * v
+            return acc
+
+        c = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+        return int(
+            Decimal(c * 1_000_000).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        )
+
+    def ref_mmr(vecs):
+        rows = []
+        for qid in sorted(vecs):
+            if qid >= N_QUERIES:
+                continue
+            scored = sorted(
+                ((simx1m(vecs[qid], vecs[c]), c) for c in vecs if c != qid),
+                key=lambda t: (-t[0], t[1]),
+            )[:TOP_K]
+            sel = [(scored[0][1], scored[0][0], 0, 7 * scored[0][0])]
+            for r in range(1, MMR_K):
+                chosen = {c for c, _, _, _ in sel}
+                rem = [(s, c) for s, c in scored if c not in chosen]
+                if not rem:
+                    break
+                neg, cand, sim = min(
+                    (
+                        -(
+                            7 * s
+                            - 3
+                            * max(
+                                simx1m(vecs[c], vecs[sc])
+                                for sc, _, _, _ in sel
+                            )
+                        ),
+                        c,
+                        s,
+                    )
+                    for s, c in rem
+                )
+                sel.append((cand, sim, r, -neg))
+            rows += [(qid, r, c, s, sc) for c, s, r, sc in sel]
+        return sorted(rows)
+
+    rng = random.Random(97)
+    grid = [i / 16 for i in range(-16, 17) if i]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    scenarios = []
+    # (a) duplicates force cosine ties (identical vectors AND scaled
+    # copies, which tie under cosine despite different coordinates).
+    base = [[rng.choice(grid) for _ in range(6)] for _ in range(8)]
+    dup = [base[i % 8] if i % 3 else [2 * x for x in base[i % 8]] for i in range(24)]
+    scenarios.append({i: v for i, v in enumerate(dup)})
+    # (b) corpus smaller than the pick count: 3 candidates per query.
+    scenarios.append(
+        {i: [rng.choice(grid) for _ in range(6)] for i in range(4)}
+    )
+    for idx, vecs in enumerate(scenarios):
+        d = tmp_path / f"sf_case{idx}"
+        d.mkdir()
+        spark.createDataFrame(
+            [(i, v) for i, v in vecs.items()], schema
+        ).coalesce(1).write.parquet(str(d / "embeddings.parquet"))
+        got = sorted(
+            tuple(r) for r in sim_mmr_rerank(spark, str(d)).collect()
+        )
+        assert got == ref_mmr(vecs), f"scenario {idx}"

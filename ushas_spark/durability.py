@@ -90,12 +90,14 @@ def plan_counts(jplan) -> dict[str, int]:
     ``ReusedExchange`` is counted in its own bucket, NOT under
     ``shuffles``: a reused exchange executes zero additional shuffles
     (it reads the twin's shuffle files), so charging it would overcount
-    actual network -- but the legacy text regex DID match the child
-    plan text that ReusedExchange lines embed, so tree counts on
-    reuse-bearing plans (e.g. graph_kcore_summary's twin semi-join
-    builds) read LOWER than pre-r08 text rows by exactly ``reused``.
+    actual network. With AQE on (every PLANS.md row), pre-execution
+    plans contain no ReusedExchange at all -- reuse happens at runtime
+    via stage dedup (probe-verified r09: graph_kcore_summary's twin
+    semi-join builds show reused=0 in all 8 segments), so pre-r08 text
+    counts and tree counts agree even on reuse-bearing plans. The
+    bucket matters for AQE-OFF plans, where planning inserts the node:
     tests/test_plans.py::test_plan_counts_text_parity_with_reuse pins
-    the relation tree_shuffles + reused == text_count.
+    tree_shuffles + reused == legacy_text_count there.
     """
     c = {
         "shuffles": 0, "broadcasts": 0, "smj": 0, "bhj": 0, "bnlj": 0,

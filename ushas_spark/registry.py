@@ -100,11 +100,12 @@ _ROWS_ONLY_TAIL = {
     "sim_brute_force_topk_numpy",
 }
 
+# Tie-break order only (since r09): primary ranking is never-checked
+# first, then driver-greens by evidence age (rotation_state). Within a
+# tier, modules walk in this order and queries keep decorator order.
 _MODULE_ORDER = [
-    # Never-driver-checked modules, highest value first.
     "ushas_spark.queries.analytics",
     "ushas_spark.streaming.queries",
-    # Round-3 operator tier -- never driver-checked yet.
     "ushas_spark.operators.entity",
     "ushas_spark.operators.clustering",
     "ushas_spark.operators.graph",
@@ -115,8 +116,6 @@ _MODULE_ORDER = [
     "ushas_spark.queries.sources",
     "ushas_spark.queries.sql_conformance",
     "ushas_spark.queries.misc",
-    # Operators tier: mostly driver-certified in r02 (greens demoted by
-    # name); their late-r3 additions surface here.
     "ushas_spark.operators.dedup",
     "ushas_spark.operators.similarity",
     "ushas_spark.operators.ivf",
@@ -126,7 +125,6 @@ _MODULE_ORDER = [
     "ushas_spark.operators.text",
     "ushas_spark.operators.pipeline",
     "ushas_spark.operators.multimodal",
-    # Driver-verified in earlier rounds -- last.
     "ushas_spark.queries.tpch",
     "ushas_spark.queries.windows",
     "ushas_spark.queries.setops",
