@@ -513,3 +513,59 @@ def test_repeated_ngram_spans_hot_shingle_linear(spark):
         F.max("covered").alias("mx"),
     ).collect()[0]
     assert got.docs == n and got.mn == SPAN_WIDTH and got.mx == SPAN_WIDTH, got
+
+
+def test_mmr_fold_scales_in_queries(spark):
+    """20k packed query rows through mmr_greedy_select: the r09 map-side
+    MMR operator's scale claim is that selection adds ZERO shuffles of
+    its own (each packed row folds independently), so query volume is a
+    pure map dimension. Synthesizes candidates entirely JVM-side
+    (hash-derived sims/vectors, no driver loop), checks the invariants
+    every greedy MMR output must satisfy, and asserts the plan really
+    is shuffle-free."""
+    from ushas_spark.durability import plan_counts
+    from ushas_spark.operators.similarity import mmr_greedy_select
+
+    n_q, n_cand, k = 20_000, 10, 5
+    cand = F.expr(
+        f"""array_sort(transform(sequence(0, {n_cand - 1}), i -> struct(
+          -CAST(pmod(xxhash64(id, i), 2000001) - 1000000 AS BIGINT) AS neg_sim,
+          CAST(i AS BIGINT) AS cand_id,
+          CAST(pmod(xxhash64(id, i), 2000001) - 1000000 AS BIGINT) AS sim_x1m,
+          transform(sequence(0, 5), j ->
+            (CAST(pmod(xxhash64(id, i, j), 2001) AS DOUBLE) - 1000.0) / 1000.0
+          ) AS ce)))"""
+    )
+    packed = spark.range(n_q, numPartitions=32).select(
+        F.col("id").alias("qid"), cand.alias("cands")
+    )
+    out = mmr_greedy_select(packed, k)
+    assert plan_counts(out._jdf.queryExecution().executedPlan())["shuffles"] == 0
+    rows = out.groupBy("qid").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("cand_id").alias("n_ids"),
+        F.min("mmr_rank").alias("r0"),
+        F.max("mmr_rank").alias("rk"),
+        # Rank 0 takes the max-similarity candidate, so no later pick can
+        # carry a larger sim_x1m (scores CAN exceed rank 0's when the
+        # diversity penalty goes negative -- random vectors anticorrelate).
+        F.max(F.when(F.col("mmr_rank") == 0, F.col("sim_x1m"))).alias("sim0"),
+        F.max("sim_x1m").alias("sim_max"),
+        # And rank 0's score is exactly 7x its similarity (no penalty yet).
+        F.max(
+            F.when(
+                F.col("mmr_rank") == 0,
+                F.col("score") - 7 * F.col("sim_x1m"),
+            )
+        ).alias("s0_resid"),
+    )
+    bad = rows.filter(
+        (F.col("n") != k)
+        | (F.col("n_ids") != k)
+        | (F.col("r0") != 0)
+        | (F.col("rk") != k - 1)
+        | (F.col("sim0") != F.col("sim_max"))
+        | (F.col("s0_resid") != 0)
+    )
+    assert rows.count() == n_q
+    assert bad.count() == 0

@@ -1183,60 +1183,30 @@ ORDER BY qid, mmr_rank
     )
 
 
-@query("sim_mmr_rerank", oracle=_mmr_oracle())
-def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
-    1998): greedily pick {MMR_K} of each query's {TOP_K} nearest
-    candidates, each round maximizing
-    lambda*sim(q,c) - (1-lambda)*max_sim(c, already-picked) with
-    lambda = 0.7 -- the diversified-retrieval pass RAG pipelines run
-    so near-duplicate passages don't crowd the context window. Scores
-    stay in exact integer algebra (7*sim_x1m - 3*pen_x1m; the /10 is
-    order-preserving and dropped), ties break on cand_id, so both
-    engines pick identical sets.
+def mmr_greedy_select(packed: DataFrame, k: int = MMR_K) -> DataFrame:
+    """Map-side greedy MMR selection over pre-packed candidate arrays.
 
-    Scale shape (restructured r09, adjudicated in registry.py): the
-    per-query candidate set is bounded ({TOP_K} rows), so the WHOLE
-    greedy loop runs map-side on ONE packed row per query -- candidates
-    are collect_list'ed into an array (the only shuffle after top-k
-    generation), and each of the K-1 rounds is an unrolled
-    filter/transform/array_min higher-order expression computing
-    max-sim-to-selected in whole-stage codegen. No per-round joins, no
-    per-round materialize: the old formulation ran 5 jobs and 35
-    shuffles over |queries| x K tiny tables (pin_partitioned was
-    inapplicable -- composite-key joins); this one runs 1 job and ~4
-    shuffles, and at a billion queries still shuffles each candidate
-    row exactly once on qid.
+    ``packed`` has one row per query: ``qid`` plus ``cands``, an array of
+    ``struct<neg_sim, cand_id, sim_x1m, ce>`` sorted best-first
+    (ascending on (-sim_x1m, cand_id)). Returns ``k`` picks per query
+    (fewer when the candidate list is shorter) as
+    (qid, mmr_rank, cand_id, sim_x1m, score), where
+    score = 7*sim_x1m - 3*max_sim_x1m(c, already-picked).
+
+    ALL k-1 greedy rounds run inside ONE aggregate fold: the selected
+    array is the fold accumulator, so each round references it as a
+    bound lambda VARIABLE -- evaluated per round at runtime, never
+    inlined. (The unrolled withColumn formulation duplicated the
+    accumulator expression ~3x per round; Catalyst inlined the copies
+    across rounds and optimization time went exponential -- the plan
+    never finished compiling at k=5. Measured, r09.) Per-row cost is
+    O(|cands|^2 * dim) worst case with |cands| bounded by the upstream
+    top-k, so the operator scales linearly in queries with zero
+    shuffles of its own -- a billion packed rows fold independently.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _dvec(F.col("embedding")).alias("e")
-    )
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("e")
-    )
-    # Attach candidate vectors by broadcasting the tiny top-k table at
-    # the big corpus scan -- the corpus side never shuffles.
-    cand = F.broadcast(cosine_topk(q, emb).select("qid", "cand_id", "sim_x1m"))
-    cand_ce = emb.select(
-        F.col("vec_id").alias("cand_id"), F.col("e").alias("ce")
-    ).join(cand, "cand_id")
-    # One row per query: candidates sorted best-first (sim desc, cand_id
-    # asc -- encoded as an ascending struct sort on (-sim, cand_id)).
-    packed = cand_ce.groupBy("qid").agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    (-F.col("sim_x1m")).alias("neg_sim"),
-                    F.col("cand_id").alias("cand_id"),
-                    F.col("sim_x1m").alias("sim_x1m"),
-                    F.col("ce").alias("ce"),
-                )
-            )
-        ).alias("cands")
-    )
 
     def cc_x1m(a: Column, b: Column) -> Column:
-        # Identical integer cosine to the old cc table / DuckDB oracle.
+        # Identical integer cosine to the DuckDB oracle's pairwise table.
         return F.round(cosine(a, b) * 1_000_000).cast("long")
 
     def entry(rank: Column, cand: Column, score: Column) -> Column:
@@ -1280,16 +1250,9 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    # ALL K-1 greedy rounds run inside ONE aggregate fold: the selected
-    # array is the fold accumulator, so each round references it as a
-    # bound lambda VARIABLE -- evaluated per round at runtime, never
-    # inlined. (The unrolled withColumn formulation duplicated the
-    # accumulator expression ~3x per round; Catalyst inlined the copies
-    # across rounds and optimization time went exponential -- the plan
-    # never finished compiling at K=5. Measured, r09.)
     best0 = F.col("cands")[0]
     sel = F.aggregate(
-        F.sequence(F.lit(1), F.lit(MMR_K - 1)),
+        F.sequence(F.lit(1), F.lit(k - 1)),
         F.array(entry(F.lit(0), best0, F.lit(7) * best0["sim_x1m"])),
         lambda acc, r: F.when(
             F.size(remaining(F.col("cands"), acc)) > 0,
@@ -1304,17 +1267,66 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(acc),
     )
-    return (
-        packed.select("qid", F.explode(sel).alias("s"))
-        .select(
-            "qid",
-            F.col("s.mmr_rank").alias("mmr_rank"),
-            F.col("s.cand_id").alias("cand_id"),
-            F.col("s.sim_x1m").alias("sim_x1m"),
-            F.col("s.score").alias("score"),
-        )
-        .orderBy("qid", "mmr_rank")
+    return packed.select("qid", F.explode(sel).alias("s")).select(
+        "qid",
+        F.col("s.mmr_rank").alias("mmr_rank"),
+        F.col("s.cand_id").alias("cand_id"),
+        F.col("s.sim_x1m").alias("sim_x1m"),
+        F.col("s.score").alias("score"),
     )
+
+
+@query("sim_mmr_rerank", oracle=_mmr_oracle())
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick {MMR_K} of each query's {TOP_K} nearest
+    candidates, each round maximizing
+    lambda*sim(q,c) - (1-lambda)*max_sim(c, already-picked) with
+    lambda = 0.7 -- the diversified-retrieval pass RAG pipelines run
+    so near-duplicate passages don't crowd the context window. Scores
+    stay in exact integer algebra (7*sim_x1m - 3*pen_x1m; the /10 is
+    order-preserving and dropped), ties break on cand_id, so both
+    engines pick identical sets.
+
+    Scale shape (restructured r09, adjudicated in registry.py): the
+    per-query candidate set is bounded ({TOP_K} rows), so the WHOLE
+    greedy loop runs map-side on ONE packed row per query
+    (mmr_greedy_select above) -- candidates are collect_list'ed into
+    an array (the only shuffle after top-k generation). No per-round
+    joins, no per-round materialize: the old formulation ran 5 jobs
+    and 35 shuffles over |queries| x K tiny tables (pin_partitioned
+    was inapplicable -- composite-key joins); this one runs 1 job and
+    ~4 shuffles, and at a billion queries still shuffles each
+    candidate row exactly once on qid
+    (tests/test_scale_stress.py::test_mmr_fold_scales_in_queries).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e")
+    )
+    # Attach candidate vectors by broadcasting the tiny top-k table at
+    # the big corpus scan -- the corpus side never shuffles.
+    cand = F.broadcast(cosine_topk(q, emb).select("qid", "cand_id", "sim_x1m"))
+    cand_ce = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("e").alias("ce")
+    ).join(cand, "cand_id")
+    # One row per query: candidates sorted best-first (sim desc, cand_id
+    # asc -- encoded as an ascending struct sort on (-sim, cand_id)).
+    packed = cand_ce.groupBy("qid").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("sim_x1m")).alias("neg_sim"),
+                    F.col("cand_id").alias("cand_id"),
+                    F.col("sim_x1m").alias("sim_x1m"),
+                    F.col("ce").alias("ce"),
+                )
+            )
+        ).alias("cands")
+    )
+    return mmr_greedy_select(packed, MMR_K).orderBy("qid", "mmr_rank")
 
 
 # --------------------------------------------- ANN recall@k evaluation
