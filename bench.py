@@ -299,6 +299,7 @@ def main() -> None:
         try:
             dirty = subprocess.run(
                 ["git", "status", "--porcelain", "--",
+                 "BENCH_r*.json", "BENCH_DETAIL.json",
                  "BENCH_DETAIL_r*.json", "CORRECTNESS_r*.json"],
                 cwd=_REPO, capture_output=True, text=True, timeout=10,
             ).stdout.strip()
@@ -308,7 +309,7 @@ def main() -> None:
                     "(variance guard reads committed snapshots):\n" + dirty,
                     file=sys.stderr,
                 )
-        except OSError:
+        except (OSError, subprocess.SubprocessError):
             pass
     spark = get_spark(
         "ushas-bench", extra_conf={"spark.cleaner.periodicGC.interval": "2min"}

@@ -431,3 +431,35 @@ def test_mmr_fold_matches_python_greedy_reference(spark, tmp_path):
             tuple(r) for r in sim_mmr_rerank(spark, str(d)).collect()
         )
         assert got == ref_mmr(vecs), f"scenario {idx}"
+
+
+def test_mmr_fold_degenerate_k_and_empty_candidates(spark):
+    """Reusable-operator edge cases: k=1 must return exactly the rank-0
+    pick (Spark's sequence(1, 0) DESCENDS, so an unguarded fold would run
+    two bogus rounds), k=0/k<0 likewise degrade to the single best pick,
+    and an empty candidate array must yield zero picks for that query
+    instead of throwing ANSI INVALID_ARRAY_INDEX on cands[0]."""
+    from pyspark.sql import functions as F
+
+    from ushas_spark.operators.similarity import mmr_greedy_select
+
+    cands = F.expr(
+        """CASE WHEN id = 2 THEN
+             CAST(array() AS
+               array<struct<neg_sim:bigint,cand_id:bigint,
+                            sim_x1m:bigint,ce:array<double>>>)
+           ELSE
+             array_sort(transform(sequence(0, 3), i -> struct(
+               CAST(-100 * (10 - i) AS BIGINT) AS neg_sim,
+               CAST(i AS BIGINT) AS cand_id,
+               CAST(100 * (10 - i) AS BIGINT) AS sim_x1m,
+               array(CAST(i AS DOUBLE), 1.0d) AS ce)))
+           END"""
+    )
+    packed = spark.range(3).select(F.col("id").alias("qid"), cands.alias("cands"))
+    for k in (1, 0, -3):
+        got = sorted(tuple(r) for r in mmr_greedy_select(packed, k).collect())
+        assert got == [(0, 0, 0, 1000, 7000), (1, 0, 0, 1000, 7000)], (k, got)
+    full = mmr_greedy_select(packed, 4)
+    assert full.filter(F.col("qid") == 2).count() == 0
+    assert full.filter(F.col("qid") == 0).count() == 4

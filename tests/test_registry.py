@@ -128,3 +128,16 @@ def test_greens_walk_oldest_evidence_first():
     assert rounds == sorted(rounds), (
         "driver-green queries are not ordered oldest-round-first"
     )
+
+
+def test_priority_names_are_not_already_green():
+    """A head pin whose driver row has landed must be removed during the
+    rotation fold, or it burns the gate's first slot every round forever
+    (rank() checks _PRIORITY_NAMES before evidence age). This is the one
+    remaining hand-maintained set; enforce the cleanup the rotation
+    tool's output asks for."""
+    greened = set(registry._PRIORITY_NAMES) & registry._DRIVER_GREEN
+    assert not greened, (
+        f"_PRIORITY_NAMES entries already have driver rows -- delete them "
+        f"so the gate re-certifies stale evidence instead: {sorted(greened)}"
+    )

@@ -53,12 +53,17 @@ def is_green(row: dict) -> bool:
 def scan() -> tuple[dict[str, int], dict[str, str], list[str]]:
     last: dict[str, int] = {}
     red: dict[str, str] = {}
-    files = sorted(
-        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
-        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    # Anchored + walrus-guarded like bench.py's round inference: a stray
+    # non-numeric-stamped file (CORRECTNESS_rerun.json) or a backup copy
+    # (CORRECTNESS_r08_backup.json) must be SKIPPED, never crash the scan
+    # or masquerade as round evidence.
+    stamped = sorted(
+        (int(m.group(1)), p)
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"^CORRECTNESS_r(\d+)\.json$", os.path.basename(p)))
     )
-    for path in files:
-        rnd = int(re.search(r"_r(\d+)", path).group(1))
+    files = [p for _, p in stamped]
+    for rnd, path in stamped:
         with open(path, encoding="utf-8") as fh:
             rows = json.load(fh)
         for name, row in rows.items():

@@ -110,7 +110,13 @@ def plan_counts(jplan) -> dict[str, int]:
             walk(node.initialPlan())
             return
         if name.startswith("ReusedExchange"):
-            c["reused"] += 1
+            # Count only SHUFFLE-exchange reuse (the bucket's documented
+            # semantics and the text-parity relation): ReusedExchange
+            # also wraps BroadcastExchange twins, whose line the legacy
+            # regex never matched.
+            s = node.verboseString(1)
+            if "hashpartitioning" in s or "rangepartitioning" in s:
+                c["reused"] += 1
             # Do not descend: the child is the twin's already-counted
             # subtree; it executes once, there.
             return

@@ -1189,7 +1189,7 @@ def mmr_greedy_select(packed: DataFrame, k: int = MMR_K) -> DataFrame:
     ``packed`` has one row per query: ``qid`` plus ``cands``, an array of
     ``struct<neg_sim, cand_id, sim_x1m, ce>`` sorted best-first
     (ascending on (-sim_x1m, cand_id)). Returns ``k`` picks per query
-    (fewer when the candidate list is shorter) as
+    (fewer when the candidate list is shorter; zero for an empty one) as
     (qid, mmr_rank, cand_id, sim_x1m, score), where
     score = 7*sim_x1m - 3*max_sim_x1m(c, already-picked).
 
@@ -1250,23 +1250,34 @@ def mmr_greedy_select(packed: DataFrame, k: int = MMR_K) -> DataFrame:
             )
         )
 
+    # Empty candidate lists yield zero picks (and guard the cands[0]
+    # access below -- ANSI mode throws on out-of-bounds array indexing).
+    packed = packed.filter(F.size("cands") > 0)
     best0 = F.col("cands")[0]
-    sel = F.aggregate(
-        F.sequence(F.lit(1), F.lit(k - 1)),
-        F.array(entry(F.lit(0), best0, F.lit(7) * best0["sim_x1m"])),
-        lambda acc, r: F.when(
-            F.size(remaining(F.col("cands"), acc)) > 0,
-            F.concat(
-                acc,
-                # Bind the pick once as a lambda variable (evaluated one
-                # time per round) instead of inlining its tree twice.
-                F.transform(
-                    F.array(round_pick(F.col("cands"), acc)),
-                    lambda p: entry(r, p, -p["neg_score"]),
+    sel = F.array(entry(F.lit(0), best0, F.lit(7) * best0["sim_x1m"]))
+    if k > 1:
+        # NB sequence(1, k-1) DESCENDS when k <= 1 (Spark defaults the
+        # step to -1 for start > stop), so the fold only exists for k > 1.
+        sel = F.aggregate(
+            F.sequence(F.lit(1), F.lit(k - 1)),
+            sel,
+            # Selected ids are distinct members of cands, so the cheap
+            # size comparison is exactly the "candidates remain" test --
+            # no second evaluation of the O(|cands| x |acc|) remaining().
+            lambda acc, r: F.when(
+                F.size(acc) < F.size(F.col("cands")),
+                F.concat(
+                    acc,
+                    # Bind the pick once as a lambda variable (evaluated
+                    # one time per round) instead of inlining its tree
+                    # twice.
+                    F.transform(
+                        F.array(round_pick(F.col("cands"), acc)),
+                        lambda p: entry(r, p, -p["neg_score"]),
+                    ),
                 ),
-            ),
-        ).otherwise(acc),
-    )
+            ).otherwise(acc),
+        )
     return packed.select("qid", F.explode(sel).alias("s")).select(
         "qid",
         F.col("s.mmr_rank").alias("mmr_rank"),
