@@ -141,3 +141,50 @@ def test_priority_names_are_not_already_green():
         f"_PRIORITY_NAMES entries already have driver rows -- delete them "
         f"so the gate re-certifies stale evidence instead: {sorted(greened)}"
     )
+
+
+def test_gen_rotation_state_scan_semantics(tmp_path, monkeypatch):
+    """The evidence scanner's green/red/override rules on synthetic files:
+    hash-green counts, rows-only (err=no_oracle with a row count) counts,
+    a red row is reported UNLESS a later round re-certifies it green, the
+    latest green round wins, and non-round-stamped filenames are ignored.
+    """
+    import json
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    try:
+        import gen_rotation_state as gen
+    finally:
+        sys.path.pop(0)
+
+    def row(hash_match=None, err=None, spark_rows=None):
+        return {
+            "rows_match": None, "schema_match": None,
+            "hash_match": hash_match, "spark_rows": spark_rows,
+            "oracle_rows": None, "err": err,
+        }
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "a": row(hash_match=True),
+        "b": row(err="boom"),                       # red, never re-certified
+        "c": row(err="no_oracle", spark_rows=3),    # rows-only green
+        "d": row(hash_match=False),                 # red...
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "a": row(hash_match=True),                  # later green wins
+        "d": row(hash_match=True),                  # ...re-certified green
+    }))
+    # Must be skipped, not parsed or crashed on:
+    (tmp_path / "CORRECTNESS_rerun.json").write_text("{not json")
+    (tmp_path / "CORRECTNESS_r01_backup.json").write_text(
+        json.dumps({"z": row(hash_match=True)})
+    )
+
+    monkeypatch.setattr(gen, "REPO", str(tmp_path))
+    last, red, files = gen.scan()
+    assert files == ["CORRECTNESS_r01.json", "CORRECTNESS_r02.json"]
+    assert last == {"a": 2, "c": 1, "d": 2}
+    assert set(red) == {"b"} and "boom" in red["b"]
