@@ -599,10 +599,19 @@ WHERE rnk <= {TFIDF_TOPK} ORDER BY qid, rnk
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical retrieval: TF-IDF top-k similar documents per query doc.
 
-    The inverted-index retrieval shape: term frequencies once over the
-    corpus (one map-side-combinable groupBy), document frequencies from
+    The inverted-index retrieval shape: term frequencies over the
+    corpus (a map-side-combinable groupBy), document frequencies from
     the same table, query-term postings joined on the term -- the join
-    fans out only over shared terms, never all document pairs. IDF is
+    fans out only over shared terms, never all document pairs. The tf
+    subtree is REFERENCED by several branches and deliberately
+    recomputed per branch: both sharing variants were probed r09
+    (pin_partitioned on word: 7 -> 5 counted shuffles but 0.88 -> 1.33 s
+    at sf0.1; materialize: 1.30 s) and LOST on wall -- the query-side
+    branch prunes to doc_id < {TFIDF_QUERIES} at the scan, so only the
+    DF and postings branches pay full tokenization, and re-tokenizing
+    beats writing the |corpus|-sized TF table. A 100 TB deployment
+    flips this by writing the postings table once, bucketed by word
+    (adjudication in registry.py). IDF is
     the RATIONAL weight (N * {IDF_SCALE}) // df instead of ln(N/df):
     monotonically equivalent ranking signal with pure-integer scoring,
     chosen because cross-engine ln() differs in the last ulp while
@@ -714,7 +723,9 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same inverted-index join shape as :func:`text_tfidf_topk` plus the
     document-length normalization BM25 adds; the rational folding above
     keeps all scoring in 64-bit integers so the DuckDB oracle matches
-    bit-for-bit.
+    bit-for-bit. tf recomputation per branch is deliberate, same
+    adjudication as text_tfidf_topk (probed r09: pinning hit 12 -> 8
+    counted shuffles but 0.93 -> 2.06 s isolated at sf0.1).
     """
     d = load_table(spark, sf_dir, "documents")
     words = d.select(

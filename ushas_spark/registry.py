@@ -65,6 +65,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # withColumn formulation inlined the accumulator ~3x per round and
 # Catalyst optimization went exponential -- fold accumulators are
 # lambda VARIABLES, never inlined.
+# NEGATIVE r09 probe, recorded like k-core: sharing the TF subtree in
+# text_tfidf_topk / text_bm25_topk (referenced 3-4x, recomputed per
+# branch with zero runtime stage reuse) LOST on wall both ways --
+# pin_partitioned(word): tfidf 7->5 / bm25 12->8 counted shuffles but
+# 0.88->1.33 / 0.93->2.06 s isolated sf0.1; materialize: 1.30/1.34 s.
+# The query branch prunes to doc_id<5 at the scan, so only 2-3 branches
+# pay tokenization, and re-tokenizing beats writing |TF| at this scale.
+# Both engines' texts stayed bit-exact; revert kept. A 100 TB corpus
+# flips the tradeoff by WRITING the postings table bucketed by word
+# once -- the pin code path is one line away when that day comes.
 # graph_kcore_summary 30 shuffles stands ADJUDICATED (survivor-set
 # restructure hit 12 counted shuffles but LOST on wall, 7.75 vs 6.44 s
 # sf0.1 -- repeated restrict re-derivation + per-round broadcast
