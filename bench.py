@@ -402,10 +402,12 @@ def main() -> None:
     # "parsed": null, the line visibly truncated mid-JSON). Keep stdout's
     # single JSON line compact enough to always fit: inline only the
     # slowest queries when the full map would overflow.
-    if not child:
+    if not child and not extra:
         # Round-stamped snapshot (r06 verdict item 7) so cross-round
         # per-query diffs come from committed artifacts, plus the
-        # un-stamped path the tooling already reads.
+        # un-stamped path the tooling already reads. FULL sweeps only:
+        # a USHAS_BENCH_QUERIES subset probe must never clobber the
+        # round's 87-query map (it did, r09 -- restored from git).
         for fname in ("BENCH_DETAIL.json", "BENCH_DETAIL_r%02d.json" % _this_round()):
             with open(os.path.join(_REPO, fname), "w") as f:
                 json.dump(out, f, indent=1, sort_keys=True)
