@@ -87,6 +87,30 @@ def _norm_cell(v):
     return v
 
 
+def driver_canon_problems(schema) -> list[str]:
+    """Flag output schemas the driver's canonicalizer cannot hash.
+
+    The driver gate canonicalizes each result with pandas
+    (sort_values + factorize over object columns); a top-level
+    array/map/struct column crashes it with ``TypeError: unhashable
+    type`` -- the registry's only-ever red row (r09,
+    expr_xpath_url_battery, raw ``xpath()`` array<string>). Every
+    registered query must therefore return ATOMIC top-level columns:
+    serialize containers first (``F.array_join`` / ``F.to_json``).
+    Enforced on every execution here and statically over every batch
+    query's analyzed schema in tests/test_plan_lint.py, so the crash
+    class cannot recur."""
+    import pyspark.sql.types as T
+
+    return [
+        f"column '{f.name}' has non-atomic type {f.dataType.simpleString()}"
+        " (driver canonicalizer crashes on container columns; serialize "
+        "with array_join/to_json)"
+        for f in schema.fields
+        if not isinstance(f.dataType, (T.AtomicType, T.NullType))
+    ]
+
+
 def canonical_rows(df: pd.DataFrame) -> list[tuple]:
     cols = sorted(df.columns)
     rows = [
@@ -132,7 +156,11 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
 def run_pair(
     spark, sf_dir: str, query_fn, oracle: str, allow_empty: bool = False
 ) -> list[str]:
-    spark_pdf = query_fn(spark, sf_dir).toPandas()
+    spark_df = query_fn(spark, sf_dir)
+    canon = driver_canon_problems(spark_df.schema)
+    if canon:
+        return canon
+    spark_pdf = spark_df.toPandas()
     con = duckdb_connect(sf_dir)
     try:
         oracle_pdf = con.execute(oracle).fetchdf()

@@ -113,6 +113,20 @@ _BATCH_QUERIES = [
 def test_no_scale_killers_in_plan(spark, sf_dir, name):
     fn = registry.QUERIES[name]
     df = fn(spark, sf_dir)
+
+    # Driver-gate output-shape lint (VERDICT r09 "What's missing #3"):
+    # the driver's pandas canonicalizer crashes on top-level
+    # array/map/struct columns (the r09 expr_xpath_url_battery red row),
+    # so every registered query must return atomic columns only --
+    # serialize containers with array_join/to_json before returning.
+    # Checked here statically (analysis only, no execution) for every
+    # batch query; streaming queries get the same check at execution in
+    # tests/test_oracle.py.
+    from tests.oracle_harness import driver_canon_problems
+
+    canon = driver_canon_problems(df.schema)
+    assert not canon, f"{name}: " + "; ".join(canon)
+
     qe = df._jdf.queryExecution()
 
     nodes = json.loads(qe.optimizedPlan().toJSON())

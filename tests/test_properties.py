@@ -436,9 +436,12 @@ def test_mmr_fold_matches_python_greedy_reference(spark, tmp_path):
 def test_mmr_fold_degenerate_k_and_empty_candidates(spark):
     """Reusable-operator edge cases: k=1 must return exactly the rank-0
     pick (Spark's sequence(1, 0) DESCENDS, so an unguarded fold would run
-    two bogus rounds), k=0/k<0 likewise degrade to the single best pick,
-    and an empty candidate array must yield zero picks for that query
-    instead of throwing ANSI INVALID_ARRAY_INDEX on cands[0]."""
+    two bogus rounds), k<=0 must raise ValueError (the fold seeds rank 0
+    unconditionally, so it would otherwise silently return one pick per
+    query against the documented contract -- ADVICE r09), and an empty
+    candidate array must yield zero picks for that query instead of
+    throwing ANSI INVALID_ARRAY_INDEX on cands[0]."""
+    import pytest
     from pyspark.sql import functions as F
 
     from ushas_spark.operators.similarity import mmr_greedy_select
@@ -457,9 +460,11 @@ def test_mmr_fold_degenerate_k_and_empty_candidates(spark):
            END"""
     )
     packed = spark.range(3).select(F.col("id").alias("qid"), cands.alias("cands"))
-    for k in (1, 0, -3):
-        got = sorted(tuple(r) for r in mmr_greedy_select(packed, k).collect())
-        assert got == [(0, 0, 0, 1000, 7000), (1, 0, 0, 1000, 7000)], (k, got)
+    got = sorted(tuple(r) for r in mmr_greedy_select(packed, 1).collect())
+    assert got == [(0, 0, 0, 1000, 7000), (1, 0, 0, 1000, 7000)], got
+    for k in (0, -3):
+        with pytest.raises(ValueError, match="k must be >= 1"):
+            mmr_greedy_select(packed, k)
     full = mmr_greedy_select(packed, 4)
     assert full.filter(F.col("qid") == 2).count() == 0
     assert full.filter(F.col("qid") == 0).count() == 4

@@ -104,8 +104,20 @@ def test_rotation_state_matches_correctness_files():
         import gen_rotation_state as gen
     finally:
         sys.path.pop(0)
-    last, red, files = gen.scan()
+    last, red, expected, files = gen.scan()
     assert not red, f"RED driver rows with no later green: {red}"
+    # Adjudicated reds (harness crashes with an in-repo fix awaiting the
+    # next driver sample) don't brick the suite, but they MUST stay
+    # head-pinned so the next gate actually re-samples them, and the
+    # registered query must still exist.
+    for name in expected:
+        assert name in registry.QUERIES, (
+            f"EXPECTED_RED name {name!r} is not a registered query"
+        )
+        assert name in registry._PRIORITY_NAMES, (
+            f"EXPECTED_RED query {name!r} must be head-pinned in "
+            "_PRIORITY_NAMES so the next driver gate re-samples it first"
+        )
     with open(gen.OUT, encoding="utf-8") as fh:
         on_disk = fh.read()
     assert gen.render(last, files) == on_disk, (
@@ -184,7 +196,23 @@ def test_gen_rotation_state_scan_semantics(tmp_path, monkeypatch):
     )
 
     monkeypatch.setattr(gen, "REPO", str(tmp_path))
-    last, red, files = gen.scan()
+    # The real repo's EXPECTED_RED names don't exist in these synthetic
+    # files (they'd surface as stale-entry errors); test the base
+    # semantics with an empty allowlist first.
+    monkeypatch.setattr(gen, "EXPECTED_RED", {})
+    last, red, expected, files = gen.scan()
     assert files == ["CORRECTNESS_r01.json", "CORRECTNESS_r02.json"]
     assert last == {"a": 2, "c": 1, "d": 2}
     assert set(red) == {"b"} and "boom" in red["b"]
+    assert not expected
+
+    # EXPECTED_RED semantics: an adjudicated red is diverted out of
+    # ``red`` into ``expected``; an entry whose red row later greened (or
+    # never existed) is STALE and must flip back into ``red`` loudly.
+    monkeypatch.setattr(
+        gen, "EXPECTED_RED", {"b": "adjudicated crash", "a": "stale entry"}
+    )
+    last2, red2, expected2, _ = gen.scan()
+    assert last2 == last
+    assert set(expected2) == {"b"} and "boom" in expected2["b"]
+    assert set(red2) == {"a"} and "STALE EXPECTED_RED" in red2["a"]

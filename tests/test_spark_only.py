@@ -71,6 +71,24 @@ def test_xpath_url_golden(spark):
     assert row.dec == "a b&c"
 
 
+def test_xpath_url_battery_query_shape(spark, sf_dir):
+    """The REGISTERED query's output must be driver-canonicalizer safe.
+
+    r09's only-ever red driver row: the raw ``xpath()`` array<string>
+    column crashed the gate's pandas canonicalization. The query now
+    serializes it via array_join -- pin both the atomic-only schema and
+    the joined value so the fix can't regress."""
+    from tests.oracle_harness import driver_canon_problems
+    from ushas_spark.queries.misc import expr_xpath_url_battery
+
+    df = expr_xpath_url_battery(spark, sf_dir)
+    assert not driver_canon_problems(df.schema)
+    row = df.limit(1).collect()[0]
+    # xp_all = "<id>|<lang>" for the synthesized <doc> xml.
+    assert row.xp_all == f"{row.doc_id}|{row.xp_lang}"
+    assert row.xp_id == row.doc_id
+
+
 def test_cache_uses_in_memory_relation(spark, sf_dir):
     """df.cache() substitutes InMemoryRelation into later plans
     (reference: execution/CacheManager.scala, columnar cache)."""

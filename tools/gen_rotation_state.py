@@ -50,7 +50,33 @@ def is_green(row: dict) -> bool:
     return row.get("err") == "no_oracle" and row.get("spark_rows") is not None
 
 
-def scan() -> tuple[dict[str, int], dict[str, str], list[str]]:
+# Adjudicated RED rows: harness-level failures (never wrong answers) whose
+# in-repo fix has landed but whose green re-sample can only arrive in a
+# FUTURE round's CORRECTNESS file (the driver owns the gate). Each entry
+# must (a) cite the fix, (b) stay head-pinned in registry._PRIORITY_NAMES
+# so the next gate re-samples it first (tests/test_registry.py enforces
+# this), and (c) be DELETED the moment a later green row lands -- a stale
+# entry turns back into a loud scan error so the next rotation fold cannot
+# forget the cleanup.
+EXPECTED_RED: dict[str, str] = {
+    "expr_xpath_url_battery": (
+        "r09: driver rows-only canonicalizer crashed on the raw "
+        "array<string> xp_all column (TypeError: unhashable type 'list' "
+        "in pandas sort). Fixed r10 in queries/misc.py by serializing via "
+        "array_join(.., '|'); golden values unchanged. Delete this entry "
+        "when CORRECTNESS_r10 lands its rows-only green row."
+    ),
+}
+
+
+def scan() -> tuple[dict[str, int], dict[str, str], dict[str, str], list[str]]:
+    """Returns (green_last_round, red, expected_red_hits, files).
+
+    ``red`` is actionable breakage: unadjudicated red rows with no later
+    green, plus stale EXPECTED_RED entries (their green landed -- delete
+    them). ``expected_red_hits`` are the adjudicated reds still awaiting
+    their driver re-sample; reported loudly, but they do not fail the
+    scan."""
     last: dict[str, int] = {}
     red: dict[str, str] = {}
     # Anchored + walrus-guarded like bench.py's round inference: a stray
@@ -75,7 +101,20 @@ def scan() -> tuple[dict[str, int], dict[str, str], list[str]]:
                     f"r{rnd:02d}: err={row.get('err')!r} "
                     f"rows={row.get('rows_match')} hash={row.get('hash_match')}"
                 )
-    return last, red, [os.path.basename(p) for p in files]
+    expected: dict[str, str] = {}
+    for name, why in EXPECTED_RED.items():
+        if name in red:
+            expected[name] = red.pop(name)
+        else:
+            # The adjudicated red either greened in a later round or never
+            # had a red row at all -- either way the allowlist entry is
+            # stale and must go, loudly.
+            red[name] = (
+                "STALE EXPECTED_RED entry (no red row without a later "
+                "green) -- delete it from tools/gen_rotation_state.py: "
+                + why
+            )
+    return last, red, expected, [os.path.basename(p) for p in files]
 
 
 def render(last: dict[str, int], files: list[str]) -> str:
@@ -86,7 +125,7 @@ def render(last: dict[str, int], files: list[str]) -> str:
 
 
 def main() -> int:
-    last, red, files = scan()
+    last, red, expected, files = scan()
     text = render(last, files)
     old = open(OUT, encoding="utf-8").read() if os.path.exists(OUT) else ""
     if text != old:
@@ -95,6 +134,12 @@ def main() -> int:
         print(f"wrote {OUT} ({len(last)} green names from {len(files)} rounds)")
     else:
         print(f"{OUT} unchanged ({len(last)} green names)")
+    if expected:
+        print("\nADJUDICATED red rows awaiting their driver re-sample "
+              "(EXPECTED_RED; keep head-pinned):")
+        for name, why in sorted(expected.items()):
+            print(f"  {name}: {why}")
+            print(f"    adjudication: {EXPECTED_RED[name]}")
     if red:
         print("\nRED rows with no later green -- fix before anything else:")
         for name, why in sorted(red.items()):

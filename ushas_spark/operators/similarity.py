@@ -1189,7 +1189,8 @@ def mmr_greedy_select(packed: DataFrame, k: int = MMR_K) -> DataFrame:
     ``packed`` has one row per query: ``qid`` plus ``cands``, an array of
     ``struct<neg_sim, cand_id, sim_x1m, ce>`` sorted best-first
     (ascending on (-sim_x1m, cand_id)). Returns ``k`` picks per query
-    (fewer when the candidate list is shorter; zero for an empty one) as
+    (``k`` must be >= 1 -- ValueError otherwise; fewer picks when the
+    candidate list is shorter; zero for an empty one) as
     (qid, mmr_rank, cand_id, sim_x1m, score), where
     score = 7*sim_x1m - 3*max_sim_x1m(c, already-picked).
 
@@ -1204,6 +1205,11 @@ def mmr_greedy_select(packed: DataFrame, k: int = MMR_K) -> DataFrame:
     top-k, so the operator scales linearly in queries with zero
     shuffles of its own -- a billion packed rows fold independently.
     """
+    if k <= 0:
+        # The fold below unconditionally seeds the rank-0 pick, so
+        # without this guard k=0 would silently return one pick per
+        # query instead of zero (ADVICE r09).
+        raise ValueError(f"mmr_greedy_select: k must be >= 1, got {k}")
 
     def cc_x1m(a: Column, b: Column) -> Column:
         # Identical integer cosine to the DuckDB oracle's pairwise table.
@@ -1307,9 +1313,15 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins, no per-round materialize: the old formulation ran 5 jobs
     and 35 shuffles over |queries| x K tiny tables (pin_partitioned
     was inapplicable -- composite-key joins); this one runs 1 job and
-    ~4 shuffles, and at a billion queries still shuffles each
+    ~4 shuffles, and the greedy selection itself shuffles each
     candidate row exactly once on qid
     (tests/test_scale_stress.py::test_mmr_fold_scales_in_queries).
+    The broadcast hint on the top-k table assumes the usual rerank
+    regime |queries| << corpus (same assumption cosine_topk makes):
+    executor memory holds |queries| x TOP_K candidate rows. At a huge
+    query count DROP the hint -- the vector-attach join then degrades
+    gracefully to a qid/cand_id shuffle and the fold stage is
+    unchanged (ADVICE r09 scoping note).
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec(F.col("embedding")).alias("e")

@@ -161,7 +161,14 @@ def script_transform_cat(spark: SparkSession, sf_dir: str) -> DataFrame:
 def expr_xpath_url_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML xpath family (reference: expressions/xml/) and URL functions
     -- Spark-only surface, pinned by golden values in
-    tests/test_spark_only.py."""
+    tests/test_spark_only.py.
+
+    Output is ATOMIC-ONLY by contract: the driver's rows-only
+    canonicalizer (pandas sort + factorize) crashes on top-level
+    array/map columns (r09 evidence row: TypeError unhashable 'list'
+    on the raw ``xpath()`` array), so the multi-node xpath() result is
+    serialized via array_join -- same rule the plan-wide schema lint
+    (tests/test_plan_lint.py) now enforces for every registered query."""
     d = load_table(spark, sf_dir, "documents")
     xml = F.concat(
         F.lit("<doc><id>"),
@@ -180,7 +187,9 @@ def expr_xpath_url_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.xpath_string(xml, F.lit("//lang")).alias("xp_lang"),
         F.xpath_long(xml, F.lit("//id")).alias("xp_id"),
-        F.xpath(xml, F.lit("//doc/*/text()")).alias("xp_all"),
+        F.array_join(F.xpath(xml, F.lit("//doc/*/text()")), "|").alias(
+            "xp_all"
+        ),
         F.parse_url(url, F.lit("HOST")).alias("u_host"),
         F.parse_url(url, F.lit("PATH")).alias("u_path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("id")).alias("u_qid"),

@@ -43,12 +43,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's correctness gate walks queries() in REGISTRATION ORDER and
-# (empirically, rounds 1-8) only covers a prefix of ~50 per round. Ordering
-# is therefore part of the verification strategy. ROUND-9 state: the r08
-# gate went 50/50 green (sixth perfect round) and DRAINED the
-# never-driver-checked backlog -- every registered query except
-# expr_xpath_url_battery (pinned rows-only tail, see _PRIORITY_NAMES)
-# now has a green CORRECTNESS row in r01-r08. The walk order is now
+# (empirically, rounds 1-9) only covers a prefix of ~50 per round. Ordering
+# is therefore part of the verification strategy. ROUND-10 state: the r09
+# gate went 49/49 green on oracled rows (seventh zero-wrong-answer round)
+# but its head-pinned rows-only sample, expr_xpath_url_battery, recorded
+# the registry's FIRST red row -- a driver-harness crash (pandas
+# canonicalizer vs a raw array<string> column), not a wrong answer. Fixed
+# r10 (queries/misc.py array_join-serializes xp_all; output-schema lint in
+# tests/test_plan_lint.py + oracle_harness now forbids the whole class),
+# adjudicated in tools/gen_rotation_state.EXPECTED_RED, and the name stays
+# head-pinned below so the r10 gate lands the green rows-only row. Every
+# OTHER registered query has a green CORRECTNESS row in r01-r09. The walk
+# order is
 # DERIVED, not hand-maintained: tools/gen_rotation_state.py scans every
 # CORRECTNESS_r{N}.json into rotation_state.GREEN_LAST_ROUND, and greens
 # sort OLDEST-EVIDENCE-FIRST below, so each round's ~50-slot prefix
@@ -87,11 +93,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # texts value-exact, 191-plan lineage sweep, reader-compat bytes);
 # add only for a real SURVEY.md section 2 gap, parked in _DEFER_NEW.
 _PRIORITY_NAMES: list[str] = [
-    # r09 head: the ONE registered query with no driver row ever -- it is
-    # rows-only by design (xpath/url golden tests) but was pinned at walk
-    # position ~382 where the ~50-slot gate never reached it. One round at
-    # the head closes driver sampling at 382/382; the r10 rotation fold
-    # then returns it to the tail automatically.
+    # r10 head (second round pinned): its ONLY driver row is r09's
+    # harness-crash red (pandas canonicalizer vs raw array<string>).
+    # The output is now serialized (queries/misc.py) and the crash class
+    # is lint-forbidden; one more round at the head lands the green
+    # rows-only row, closing driver sampling at 382/382. Remove this pin
+    # AND the gen_rotation_state.EXPECTED_RED entry together when
+    # CORRECTNESS_r10's row is green (the hygiene tests flag both).
     "expr_xpath_url_battery",
 ]
 
