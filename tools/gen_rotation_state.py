@@ -50,35 +50,64 @@ def is_green(row: dict) -> bool:
     return row.get("err") == "no_oracle" and row.get("spark_rows") is not None
 
 
-# Adjudicated RED rows: harness-level failures (never wrong answers) whose
-# in-repo fix has landed but whose green re-sample can only arrive in a
-# FUTURE round's CORRECTNESS file (the driver owns the gate). Each entry
-# must (a) cite the fix, (b) stay head-pinned in registry._PRIORITY_NAMES
-# so the next gate re-samples it first (tests/test_registry.py enforces
-# this), and (c) be DELETED the moment a later green row lands -- a stale
-# entry turns back into a loud scan error so the next rotation fold cannot
-# forget the cleanup.
-EXPECTED_RED: dict[str, str] = {
+# Adjudicated RED rows, name -> (last_covered_round, why): harness-level
+# failures (never wrong answers) whose in-repo fix has landed but whose
+# green re-sample can only arrive in a FUTURE round's CORRECTNESS file
+# (the driver owns the gate). The adjudication covers red rows up to and
+# including ``last_covered_round`` ONLY -- a red in a newer round means
+# the fix did not work and scans loud again. Each entry must (a) cite the
+# fix, (b) stay head-pinned in registry._PRIORITY_NAMES so the next gate
+# re-samples it first (tests/test_registry.py enforces this), and (c) be
+# DELETED the moment a later green row lands -- a stale entry turns back
+# into a loud scan error so the next rotation fold cannot forget the
+# cleanup.
+EXPECTED_RED: dict[str, tuple[int, str]] = {
     "expr_xpath_url_battery": (
+        9,
         "r09: driver rows-only canonicalizer crashed on the raw "
         "array<string> xp_all column (TypeError: unhashable type 'list' "
         "in pandas sort). Fixed r10 in queries/misc.py by serializing via "
         "array_join(.., '|'); golden values unchanged. Delete this entry "
-        "when CORRECTNESS_r10 lands its rows-only green row."
+        "when CORRECTNESS_r10 lands its rows-only green row.",
     ),
 }
 
 
-def scan() -> tuple[dict[str, int], dict[str, str], dict[str, str], list[str]]:
+def folded_files() -> list[str]:
+    """The evidence files recorded in the generated file's header.
+
+    The driver writes each round's CORRECTNESS_r{N}.json AFTER the
+    builder's last commit, so at judge time there is always one evidence
+    file NEWER than anything rotation_state.py could have folded. The
+    header's file list lets the hygiene test distinguish that expected
+    pending round from genuine regeneration staleness."""
+    if not os.path.exists(OUT):
+        return []
+    with open(OUT, encoding="utf-8") as fh:
+        for line in fh:
+            if line.startswith("# Derived from:"):
+                return [
+                    s.strip()
+                    for s in line.split(":", 1)[1].split(",")
+                    if s.strip()
+                ]
+    return []
+
+
+def scan(
+    only: set[str] | None = None,
+) -> tuple[dict[str, int], dict[str, str], dict[str, str], list[str]]:
     """Returns (green_last_round, red, expected_red_hits, files).
 
     ``red`` is actionable breakage: unadjudicated red rows with no later
     green, plus stale EXPECTED_RED entries (their green landed -- delete
     them). ``expected_red_hits`` are the adjudicated reds still awaiting
     their driver re-sample; reported loudly, but they do not fail the
-    scan."""
+    scan. ``only`` restricts the scan to the named evidence files (used
+    by the hygiene test to replay exactly the folded set)."""
     last: dict[str, int] = {}
     red: dict[str, str] = {}
+    red_rnd: dict[str, int] = {}
     # Anchored + walrus-guarded like bench.py's round inference: a stray
     # non-numeric-stamped file (CORRECTNESS_rerun.json) or a backup copy
     # (CORRECTNESS_r08_backup.json) must be SKIPPED, never crash the scan
@@ -87,6 +116,7 @@ def scan() -> tuple[dict[str, int], dict[str, str], dict[str, str], list[str]]:
         (int(m.group(1)), p)
         for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
         if (m := re.search(r"^CORRECTNESS_r(\d+)\.json$", os.path.basename(p)))
+        and (only is None or os.path.basename(p) in only)
     )
     files = [p for _, p in stamped]
     for rnd, path in stamped:
@@ -96,15 +126,25 @@ def scan() -> tuple[dict[str, int], dict[str, str], dict[str, str], list[str]]:
             if is_green(row):
                 last[name] = rnd
                 red.pop(name, None)
+                red_rnd.pop(name, None)
             else:
                 red[name] = (
                     f"r{rnd:02d}: err={row.get('err')!r} "
                     f"rows={row.get('rows_match')} hash={row.get('hash_match')}"
                 )
+                red_rnd[name] = rnd
     expected: dict[str, str] = {}
-    for name, why in EXPECTED_RED.items():
-        if name in red:
+    for name, (covered_rnd, why) in EXPECTED_RED.items():
+        if name in red and red_rnd[name] <= covered_rnd:
             expected[name] = red.pop(name)
+        elif name in red:
+            # A red row NEWER than the adjudication: the claimed fix did
+            # not land -- scream, don't tolerate.
+            red[name] = (
+                f"red row newer than its EXPECTED_RED adjudication "
+                f"(covers <= r{covered_rnd:02d}) -- the fix did not work: "
+                + red[name]
+            )
         else:
             # The adjudicated red either greened in a later round or never
             # had a red row at all -- either way the allowlist entry is
@@ -139,7 +179,7 @@ def main() -> int:
               "(EXPECTED_RED; keep head-pinned):")
         for name, why in sorted(expected.items()):
             print(f"  {name}: {why}")
-            print(f"    adjudication: {EXPECTED_RED[name]}")
+            print(f"    adjudication: {EXPECTED_RED[name][1]}")
     if red:
         print("\nRED rows with no later green -- fix before anything else:")
         for name, why in sorted(red.items()):
