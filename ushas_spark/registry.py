@@ -71,6 +71,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # withColumn formulation inlined the accumulator ~3x per round and
 # Catalyst optimization went exponential -- fold accumulators are
 # lambda VARIABLES, never inlined.
+# POSITIVE r10 probe (sanctioned lane: measured perf on the top wall
+# item): graph_triangle_count's closing check restructured from oriented-
+# wedge enumeration + composite semi-join to per-edge ADJACENCY-ARRAY
+# INTERSECTION (|N+(s) & N+(t)| summed over oriented edges). Isolated
+# fresh-JVM best-of-3 at sf0.1, three interleaved pairings: wedge
+# 6.90/7.00/8.57 s vs intersection 3.95/4.31/5.43 s (~0.6x), closing-
+# stage exchanges 4 -> 2, output bit-identical (1,884,488 triangles),
+# oracle unchanged and green at sf0.001/sf0.01, planted-clique and
+# brute-force ground truths green. PLANS.md is unchanged BY MEASUREMENT,
+# not by staleness: at sf0.01 both shapes broadcast the small sides and
+# the summed segment counts coincide; the structural win only
+# materializes at SFs where the wedge table exceeded the broadcast
+# threshold. Orientation still bounds every N+ array at O(sqrt(m)), so
+# the intersection inherits the wedge shape's celebrity-node safety.
 # NEGATIVE r09 probe, recorded like k-core: sharing the TF subtree in
 # text_tfidf_topk / text_bm25_topk (referenced 3-4x, recomputed per
 # branch with zero runtime stage reuse) LOST on wall both ways --
