@@ -85,6 +85,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # materializes at SFs where the wedge table exceeded the broadcast
 # threshold. Orientation still bounds every N+ array at O(sqrt(m)), so
 # the intersection inherits the wedge shape's celebrity-node safety.
+# Companion r10 probe, graph_link_prediction: the centers self-join
+# replaced by in-row C(d,2) pair expansion over the capped sorted
+# neighbor array. Wall is a WASH at sf0.1 (2.59/2.52 vs 2.70/2.54 s
+# across interleaved isolated pairings -- the pair groupBy dominates)
+# but the plan drops 13 -> 10 exchanges / 6 -> 3 SMJs by not
+# shuffling+sorting the adjacency table twice; kept on the plan-count
+# doctrine since output is hash-identical and wall did not regress.
+# The triangle intersection trick itself does NOT transfer here: link
+# prediction scores NON-adjacent pairs, which only the fanout can
+# discover.
 # NEGATIVE r09 probe, recorded like k-core: sharing the TF subtree in
 # text_tfidf_topk / text_bm25_topk (referenced 3-4x, recomputed per
 # branch with zero runtime stage reuse) LOST on wall both ways --
