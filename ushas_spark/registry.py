@@ -95,6 +95,24 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # The triangle intersection trick itself does NOT transfer here: link
 # prediction scores NON-adjacent pairs, which only the fanout can
 # discover.
+# NEGATIVE r10 probe: packing the HITS bipartite adjacency into
+# chunked neighbor arrays (V-row join + map-side explode fused with the
+# partial agg, the triangle pattern) LOST on wall in both interleaved
+# isolated sf0.1 pairings -- packed 7.41/6.72 s vs shipped E-row SMJ
+# 6.98/5.78 s best-of-3, bit-exact at sf0.001/sf0.01. At E/V ~= 39 the
+# 587k-row sorted-merge is already cheap next to the 6 per-round
+# materializes, and collect_list array builds + the generator stage
+# cost more than the join rows they save. The packed form's win
+# condition is E/V >> 100 (dense fan-in) -- at 100 TB the right move is
+# writing the edge list bucketed by BOTH keys (the existing twin pins),
+# not array-packing. Shipped formulation kept unchanged.
+# Same-session drift audit (quiet machine, post-suite, best-of-3
+# in-bench): graph_hits_hub_authority 5.24 s (r09 4.56, r10 sweep
+# 6.01), graph_components_incremental 4.62 (3.95/5.21),
+# layout_hilbert_histogram 3.13 (2.35/3.08), text_ccnet_lm_buckets
+# 2.35 (1.77/2.50) -- uniform 1.15-1.33x elevation on byte-identical
+# untouched code (git diff confirms zero hunks in those functions),
+# the r04/r07/r09 bimodal-VM scatter again; no code action.
 # NEGATIVE r09 probe, recorded like k-core: sharing the TF subtree in
 # text_tfidf_topk / text_bm25_topk (referenced 3-4x, recomputed per
 # branch with zero runtime stage reuse) LOST on wall both ways --
