@@ -342,6 +342,33 @@ def test_triangle_count_planted_cliques_200k_edges(spark):
     assert row.n_triangles == n_cliques * 120
 
 
+def test_triangle_count_celebrity_hub_50k_star(spark):
+    """Skew stress for the r10 adjacency-intersection formulation: a
+    degree-50k hub (star) whose leaves also form one 50k-cycle. Exact
+    ground truth: every cycle edge closes with the hub -> N triangles;
+    wedges = C(N,2) at the hub + C(3,2) per leaf. The degree
+    orientation must point every star edge AT the hub (highest degree),
+    so the hub's out-adjacency is EMPTY and every N+ array stays <= 3
+    -- the celebrity node cannot reintroduce a quadratic row or a giant
+    collect_list row past the orientation. Completing at all (vs the
+    naive hub-wedge blowup of C(50k,2) ~ 1.25e9 rows) is the point."""
+    from ushas_spark.operators.graph import triangle_summary
+
+    n = 50_000
+    hub = n  # leaves are 0..n-1
+    star = spark.range(n).select(
+        F.col("id").alias("u"), F.lit(hub).alias("v")
+    )
+    cycle = spark.range(n).select(
+        F.col("id").alias("u"), ((F.col("id") + 1) % n).alias("v")
+    )
+    row = triangle_summary(star.unionAll(cycle)).collect()[0]
+    assert row.n_vertices == n + 1
+    assert row.n_edges == 2 * n
+    assert row.n_wedges == n * (n - 1) // 2 + 3 * n
+    assert row.n_triangles == n
+
+
 def test_fuzzy_blocking_50k_names_planted_typos(spark):
     """Blocking at scale: 50k two-token names with 500 planted
     single-edit typo pairs. The two-pass blocker must (a) recover every
