@@ -672,16 +672,22 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("d")
     )
     # One sorted neighbor array per non-hub center; the nested transform
-    # emits each center's C(d, 2) ordered (pa < pb) pairs in-row. The
-    # array stays <= LP_DEG_CAP elements, so per-row memory is bounded
-    # by the same cap that bounds the fanout.
+    # emits each center's C(d, 2) ordered (pa < pb) pairs in-row. Hub
+    # centers are dropped BEFORE the array build (semi-join on the
+    # degree table, not a post-agg filter): a post-filter would still
+    # assemble the celebrity node's full neighbor array in the
+    # aggregation buffer before discarding it -- the giant-row hazard
+    # the cap exists to prevent. The join and the groupBy share the
+    # same hash partitioning on w, and the adj exchange is reused from
+    # the degree rollup, so the pre-filter costs one |V|-row exchange.
+    # Post-join, every array is genuinely <= LP_DEG_CAP elements.
+    nonhub = deg.filter(F.col("d") <= LP_DEG_CAP).select(
+        F.col("node").alias("w")
+    )
     nb = (
-        adj.groupBy("w")
-        .agg(
-            F.array_sort(F.collect_list("n")).alias("ns"),
-            F.count(F.lit(1)).alias("d"),
-        )
-        .filter(F.col("d") <= LP_DEG_CAP)
+        adj.join(nonhub, "w")
+        .groupBy("w")
+        .agg(F.array_sort(F.collect_list("n")).alias("ns"))
     )
     pairs = nb.select(
         F.explode(
