@@ -106,6 +106,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # condition is E/V >> 100 (dense fan-in) -- at 100 TB the right move is
 # writing the edge list bucketed by BOTH keys (the existing twin pins),
 # not array-packing. Shipped formulation kept unchanged.
+# Minor r10 negative: persisting the parsed embeddings across the
+# semantic-dedup k-means rounds (4 assignment passes re-scan the
+# parquet) is a WASH in both interleaved pairings (4.38/4.48 vs
+# 4.45/4.47 s) -- the broadcast-centroid distance fold dominates and
+# the tiny re-scan is free. Not shipped.
 # Same-session drift audit (quiet machine, post-suite, best-of-3
 # in-bench): graph_hits_hub_authority 5.24 s (r09 4.56, r10 sweep
 # 6.01), graph_components_incremental 4.62 (3.95/5.21),
