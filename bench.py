@@ -341,6 +341,13 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: round(v, 4) for k, v in timings.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # Host-state evidence for cross-round drift adjudication: an r10
+        # sweep landed in a degraded-host window (sub-second queries at
+        # 5-10 s, fresh-JVM re-pins 3-10x elevated, load avg 3.0 during
+        # vs 0.4 after) and proving it required having watched uptime
+        # live. 1/5/15-min load averages AT SWEEP END make that call
+        # auditable from the committed artifact alone.
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
     }
 
     child = os.environ.get("USHAS_BENCH_CHILD") == "1"
