@@ -280,6 +280,10 @@ def _repin_isolated(name: str) -> float | None:
 
 
 def main() -> None:
+    # Sampled BEFORE any Spark work: the end-of-run loadavg is
+    # dominated by the sweep's own 32 threads, so this is the clean
+    # external-contention reading of the pair.
+    load_start = [round(x, 2) for x in os.getloadavg()]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # _release_storage drops RDD blocks, but BROADCAST blocks pile up
@@ -345,9 +349,11 @@ def main() -> None:
         # sweep landed in a degraded-host window (sub-second queries at
         # 5-10 s, fresh-JVM re-pins 3-10x elevated, load avg 3.0 during
         # vs 0.4 after) and proving it required having watched uptime
-        # live. 1/5/15-min load averages AT SWEEP END make that call
-        # auditable from the committed artifact alone.
-        "loadavg": [round(x, 2) for x in os.getloadavg()],
+        # live. 1/5/15-min load averages at start (pre-Spark: external
+        # contention) and end (includes the sweep's own threads) make
+        # that call auditable from the committed artifact alone.
+        "loadavg_start": load_start,
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }
 
     child = os.environ.get("USHAS_BENCH_CHILD") == "1"

@@ -353,9 +353,11 @@ def triangle_summary(edges: DataFrame) -> DataFrame:
     # pairings, output bit-identical. At 100 TB the per-row array stays
     # sqrt(m)-bounded and the intersection is a per-row hash probe --
     # no skew a celebrity node can reintroduce past the orientation.
-    adj = oriented.groupBy("s").agg(
-        F.array_sort(F.collect_list("t")).alias("nbrs")
-    )
+    # Unsorted: array_intersect hash-probes, so ordering buys nothing
+    # here (unlike the link-prediction twin, whose sorted array is what
+    # yields ordered pa < pb pairs) and the per-vertex O(d log d) sort
+    # would be pure waste.
+    adj = oriented.groupBy("s").agg(F.collect_list("t").alias("nbrs"))
     es = oriented.join(adj, "s").select(
         "t", F.col("nbrs").alias("ns")
     )
@@ -367,7 +369,9 @@ def triangle_summary(edges: DataFrame) -> DataFrame:
     )
     totals = deg.agg(
         F.count(F.lit(1)).alias("n_vertices"),
-        (F.sum(F.expr("d * (d - 1) div 2"))).alias("n_wedges"),
+        F.coalesce(F.sum(F.expr("d * (d - 1) div 2")), F.lit(0))
+        .cast("long")
+        .alias("n_wedges"),
     )
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     return (
@@ -643,13 +647,15 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped neighbor list packs into one sorted array per center and a
     nested transform emits its C(d, 2) ordered pairs -- replacing the
     centers self-join, which shuffled AND sorted the adjacency table
-    twice just to rediscover pairs the array already holds (10 -> 7
-    exchanges, 6 -> 3 sort-merge joins; wall a wash at sf0.1 across
-    interleaved isolated pairings, 2.59/2.52 vs 2.70/2.54 s, because
-    the pair groupBy dominates -- the saving is the two adjacency
-    shuffles, which is what grows at 100 TB). One groupBy on the
-    (a, b) pair key, one anti join against the edge list, TakeOrdered
-    for the top slice.
+    twice just to rediscover pairs the array already holds (13 -> 10
+    audited shuffles, 6 -> 3 sort-merge joins per the PLANS.md rows at
+    a4c8f7e; the hub pre-filter's semi-join then adds one of each back,
+    11 / 4 committed -- PLANS.md is the authority on these counts.
+    Wall a wash at sf0.1 across interleaved isolated pairings,
+    2.59/2.52 vs 2.70/2.54 s, because the pair groupBy dominates --
+    the saving is the two adjacency shuffles, which is what grows at
+    100 TB). One groupBy on the (a, b) pair key, one anti join against
+    the edge list, TakeOrdered for the top slice.
     """
     pl = (
         load_table(spark, sf_dir, "lineitem")
