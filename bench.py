@@ -279,11 +279,80 @@ def _repin_isolated(name: str) -> float | None:
     return None
 
 
+def _loadavg() -> list[float] | None:
+    """1/5/15-min load averages, or None where the platform lacks them.
+
+    os.getloadavg is Unix-only (raises OSError on some containers,
+    absent entirely on Windows); a bench run must degrade to a null
+    stamp, never crash (ADVICE r10)."""
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except (OSError, AttributeError):
+        return None
+
+
+# Quiet-host gate (r10 verdict item 2): two r10 sweeps landed in
+# degraded-host windows (loadavg 4.34 on a box whose quiet sweeps start
+# at 0.18; uniform 1.29x drift across 87 queries on byte-untouched
+# code), contaminating the committed artifact. The 1-min loadavg is
+# sampled BEFORE any Spark work, so it reads pure external contention;
+# gate on it so a quiet-window snapshot is what lands in BENCH_r{N}.json
+# by construction. Threshold 1.0 on this 32-cpu box separates the
+# observed quiet starts (0.18-0.4) from the contaminated ones (3-4.3)
+# with a wide margin in both directions. Bounded retries -- the driver's
+# per-round run must never be blocked forever; if no quiet window
+# appears, run anyway and say so in the artifact.
+QUIET_LOAD_THRESHOLD = float(os.environ.get("USHAS_BENCH_QUIET_LOAD", "1.0"))
+QUIET_MAX_WAIT_SEC = int(os.environ.get("USHAS_BENCH_QUIET_MAX_WAIT", "600"))
+_QUIET_POLL_SEC = 30
+
+
+def _await_quiet_host() -> tuple[list[float] | None, str]:
+    """Wait (bounded) for 1-min loadavg to drop below the threshold.
+
+    Returns (loadavg_at_start_of_timed_work, host_state_note). The note
+    lands in the artifact so a future reader can adjudicate drift from
+    the committed JSON alone."""
+    load = _loadavg()
+    if load is None:
+        return None, "loadavg_unavailable"
+    if load[0] <= QUIET_LOAD_THRESHOLD:
+        return load, "quiet"
+    waited = 0
+    while waited < QUIET_MAX_WAIT_SEC:
+        print(
+            "bench.py WARNING: host busy (loadavg %.2f > %.2f); waiting "
+            "%ds for a quiet window (%d/%ds elapsed)"
+            % (load[0], QUIET_LOAD_THRESHOLD, _QUIET_POLL_SEC, waited,
+               QUIET_MAX_WAIT_SEC),
+            file=sys.stderr,
+        )
+        time.sleep(_QUIET_POLL_SEC)
+        waited += _QUIET_POLL_SEC
+        load = _loadavg()
+        if load is None:
+            return None, "loadavg_unavailable"
+        if load[0] <= QUIET_LOAD_THRESHOLD:
+            return load, "quiet_after_%ds_wait" % waited
+    print(
+        "bench.py WARNING: no quiet window within %ds (loadavg %.2f); "
+        "running anyway -- treat this artifact's walls as contaminated"
+        % (QUIET_MAX_WAIT_SEC, load[0]),
+        file=sys.stderr,
+    )
+    return load, "DEGRADED_no_quiet_window_within_%ds" % QUIET_MAX_WAIT_SEC
+
+
 def main() -> None:
     # Sampled BEFORE any Spark work: the end-of-run loadavg is
     # dominated by the sweep's own 32 threads, so this is the clean
-    # external-contention reading of the pair.
-    load_start = [round(x, 2) for x in os.getloadavg()]
+    # external-contention reading of the pair. Child re-pin processes
+    # skip the gate: they run while the parent sweep's JVM may still be
+    # winding down, and their own isolation is the point.
+    if os.environ.get("USHAS_BENCH_CHILD") == "1":
+        load_start, host_state = _loadavg(), "child"
+    else:
+        load_start, host_state = _await_quiet_host()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # _release_storage drops RDD blocks, but BROADCAST blocks pile up
@@ -353,7 +422,11 @@ def main() -> None:
         # contention) and end (includes the sweep's own threads) make
         # that call auditable from the committed artifact alone.
         "loadavg_start": load_start,
-        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "loadavg_end": _loadavg(),
+        # "quiet" / "quiet_after_Ns_wait" / "DEGRADED_..." /
+        # "loadavg_unavailable" / "child" -- the r11 gate's own verdict
+        # on the window it ran in, auditable from this artifact alone.
+        "host_state": host_state,
     }
 
     child = os.environ.get("USHAS_BENCH_CHILD") == "1"

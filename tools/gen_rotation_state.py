@@ -62,14 +62,8 @@ def is_green(row: dict) -> bool:
 # into a loud scan error so the next rotation fold cannot forget the
 # cleanup.
 EXPECTED_RED: dict[str, tuple[int, str]] = {
-    "expr_xpath_url_battery": (
-        9,
-        "r09: driver rows-only canonicalizer crashed on the raw "
-        "array<string> xp_all column (TypeError: unhashable type 'list' "
-        "in pandas sort). Fixed r10 in queries/misc.py by serializing via "
-        "array_join(.., '|'); golden values unchanged. Delete this entry "
-        "when CORRECTNESS_r10 lands its rows-only green row.",
-    ),
+    # (empty since r11: expr_xpath_url_battery's green rows-only row
+    # landed in CORRECTNESS_r10.json, retiring the r09 adjudication.)
 }
 
 

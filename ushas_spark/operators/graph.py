@@ -679,14 +679,21 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # One sorted neighbor array per non-hub center; the nested transform
     # emits each center's C(d, 2) ordered (pa < pb) pairs in-row. Hub
-    # centers are dropped BEFORE the array build (semi-join on the
-    # degree table, not a post-agg filter): a post-filter would still
-    # assemble the celebrity node's full neighbor array in the
-    # aggregation buffer before discarding it -- the giant-row hazard
-    # the cap exists to prevent. The join and the groupBy share the
-    # same hash partitioning on w, and the adj exchange is reused from
-    # the degree rollup, so the pre-filter costs one |V|-row exchange.
-    # Post-join, every array is genuinely <= LP_DEG_CAP elements.
+    # centers are dropped BEFORE the array build (an INNER join against
+    # the filtered degree table, not a post-agg filter): a post-filter
+    # would still assemble the celebrity node's full neighbor array in
+    # the aggregation buffer before discarding it -- the giant-row
+    # hazard the cap exists to prevent. The join and the groupBy share
+    # the same hash partitioning on w, and the adj exchange is reused
+    # from the degree rollup, so the pre-filter costs one |V|-row
+    # exchange. Post-join, every array is genuinely <= LP_DEG_CAP
+    # elements. The join is deliberately INNER, not LEFT SEMI
+    # (ADVICE r10 suggested semi for duplicate-proofing): nonhub is
+    # duplicate-free by construction (one row per groupBy key), so the
+    # two are value-identical here, and the r11 audit measured semi at
+    # 13 shuffles / 5 SMJ vs inner's 11 / 4 (Catalyst reuses the deg
+    # aggregate subtree under the inner shape but re-derives it under
+    # semi). Revisit only if nonhub's derivation stops being a groupBy.
     nonhub = deg.filter(F.col("d") <= LP_DEG_CAP).select(
         F.col("node").alias("w")
     )

@@ -95,6 +95,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # The triangle intersection trick itself does NOT transfer here: link
 # prediction scores NON-adjacent pairs, which only the fanout can
 # discover.
+# NEGATIVE r11 adjudication (ADVICE r10, low): switching the
+# link-prediction hub pre-filter from INNER to LEFT SEMI join costs
+# +2 audited shuffles / +1 SMJ (13/5 vs 11/4; isolated subplan 28 vs
+# 18 Exchange nodes) -- Catalyst reuses the degree-aggregate subtree
+# under the inner shape but re-derives it under semi. nonhub is
+# duplicate-free by construction (groupBy output), so the variants are
+# value-identical; the inner join is kept and the intent documented at
+# the call site (operators/graph.py) instead of paid for in exchanges.
 # NEGATIVE r10 probe: packing the HITS bipartite adjacency into
 # chunked neighbor arrays (V-row join + map-side explode fused with the
 # partial agg, the triangle pattern) LOST on wall in both interleaved
@@ -140,14 +148,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # texts value-exact, 191-plan lineage sweep, reader-compat bytes);
 # add only for a real SURVEY.md section 2 gap, parked in _DEFER_NEW.
 _PRIORITY_NAMES: list[str] = [
-    # r10 head (second round pinned): its ONLY driver row is r09's
-    # harness-crash red (pandas canonicalizer vs raw array<string>).
-    # The output is now serialized (queries/misc.py) and the crash class
-    # is lint-forbidden; one more round at the head lands the green
-    # rows-only row, closing driver sampling at 382/382. Remove this pin
-    # AND the gen_rotation_state.EXPECTED_RED entry together when
-    # CORRECTNESS_r10's row is green (the hygiene tests flag both).
-    "expr_xpath_url_battery",
+    # (empty since r11: expr_xpath_url_battery's clean rows-only row
+    # landed in CORRECTNESS_r10, closing driver sampling at 382/382;
+    # the pin and the gen_rotation_state.EXPECTED_RED entry were
+    # retired together per the hygiene-test pairing.)
 ]
 
 # Queries ADDED this round (never in any module the gate has half-walked):
