@@ -369,6 +369,43 @@ def test_triangle_count_celebrity_hub_50k_star(spark):
     assert row.n_triangles == n
 
 
+def test_kcore_celebrity_hub_50k_star(spark):
+    """Giant-row envelope stress for the r11 adjacency-array peeling:
+    a degree-50k hub whose FULL adjacency array is built (k-core has no
+    degree cap -- core members ARE the high-degree nodes), leaves in a
+    cycle (degree 3), plus a disjoint 12-clique. Exact ground truth at
+    k=4: leaves (d=3) die in round 1; the hub SURVIVES round 1's degree
+    test (it is counted in keep_1) but all its neighbors died, so it
+    drops from the round-1 adjacency with zero residual edges and is
+    gone from round 2 on -- the keep-vs-residual semantic subtlety the
+    edge-list formulation had, preserved exactly. The clique (d=11) is
+    the fixpoint core. Completing the 50k-element collect_list build
+    and the hub's 50k-row explode is the envelope claim under test."""
+    from ushas_spark.operators.graph import kcore_summary
+
+    n = 50_000
+    hub = n  # leaves are 0..n-1
+    star = spark.range(n).select(F.col("id").alias("u"), F.lit(hub).alias("v"))
+    cycle = spark.range(n).select(
+        F.col("id").alias("u"), ((F.col("id") + 1) % n).alias("v")
+    )
+    c0, csize = n + 1, 12
+    ids = spark.range(csize)
+    clique = (
+        ids.alias("a")
+        .join(ids.alias("b"), F.col("a.id") < F.col("b.id"))
+        .select((F.col("a.id") + c0).alias("u"), (F.col("b.id") + c0).alias("v"))
+    )
+    edges = star.unionAll(cycle).unionAll(clique)
+    row = kcore_summary(edges, k=4, rounds=3).collect()[0]
+    assert row.k == 4
+    assert row.n_nodes_initial == n + 1 + csize
+    assert row.n_edges_initial == 2 * n + csize * (csize - 1) // 2
+    assert row.n_core_nodes == csize
+    assert row.n_core_edges == csize * (csize - 1) // 2
+    assert row.min_core_degree == csize - 1
+
+
 def test_fuzzy_blocking_50k_names_planted_typos(spark):
     """Blocking at scale: 50k two-token names with 500 planted
     single-edit typo pairs. The two-pass blocker must (a) recover every

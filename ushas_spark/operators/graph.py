@@ -430,20 +430,41 @@ SELECT CAST({KCORE_K} AS BIGINT) AS k,
 @query("graph_kcore_summary", oracle=_kcore_oracle())
 def graph_kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition of the part co-purchase graph by iterative
-    peeling: repeatedly drop nodes with induced degree < k and restrict
-    the edge set, a fixed {KCORE_ROUNDS} rounds (fixpoint at gate
-    scales is asserted by test_kcore_peeling_reaches_fixpoint -- the
-    same bounded-round contract the k-means loop uses). Output is the
+    peeling over ADJACENCY ARRAYS (restructured r11, measured):
+    repeatedly drop nodes with induced degree < k and restrict the edge
+    set, a fixed {KCORE_ROUNDS} rounds (fixpoint at gate scales is
+    asserted by test_kcore_peeling_reaches_fixpoint -- the same
+    bounded-round contract the k-means loop uses). Output is the
     one-row core summary (sizes + the minimum induced degree, >= k at
     fixpoint).
 
-    Scale shape: each round is one degree aggregation (map-side
-    combinable) plus two LEFT SEMI joins restricting edges to surviving
-    nodes -- all hash shuffles on node id; the edge set only ever
-    shrinks, and :func:`materialize` truncates the growing plan each
-    round exactly like connected components. No driver-side data beyond
-    the plan; the loop count is a compile-time constant, so there is
-    not even a per-round count() probe.
+    Scale shape: the graph is held as one full-adjacency array per
+    node (one 2E-row exchange to build; element order is irrelevant
+    -- only sizes are ever read), so
+    the peeling degree test is ``size(ns)`` -- a FREE re-scan of the
+    materialized arrays, no aggregation, no shuffle. Each round then
+    pays exactly two E'-row exchanges: explode the survivors' arrays
+    and LEFT SEMI the neighbor side against the survivor set (itself a
+    shuffle-free filter of the same cache), then re-collect arrays by
+    node. The r08/r10-vintage edge-list twin paid ~4E' shuffled rows
+    per round (a 2E-row unionAll degree aggregation + two semi joins);
+    halving the per-round volume won both r11 interleaved isolated
+    sf0.1 pairings: adj 4.08/4.43 s vs edges 5.76/5.16 s best-of-3,
+    output bit-identical at sf0.001/0.01/0.1 (1,196,000 edges,
+    18,863-node core). Unlike link prediction there is no degree cap:
+    core members are exactly the high-degree nodes, so every array is
+    its node's FULL residual adjacency. The giant-row envelope is
+    therefore max-degree-bound -- 8 bytes x degree per buffer, fine
+    through degree ~1e6 (8 MB) and pinned by the degree-50k celebrity
+    star stress in test_scale_stress.py; past that, chunk the arrays
+    by a neighbor-hash salt (the build becomes groupBy(node, salt) and
+    the degree test a |V x salt|-row rollup) -- not shipped because the
+    extra per-round exchange it forces LOSES at every degree this data
+    family reaches. The edge set only ever shrinks, and
+    :func:`materialize` truncates the growing plan each round exactly
+    like connected components. No driver-side data beyond the plan;
+    the loop count is a compile-time constant, so there is not even a
+    per-round count() probe.
     """
     pl = (
         load_table(spark, sf_dir, "lineitem")
@@ -459,48 +480,61 @@ def graph_kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
         .distinct()
     )
+    return kcore_summary(edges)
+
+
+def kcore_summary(
+    edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+) -> DataFrame:
+    """Adjacency-array k-core peeling of any distinct (u, v; u != v,
+    one row per undirected edge) edge DataFrame -- factored out so
+    scale tests can feed planted graphs (the triangle_summary
+    convention)."""
     edges = materialize(edges)
-
-    def degrees(e: DataFrame) -> DataFrame:
-        return (
-            e.select(F.col("u").alias("node"))
-            .unionAll(e.select(F.col("v").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("d"))
-        )
-
-    d1 = degrees(edges)
-    n_nodes_initial = d1.agg(F.count(F.lit(1)).alias("n_nodes_initial"))
     n_edges_initial = edges.agg(F.count(F.lit(1)).alias("n_edges_initial"))
 
-    cur = edges
-    keep = None
-    for _ in range(KCORE_ROUNDS):
-        # NOTE (r08): do NOT materialize `keep` before the two semi
-        # joins -- both build sides are the IDENTICAL degrees subtree
-        # within one plan, so ReuseExchange already dedupes them;
-        # checkpointing it instead ADDS a segment per round (measured
-        # 30 -> 35 summed audited shuffles). Unlike the HITS
-        # max-normalize, where the duplicate subtrees sat in SEPARATE
-        # broadcast/main contexts that reuse could not cover.
-        keep = degrees(cur).filter(F.col("d") >= KCORE_K).select("node")
-        cur = (
-            cur.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
-            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
-            .select("u", "v")
-        )
-        cur = materialize(cur)
+    # Full (undirected) adjacency arrays: one 2E-row exchange. A node
+    # appears iff it has >= 1 edge, so count(adj) = the old
+    # count(degrees) for n_nodes_initial.
+    both = edges.select(F.col("u").alias("w"), F.col("v").alias("n")).unionAll(
+        edges.select(F.col("v").alias("w"), F.col("u").alias("n"))
+    )
+    adj = materialize(both.groupBy("w").agg(F.collect_list("n").alias("ns")))
+    n_nodes_initial = adj.agg(F.count(F.lit(1)).alias("n_nodes_initial"))
 
-    summary = (
-        keep.agg(F.count(F.lit(1)).alias("n_core_nodes"))
-        .crossJoin(cur.agg(F.count(F.lit(1)).alias("n_core_edges")))
-        .crossJoin(degrees(cur).agg(F.min("d").alias("min_core_degree")))
+    # keep_i = nodes with induced degree >= k in round i-1's graph;
+    # round i's graph = keep_i x keep_i restriction. A keep_i node
+    # whose neighbors all died stays counted this round and drops from
+    # adj because it has no residual edges -- identical semantics to
+    # the replaced edge-list formulation and to the oracle's CTE chain.
+    # surv is NOT materialized: both consumers (the survivor set and
+    # the explode) re-scan the already-materialized adj, so the filter
+    # costs nothing either time.
+    surv = None
+    for _ in range(rounds):
+        surv = adj.filter(F.size("ns") >= k)
+        keep = surv.select(F.col("w").alias("n"))
+        adj = (
+            surv.select("w", F.explode("ns").alias("n"))
+            .join(keep, "n", "left_semi")
+            .groupBy("w")
+            .agg(F.collect_list("n").alias("ns"))
+        )
+        adj = materialize(adj)
+
+    summary = surv.agg(F.count(F.lit(1)).alias("n_core_nodes")).crossJoin(
+        adj.agg(
+            (F.coalesce(F.sum(F.size("ns")), F.lit(0)) / 2)
+            .cast("long")
+            .alias("n_core_edges"),
+            F.min(F.size("ns")).cast("long").alias("min_core_degree"),
+        )
     )
     return (
         n_nodes_initial.crossJoin(n_edges_initial)
         .crossJoin(summary)
         .select(
-            F.lit(KCORE_K).cast("long").alias("k"),
+            F.lit(k).cast("long").alias("k"),
             "n_nodes_initial",
             "n_edges_initial",
             "n_core_nodes",
