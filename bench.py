@@ -504,19 +504,33 @@ def main() -> None:
             ),
             reverse=True,
         )
-        repinned: dict[str, dict[str, float]] = {}
-        for ratio, name in outliers[:8]:
-            iso = _repin_isolated(name)
-            if iso is not None:
-                repinned[name] = {
-                    "prev": round(prev[name], 4),
-                    "sweep": round(timings[name], 4),
-                    "isolated": round(iso, 4),
-                }
-        if repinned:
-            out["repinned"] = repinned
-        if len(outliers) > 8:
-            out["uniform_drift_outliers"] = len(outliers)
+        # Uniform slow-mode short-circuit (r11): when the WHOLE sweep
+        # drifted (median ratio > 1.3 on byte-untouched code), per-query
+        # fresh-JVM re-pins prove nothing -- the r11 gated sweep burned
+        # ~10 min re-pinning 8 "outliers" whose isolated numbers were
+        # elevated by the same host window (and r10's contaminated sweep
+        # did the same). The drift_median stamp already carries the
+        # verdict; skip the re-pins and say so in the artifact.
+        if out.get("drift_median", 1.0) > 1.3:
+            out["repin_skipped"] = (
+                "uniform_drift_median_%.3f" % out["drift_median"]
+            )
+            if outliers:
+                out["uniform_drift_outliers"] = len(outliers)
+        else:
+            repinned: dict[str, dict[str, float]] = {}
+            for ratio, name in outliers[:8]:
+                iso = _repin_isolated(name)
+                if iso is not None:
+                    repinned[name] = {
+                        "prev": round(prev[name], 4),
+                        "sweep": round(timings[name], 4),
+                        "isolated": round(iso, 4),
+                    }
+            if repinned:
+                out["repinned"] = repinned
+            if len(outliers) > 8:
+                out["uniform_drift_outliers"] = len(outliers)
     # Full per-query payload goes to a file: the driver captures only the
     # LAST ~2000 chars of stdout and parses the JSON line it finds there,
     # so a 68-query map on one line overflows the window and the round's
