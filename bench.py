@@ -336,6 +336,26 @@ def _steal_pct(start: list[int] | None, end: list[int] | None) -> float | None:
     return round(100.0 * delta[7] / total, 2)
 
 
+def _cpu_probe_sec(reps: int = 3) -> float:
+    """Best-of-N wall for a fixed single-thread integer workload.
+
+    The third host-state stamp: the r11 investigation found 2x walls on
+    mode-sensitive queries with loadavg 0.01 AND steal 0.4% -- neither
+    signal sees CPU-frequency / memory-bandwidth degradation or a
+    migration to a slower host. A fixed workload measures guest compute
+    speed directly; compare across artifacts (same interpreter, same
+    box class). Calibration: 0.26-0.29 s during the r11 slow-mode
+    window on this 32-cpu box."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        s = 0
+        for i in range(5_000_000):
+            s += i * i
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def _await_quiet_host() -> tuple[list[float] | None, str]:
     """Wait (bounded) for 1-min loadavg to drop below the threshold.
 
@@ -383,6 +403,7 @@ def main() -> None:
     else:
         load_start, host_state = _await_quiet_host()
     cpu_start = _cpu_times()
+    cpu_probe = _cpu_probe_sec()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # _release_storage drops RDD blocks, but BROADCAST blocks pile up
@@ -463,6 +484,11 @@ def main() -> None:
         # loadavg-quiet host measured ~2.4% steal even at idle right
         # after; accumulate readings across rounds before gating on it.
         "cpu_steal_pct": _steal_pct(cpu_start, _cpu_times()),
+        # Fixed-workload guest-compute reading taken BEFORE Spark
+        # started (single-thread, best-of-3); cross-artifact comparisons
+        # of this number expose slow-mode windows that loadavg and
+        # steal both miss.
+        "cpu_probe_sec": cpu_probe,
     }
 
     child = os.environ.get("USHAS_BENCH_CHILD") == "1"

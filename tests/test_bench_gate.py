@@ -73,6 +73,11 @@ def test_quiet_host_null_loadavg_degrades_to_unavailable(monkeypatch):
     assert state == "loadavg_unavailable"
 
 
+def test_cpu_probe_returns_positive_wall():
+    got = bench._cpu_probe_sec(reps=1)
+    assert 0 < got < 60
+
+
 def test_cpu_times_reads_proc_stat_on_linux():
     got = bench._cpu_times()
     assert got is None or (len(got) >= 8 and all(x >= 0 for x in got))
