@@ -55,3 +55,17 @@ def test_hilbert_bijection_and_adjacency_on_subgrid(spark):
     for (d1, (x1, y1)), (d2, (x2, y2)) in zip(by_d, by_d[1:]):
         if d2 == d1 + 1:
             assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_arrow_main_path_matches_jvm_chain(spark, sf_dir):
+    """The r11 Arrow pandas_udf main path must reproduce the JVM
+    expression chain's histogram bit-for-bit (the chain is itself
+    pinned to the canonical Wikipedia algorithm above)."""
+    from ushas_spark.operators.layout import (
+        _hilbert_chain_histogram,
+        layout_hilbert_histogram,
+    )
+
+    arrow = [tuple(r) for r in layout_hilbert_histogram(spark, sf_dir).collect()]
+    chain = [tuple(r) for r in _hilbert_chain_histogram(spark, sf_dir).collect()]
+    assert arrow == chain

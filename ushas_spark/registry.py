@@ -114,6 +114,22 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # exchange that loses at every degree this data family reaches).
 # 100 TB win condition of the shipped shape: per-round network halves
 # and the free degree test scales with |V|, not E.
+# POSITIVE r11 probe #2: layout_hilbert_histogram moved from the
+# 16-step JVM expression chain (4-step codegen chunks + 3 materialize
+# barriers, each a full-corpus 5-column write+read) to ONE vectorized
+# Arrow pandas_udf pass (numpy int64 xy2d loop). Interleaved isolated
+# sf0.1 pairings: Arrow 1.29/1.63 s vs shipped chain 4.06/5.31 s vs a
+# chunk-6 chain (2 barriers) 3.92/4.23 s -- ~3.2x, hash-identical
+# output at sf0.001/0.01/0.1. This is the engine's second reviewed
+# Arrow-eval allowance (tests/test_plan_lint.py PANDAS_EVAL_OK_NAMES,
+# precedent sim_brute_force_topk_numpy): the JVM chain genuinely
+# cannot express xy2d without the barriers (Catalyst re-inlines each
+# step's ~4 references -> exponential analysis; 8-step chunks exceed
+# the codegen method limit and run interpreted, measured 12.6 s). The
+# chain is kept as _hilbert_chain_histogram with a bit-equality twin
+# test; the query stays DuckDB-oracle-gated. 100 TB note: the win is
+# the 6 corpus passes of barrier I/O the Arrow path never pays -- it
+# grows with corpus size.
 # NEGATIVE r11 adjudication (ADVICE r10, low): switching the
 # link-prediction hub pre-filter from INNER to LEFT SEMI join costs
 # +2 audited shuffles / +1 SMJ (13/5 vs 11/4; isolated subplan 28 vs
