@@ -230,11 +230,14 @@ def _this_round() -> int:
     return (max(rounds) + 1) if rounds else 1
 
 
-def _prev_detail() -> dict[str, float]:
+def _prev_detail(sf: object) -> dict[str, float]:
     """Per-query map of the previous round's sweep (for the variance guard).
 
     Prefer the newest round-stamped snapshot; fall back to the legacy
-    un-stamped BENCH_DETAIL.json (committed at r06)."""
+    un-stamped BENCH_DETAIL.json (committed at r06). Empty when the
+    snapshot was taken at a different scale factor: cross-SF ratios are
+    not drift (observed r12: a 2-query sf0.01 probe read "drift 1.337x"
+    against the sf0.1 detail and misclassified its window)."""
     # Exclude this round's own snapshot (bench may run more than once per
     # round; the guard must compare across rounds, not across sweeps).
     this_round = _this_round()
@@ -248,9 +251,12 @@ def _prev_detail() -> dict[str, float]:
     path = stamped[-1][1] if stamped else os.path.join(_REPO, "BENCH_DETAIL.json")
     try:
         with open(path) as f:
-            return dict(json.load(f).get("queries", {}))
+            doc = json.load(f)
     except (OSError, ValueError):
         return {}
+    if doc.get("sf") != sf:
+        return {}
+    return dict(doc.get("queries", {}))
 
 
 def _repin_isolated(name: str) -> float | None:
@@ -326,10 +332,16 @@ def _cpu_times() -> list[int] | None:
 
 def _steal_pct(start: list[int] | None, end: list[int] | None) -> float | None:
     """Percent of all CPU time stolen by the hypervisor between the two
-    _cpu_times() snapshots, or None when unreadable (field 8 = steal)."""
+    _cpu_times() snapshots, or None when unreadable (field 8 = steal).
+
+    Only the first 8 fields (user nice system idle iowait irq softirq
+    steal) enter the denominator: the kernel already folds guest and
+    guest_nice (fields 9-10) into user/nice, so summing them would
+    double-count guest time and understate steal on hosts running
+    nested VMs (ADVICE r11)."""
     if not start or not end or len(start) < 8 or len(end) < 8:
         return None
-    delta = [e - s for s, e in zip(start, end)]
+    delta = [e - s for s, e in zip(start[:8], end[:8])]
     total = sum(delta)
     if total <= 0:
         return None
@@ -354,6 +366,143 @@ def _cpu_probe_sec(reps: int = 3) -> float:
             s += i * i
         best = min(best, time.perf_counter() - t0)
     return round(best, 4)
+
+
+# Window classification (r12, VERDICT r11 item 3): the r11 driver sweep
+# PASSED the loadavg quiet gate and was still contaminated -- its own
+# stamps prove it. Calibrated thresholds from the two stamped committed
+# artifacts so the verdict is machine-readable (window_class) instead of
+# something each judge re-derives from the repin table:
+#
+#   stamp           quiet (committed r11)   contaminated (driver r11)
+#   cpu_steal_pct   0.62                    2.18
+#   cpu_probe_sec   0.2569                  0.2736
+#   loadavg_start   [0.28, 1.19, 2.22]      [0.80, 3.61, 3.74]
+#   loadavg_end     [2.06, 3.27, 3.48]      [8.75, 5.88, 5.49]
+#   drift_median    0.888                   1.12 (13 outliers)
+#
+# Steal separates cleanly (threshold 1.0%: idle calibration reads up to
+# ~0.6%, contaminated windows 2%+). The 5-min loadavg at start catches a
+# gate that passed on a momentary 1-min dip (1.19 vs 3.61 -> 2.5). The
+# end 1-min loadavg includes the sweep's own threads, so its threshold
+# is high (2.06 vs 8.75 -> 5.0). The CPU probe proves slow-mode only
+# ABOVE 0.30s: documented slow-mode windows read 0.26-0.29, a gray zone
+# that only the drift stamp resolves. Uniform drift vs the previous
+# committed detail on byte-untouched code is the defining slow-mode
+# symptom (r10 median 1.294x, r11 1.12-1.169x with 13 simultaneous
+# outliers).
+STEAL_CONTENDED_PCT = 1.0
+LOAD5_START_CONTENDED = 2.5
+LOAD1_END_CONTENDED = 5.0
+PROBE_SLOW_SEC = 0.30
+DRIFT_SLOW_MEDIAN = 1.15
+DRIFT_SLOW_OUTLIERS = 8
+DRIFT_SLOW_OUTLIER_MEDIAN = 1.05
+# Bounded sweep retry: a non-quiet full sweep re-awaits a quiet window
+# and re-times ONCE (the driver's per-round run must terminate; both
+# windows land in the artifact either way).
+MAX_SWEEP_ATTEMPTS = int(os.environ.get("USHAS_BENCH_MAX_ATTEMPTS", "2"))
+
+
+def _uniform_drift(drift_median: float | None, n_outliers: int) -> bool:
+    """True when the sweep drifted as a WHOLE vs the prior committed
+    detail -- per-query fresh-JVM re-pins prove nothing in that state
+    (r10/r11 each burned ~10 min re-pinning "outliers" whose isolated
+    numbers were elevated by the same host window). Two observed shapes:
+    a hard median shift (r10: 1.294x), and a moderate median with many
+    simultaneous outliers (r11: 1.12x with 13 -- the old single >1.3
+    cut missed both motivating incidents, ADVICE r11)."""
+    if drift_median is None:
+        return False
+    if drift_median > DRIFT_SLOW_MEDIAN:
+        return True
+    return (
+        n_outliers >= DRIFT_SLOW_OUTLIERS
+        and drift_median >= DRIFT_SLOW_OUTLIER_MEDIAN
+    )
+
+
+def _classify_window(
+    host_state: str,
+    steal_pct: float | None,
+    probe_sec: float | None,
+    load_start: list[float] | None,
+    load_end: list[float] | None,
+    drift_median: float | None,
+    n_outliers: int,
+) -> tuple[str, list[str]]:
+    """Classify the sweep window from its own stamps.
+
+    Returns (window_class, reasons). Classes: "contended" (external
+    load the guest can see: hypervisor steal, loadavg evidence, or the
+    quiet gate giving up), "slow_mode" (the documented bimodal-VM
+    degradation: slow fixed-workload probe, or uniform drift on
+    untouched code), "quiet", or "unknown" (no host signal readable).
+    Contended outranks slow_mode: external contention explains uniform
+    drift, and the remedies differ (wait for quiet vs nothing the guest
+    can do but re-measure later)."""
+    reasons: list[str] = []
+    if host_state.startswith("DEGRADED"):
+        reasons.append("no_quiet_window")
+    if steal_pct is not None and steal_pct >= STEAL_CONTENDED_PCT:
+        reasons.append("steal_%.2f_pct" % steal_pct)
+    if (
+        load_start is not None
+        and len(load_start) >= 2
+        and load_start[1] >= LOAD5_START_CONTENDED
+    ):
+        reasons.append("loadavg5_start_%.2f" % load_start[1])
+    if load_end and load_end[0] >= LOAD1_END_CONTENDED:
+        reasons.append("loadavg1_end_%.2f" % load_end[0])
+    if reasons:
+        return "contended", reasons
+    if probe_sec is not None and probe_sec >= PROBE_SLOW_SEC:
+        reasons.append("cpu_probe_%.4fs" % probe_sec)
+    if _uniform_drift(drift_median, n_outliers):
+        reasons.append(
+            "uniform_drift_median_%.3f_outliers_%d" % (drift_median, n_outliers)
+        )
+    if reasons:
+        return "slow_mode", reasons
+    if (
+        steal_pct is None
+        and probe_sec is None
+        and load_start is None
+        and load_end is None
+    ):
+        return "unknown", ["no_host_signals_readable"]
+    return "quiet", []
+
+
+def _drift_stats(
+    timings: dict[str, float], prev: dict[str, float]
+) -> tuple[float | None, list[tuple[float, str]]]:
+    """(median ratio vs the prior round's committed detail, outliers).
+
+    Outliers are (ratio, name), ratio > 1.5x, slowest first; queries
+    under 50ms in the prior detail are excluded (sub-50ms walls are
+    scheduler noise). Median None when no comparable queries."""
+    ratios = sorted(
+        timings[n] / prev[n] for n in timings if prev.get(n, 0) > 0.05
+    )
+    med = None
+    if ratios:
+        mid = len(ratios) // 2
+        med = round(
+            ratios[mid]
+            if len(ratios) % 2
+            else (ratios[mid - 1] + ratios[mid]) / 2,
+            3,
+        )
+    outliers = sorted(
+        (
+            (timings[n] / prev[n], n)
+            for n in timings
+            if prev.get(n, 0) > 0.05 and timings[n] > 1.5 * prev[n]
+        ),
+        reverse=True,
+    )
+    return med, outliers
 
 
 def _await_quiet_host() -> tuple[list[float] | None, str]:
@@ -396,14 +545,20 @@ def main() -> None:
     # Sampled BEFORE any Spark work: the end-of-run loadavg is
     # dominated by the sweep's own 32 threads, so this is the clean
     # external-contention reading of the pair. Child re-pin processes
-    # skip the gate: they run while the parent sweep's JVM may still be
-    # winding down, and their own isolation is the point.
-    if os.environ.get("USHAS_BENCH_CHILD") == "1":
+    # skip the gate AND the host-state probes: they run while the parent
+    # sweep's JVM may still be winding down, their own isolation is the
+    # point, and the parent discards the child's stamps anyway -- the
+    # ~0.8s probe was dead wall time in each of up to 8 isolated re-pins
+    # (ADVICE r11).
+    child = os.environ.get("USHAS_BENCH_CHILD") == "1"
+    if child:
         load_start, host_state = _loadavg(), "child"
+        cpu_start = None
+        cpu_probe = None
     else:
         load_start, host_state = _await_quiet_host()
-    cpu_start = _cpu_times()
-    cpu_probe = _cpu_probe_sec()
+        cpu_start = _cpu_times()
+        cpu_probe = _cpu_probe_sec()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # _release_storage drops RDD blocks, but BROADCAST blocks pile up
@@ -419,7 +574,7 @@ def main() -> None:
     # nobody can audit (this bit three rounds in a row, r06-r08). Warn
     # loudly on stderr -- never refuse or pollute stdout's JSON line:
     # the driver's own per-round run must not be blocked.
-    if os.environ.get("USHAS_BENCH_CHILD") != "1":
+    if not child:
         try:
             dirty = subprocess.run(
                 ["git", "status", "--porcelain", "--",
@@ -453,18 +608,74 @@ def main() -> None:
     for name in names:
         _run_once(registry.QUERIES[name], spark, sf_dir)
 
-    timings: dict[str, float] = {}
-    for name in names:
-        fn = registry.QUERIES[name]
-        _run_once(fn, spark, sf_dir)  # per-query warm-up: plan + footer cache
-        timings[name] = min(_run_once(fn, spark, sf_dir) for _ in range(ITERATIONS))
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    prev = {} if child else _prev_detail(sf_val)
+
+    # Timed sweep, with a bounded retry (r12, VERDICT r11 item 3): the
+    # r11 sweep passed the loadavg gate and its stamps still classified
+    # the window contaminated after the fact. When the FINISHED sweep's
+    # own stamps classify non-quiet, re-await a quiet window and re-time
+    # once -- both attempts land in the artifact (attempt1 summary + the
+    # final attempt's full map), so the judge sees the window history
+    # without re-deriving it. Children and subset probes never retry:
+    # their isolation / ad-hoc nature is the point, and a subset's drift
+    # stats vs the full committed detail are partial anyway.
+    attempt = 0
+    attempt1_summary = None
+    while True:
+        attempt += 1
+        timings: dict[str, float] = {}
+        for name in names:
+            fn = registry.QUERIES[name]
+            _run_once(fn, spark, sf_dir)  # per-query warm-up: plan + footer cache
+            timings[name] = min(
+                _run_once(fn, spark, sf_dir) for _ in range(ITERATIONS)
+            )
+        steal = _steal_pct(cpu_start, _cpu_times()) if not child else None
+        load_end = _loadavg()
+        drift_median, outliers = (
+            _drift_stats(timings, prev) if not child else (None, [])
+        )
+        if child:
+            # No stamps to classify from (probes skipped, ADVICE r11),
+            # and a re-pin's 5-min loadavg always carries the parent
+            # sweep's own 32 threads -- any classification would read
+            # "contended" by construction. The parent's stamps are the
+            # window verdict; the child is only a fresh-JVM timing.
+            window_class, window_reasons = "child", []
+        else:
+            window_class, window_reasons = _classify_window(
+                host_state, steal, cpu_probe, load_start, load_end,
+                drift_median, len(outliers),
+            )
+        if child or extra or window_class == "quiet" or attempt >= MAX_SWEEP_ATTEMPTS:
+            break
+        print(
+            "bench.py WARNING: sweep window classified %s (%s); "
+            "re-awaiting a quiet window and re-timing once (attempt %d/%d)"
+            % (window_class, ",".join(window_reasons), attempt + 1,
+               MAX_SWEEP_ATTEMPTS),
+            file=sys.stderr,
+        )
+        attempt1_summary = {
+            "value": round(sum(timings.values()), 4),
+            "window_class": window_class,
+            "window_class_reasons": window_reasons,
+            "host_state": host_state,
+            "cpu_steal_pct": steal,
+            "cpu_probe_sec": cpu_probe,
+            "drift_median": drift_median,
+        }
+        load_start, host_state = _await_quiet_host()
+        cpu_start = _cpu_times()
+        cpu_probe = _cpu_probe_sec()
 
     out = {
         "metric": "headline_queries_total_best_of_%d" % ITERATIONS,
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": {k: round(v, 4) for k, v in timings.items()},
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
         # Host-state evidence for cross-round drift adjudication: an r10
         # sweep landed in a degraded-host window (sub-second queries at
         # 5-10 s, fresh-JVM re-pins 3-10x elevated, load avg 3.0 during
@@ -473,25 +684,34 @@ def main() -> None:
         # contention) and end (includes the sweep's own threads) make
         # that call auditable from the committed artifact alone.
         "loadavg_start": load_start,
-        "loadavg_end": _loadavg(),
+        "loadavg_end": load_end,
         # "quiet" / "quiet_after_Ns_wait" / "DEGRADED_..." /
         # "loadavg_unavailable" / "child" -- the r11 gate's own verdict
         # on the window it ran in, auditable from this artifact alone.
         "host_state": host_state,
         # Hypervisor steal share over the sweep window (the slow-mode
-        # signal loadavg cannot see; null off-Linux). Calibration so
-        # far: the r11 sweep that drifted 1.169x uniformly on a
-        # loadavg-quiet host measured ~2.4% steal even at idle right
-        # after; accumulate readings across rounds before gating on it.
-        "cpu_steal_pct": _steal_pct(cpu_start, _cpu_times()),
+        # signal loadavg cannot see; null off-Linux and in children).
+        "cpu_steal_pct": steal,
         # Fixed-workload guest-compute reading taken BEFORE Spark
         # started (single-thread, best-of-3); cross-artifact comparisons
         # of this number expose slow-mode windows that loadavg and
-        # steal both miss.
+        # steal both miss. Null in children (parent discards it).
         "cpu_probe_sec": cpu_probe,
+        # The calibrated machine verdict on this sweep's window
+        # (quiet / slow_mode / contended / unknown), derived from the
+        # stamps above by _classify_window -- thresholds and their
+        # calibration table live at its definition. attempt1 (when
+        # present) is the summary of a first sweep this run discarded
+        # after its stamps classified non-quiet.
+        "window_class": window_class,
     }
-
-    child = os.environ.get("USHAS_BENCH_CHILD") == "1"
+    if window_reasons:
+        out["window_class_reasons"] = window_reasons
+    if drift_median is not None:
+        out["drift_median"] = drift_median
+    if attempt1_summary is not None:
+        out["sweep_attempts"] = attempt
+        out["attempt1"] = attempt1_summary
 
     # Variance guard (r06 verdict item 3): every round so far, 1-4
     # sub-second queries read >1.5x their prior-round sweep value on
@@ -505,41 +725,27 @@ def main() -> None:
     # cross-round comparator there.
     if not child:
         spark.stop()  # quiet the JVM before isolated re-pins
-        prev = _prev_detail()
-        # Common-query median ratio vs the prior round's committed detail
-        # (r07 verdict item 4): the outlier count tells the judge HOW MANY
+        # drift_median / outliers come from the attempt loop above (the
+        # FINAL attempt's stats vs the prior round's committed detail,
+        # r07 verdict item 4): the outlier count tells the judge HOW MANY
         # queries drifted; the median tells them which way the MACHINE
         # moved (r07: 13 outliers yet median 0.92x -- bimodal VM drift,
         # not regression). Emitted so nobody has to re-derive it.
-        ratios = sorted(
-            timings[n] / prev[n] for n in timings if prev.get(n, 0) > 0.05
-        )
-        if ratios:
-            mid = len(ratios) // 2
-            med = (
-                ratios[mid]
-                if len(ratios) % 2
-                else (ratios[mid - 1] + ratios[mid]) / 2
-            )
-            out["drift_median"] = round(med, 3)
-        outliers = sorted(
-            (
-                (timings[n] / prev[n], n)
-                for n in timings
-                if prev.get(n, 0) > 0.05 and timings[n] > 1.5 * prev[n]
-            ),
-            reverse=True,
-        )
-        # Uniform slow-mode short-circuit (r11): when the WHOLE sweep
-        # drifted (median ratio > 1.3 on byte-untouched code), per-query
-        # fresh-JVM re-pins prove nothing -- the r11 gated sweep burned
-        # ~10 min re-pinning 8 "outliers" whose isolated numbers were
-        # elevated by the same host window (and r10's contaminated sweep
-        # did the same). The drift_median stamp already carries the
-        # verdict; skip the re-pins and say so in the artifact.
-        if out.get("drift_median", 1.0) > 1.3:
+        #
+        # Uniform slow-mode short-circuit (r11, recalibrated r12): when
+        # the WHOLE sweep drifted, per-query fresh-JVM re-pins prove
+        # nothing -- the r11 gated sweep burned ~10 min re-pinning 8
+        # "outliers" whose isolated numbers were elevated by the same
+        # host window (and r10's contaminated sweep did the same). The
+        # predicate is _uniform_drift (median > 1.15, or >= 8 outliers
+        # with median >= 1.05 -- the old single >1.3 cut missed both
+        # motivating incidents, ADVICE r11). The drift_median +
+        # window_class stamps already carry the verdict; skip the
+        # re-pins and say so in the artifact.
+        if _uniform_drift(drift_median, len(outliers)):
             out["repin_skipped"] = (
-                "uniform_drift_median_%.3f" % out["drift_median"]
+                "uniform_drift_median_%.3f_outliers_%d"
+                % (drift_median, len(outliers))
             )
             if outliers:
                 out["uniform_drift_outliers"] = len(outliers)

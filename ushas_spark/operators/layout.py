@@ -509,7 +509,7 @@ def layout_hilbert_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     a ~3.2x win that GROWS with corpus size (the barriers are the
     scaling term). The chain is kept below as the equivalence twin
     (_hilbert_chain_histogram), bit-equality pinned in
-    tests/test_operators.py.
+    tests/test_layout_hilbert.py (test_arrow_main_path_matches_jvm_chain).
 
     Scale shape: one broadcast 1-row min/max aggregate for
     normalization, one shuffle-free Arrow projection pass, one

@@ -100,8 +100,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # degree test becomes size(ns) -- a free re-scan of the materialized
 # arrays instead of a 2E-row unionAll degree aggregation -- and each
 # round pays 2 E'-row exchanges (explode + neighbor semi-join +
-# re-collect) instead of ~4E'. Audited counts 30 shuffles/8 SMJ/8 segs
-# -> 22/6/9; WON both interleaved isolated sf0.1 pairings (adj
+# re-collect) instead of ~4E'. Audited counts 30 shuffles/12 SMJ/8 segs
+# -> 22/6/9 (matches the PLANS.md table; ADVICE r11 corrected the SMJ
+# starting figure); WON both interleaved isolated sf0.1 pairings (adj
 # 4.08/4.43 s vs edges 5.76/5.16 s best-of-3); output bit-identical at
 # sf0.001/0.01/0.1 and oracle green. This supersedes the r08 negative
 # below (survivor-set restructure, 7.75 vs 6.44 s) -- that probe kept
@@ -127,7 +128,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # step's ~4 references -> exponential analysis; 8-step chunks exceed
 # the codegen method limit and run interpreted, measured 12.6 s). The
 # chain is kept as _hilbert_chain_histogram with a bit-equality twin
-# test; the query stays DuckDB-oracle-gated. 100 TB note: the win is
+# test (tests/test_layout_hilbert.py); the query stays DuckDB-oracle-gated. 100 TB note: the win is
 # the 6 corpus passes of barrier I/O the Arrow path never pays -- it
 # grows with corpus size.
 # NEGATIVE r11 adjudication (ADVICE r10, low): switching the
