@@ -131,6 +131,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # test (tests/test_layout_hilbert.py); the query stays DuckDB-oracle-gated. 100 TB note: the win is
 # the 6 corpus passes of barrier I/O the Arrow path never pays -- it
 # grows with corpus size.
+# MEASUREMENT adjudication r12 (VERDICT r11 watch item 1, closed):
+# graph_personalized_pagerank's r11 repin anomaly (prev 3.23 s, sweep
+# 6.86, isolated 9.64 -- the only r11 entry where isolated > sweep, on
+# code byte-identical since r04) does NOT reproduce. Interleaved
+# isolated sf0.1 pairings in a quiet window (loadavg-1m 0.14, steal
+# 0.32%, post-run probe 0.2603 s) read 5.14/6.37/4.88 s best-of-3 vs
+# canary graph_random_walks 3.24/3.64/4.49 (quiet refs 4.30 / 4.26):
+# the canary sits at-or-below its reference, pagerank sits inside
+# normal fresh-JVM spread of its committed quiet-sweep wall, and the
+# 9.64 is far outside today's range. Verdict: r11 host slow-mode, not
+# a plan problem; no action. Plan unchanged (3 segs / 9 shuffles per
+# PLANS.md, bounded rounds over pinned edges).
 # NEGATIVE r11 adjudication (ADVICE r10, low): switching the
 # link-prediction hub pre-filter from INNER to LEFT SEMI join costs
 # +2 audited shuffles / +1 SMJ (13/5 vs 11/4; isolated subplan 28 vs
