@@ -1,0 +1,79 @@
+"""Regime twin for graph_hits_hub_authority (r12 restructure).
+
+The operator picks its per-round join strategy by a size gate
+(HITS_BROADCAST_MAX_V): broadcast regime (pins on groupBy keys,
+explicit broadcast score side) below it, merge regime (pins on join
+keys, unhinted join -- the 100 TB shape) above it. Both regimes must
+produce bit-identical rows: same integer sums, same rounding points,
+same top-10. The gate only changes physical strategy, never values.
+
+The merge regime is the pre-r12 shipped formulation, so this twin also
+pins the restructure against the r04-r11 driver-green evidence.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ushas_spark.operators import graph
+
+SF_DIR = os.environ.get("USHAS_TEST_SF", "/root/testdata/sf0.001")
+
+
+def _release(spark):
+    spark.catalog.clearCache()
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist(True)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from ushas_spark.session import get_spark
+
+    return get_spark("test-hits-regimes")
+
+
+def _rows(spark, sf_dir):
+    out = [
+        tuple(r)
+        for r in graph.graph_hits_hub_authority(spark, sf_dir).collect()
+    ]
+    _release(spark)
+    return out
+
+
+def test_regimes_bit_identical(spark, monkeypatch):
+    broadcast_rows = _rows(spark, SF_DIR)  # every test SF is small-V
+    monkeypatch.setattr(graph, "HITS_BROADCAST_MAX_V", 0)  # force merge
+    merge_rows = _rows(spark, SF_DIR)
+    assert broadcast_rows == merge_rows
+    assert len(broadcast_rows) == 20  # top-10 per role, both roles present
+
+
+def test_small_v_regime_plans_zero_round_exchanges(spark):
+    """The broadcast regime's win condition: each half-round segment
+    (score join + groupBy over the groupBy-key-pinned pairs) plans no
+    hash exchange at all -- the explicit broadcast plus co-partitioned
+    partial agg finish in place. Segments audited via the same
+    tree-walk counter PLANS.md uses."""
+    from ushas_spark import durability
+
+    durability.begin_plan_audit()
+    df = graph.graph_hits_hub_authority(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    segments = durability.end_plan_audit()
+    _release(spark)
+    # Round segments = the non-pin segments (pin segments have no
+    # executed post plan). The FIRST round segment carries the one-time
+    # initial-hubs distinct (one |V|-row exchange); every later round
+    # segment must plan zero.
+    round_segs = [s for s in segments if s["post"] is not None]
+    assert len(round_segs) == 2 * graph.HITS_ITERS
+    assert round_segs[0]["counts"]["shuffles"] <= 1
+    for seg in round_segs[1:]:
+        assert seg["counts"]["shuffles"] == 0, seg["counts"]

@@ -1000,6 +1000,14 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------- HITS
 HITS_ITERS = 3
 HITS_SCALE = 1_000_000_000
+# Regime gate for the per-round score join (r12 probe): an explicit
+# broadcast of the |V|-row score table wins while it fits the driver /
+# executor broadcast budget. 10M rows of (bigint, bigint) ~= 160 MB
+# payload -- comfortably under typical budgets, far above every test SF
+# (sf0.1 has 15k customers), and conservative enough that the 100 TB
+# regime (TPC-H |V_cust| grows linearly with the corpus) always takes
+# the merge path.
+HITS_BROADCAST_MAX_V = 10_000_000
 
 
 def _hits_oracle(iters: int = HITS_ITERS) -> str:
@@ -1057,11 +1065,37 @@ def graph_hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     x1e9 integers), so every cross-row sum is exact integer arithmetic
     and the oracle replays all rounds bit-for-bit.
 
+    Two regimes, size-gated on the score-table universe (bounded above
+    by the customer row count, a near-free parquet-metadata count job),
+    bit-identical outputs (regime twin pinned in tests/test_graph_hits
+    _regimes.py; r12 probe, tools/probe_hits_r12.py):
+
+    - broadcast regime (|V| <= HITS_BROADCAST_MAX_V): the edge list is
+      pinned on each half-round's GROUPBY key and the |V|-row score
+      table joins in as an explicit broadcast build side, so a round
+      pays ZERO planned exchanges -- the broadcast join streams the
+      pinned pairs and the partial agg finishes in place (summed
+      audited shuffles 11 -> 6; interleaved isolated sf0.1 pairings:
+      5.78/5.84 s (+count job) vs old shape 9.32/7.05 s). The explicit
+      F.broadcast matters: unhinted, the planner still picks BHJ from
+      the cache stats but the planned groupBy exchanges remain as
+      stage boundaries and AQE's runtime conversion does not remove
+      them (measured: unhinted swapped-pin variant 9.80/7.33 s -- no
+      win at all).
+    - merge regime (|V| above the broadcast budget -- the 100 TB
+      shape, |V_cust| grows linearly with the corpus): pins sit on the
+      JOIN keys instead, every per-round join streams the |E| side
+      exchange- and sort-free, and the groupBy pays one |V|-bounded
+      post-partial-agg exchange per half-round. Broadcasting a
+      |V|-row table there would OOM the driver; this is the same
+      strategy call AQE makes per-join, lifted to the layout choice
+      the joins depend on.
+
     Scale shape: per round, two edge joins + two groupBys (the
-    bipartite halves), each shuffling score cells bounded by |V|; the
-    edge table is materialized once. Top-10 per role via
-    TakeOrdered-size windows over the |V|-row score tables,
-    partitioned by role in the final union."""
+    bipartite halves); score cells crossing the wire are bounded by
+    |V| in both regimes; the edge table is materialized once per
+    layout. Top-10 per role via TakeOrdered-size windows over the
+    |V|-row score tables, partitioned by role in the final union."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
     )
@@ -1075,15 +1109,26 @@ def graph_hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # Two pinned layouts of the bipartite edge list -- by cust for the
-    # hub->authority half-round, by supp for the return half -- so both
-    # per-round joins stream the |E| side exchange- and sort-free (the
+    # Upper bound on the hub-score universe: every cust key comes from
+    # o_custkey, so |customer| bounds it. Parquet count is a
+    # metadata/row-group-stat scan, not a data read.
+    small_v = (
+        load_table(spark, sf_dir, "customer").count() <= HITS_BROADCAST_MAX_V
+    )
+    # Two pinned layouts of the bipartite edge list. Regime picks the
+    # keys: broadcast regime pins on the GROUPBY keys (supp for the
+    # authority half, cust for the hub half) because the score join is
+    # a broadcast and the groupBy is what needs co-location; merge
+    # regime pins on the JOIN keys (cust / supp respectively) so the
+    # SMJ streams the |E| side exchange- and sort-free. Either way the
     # second pin reads the first's cache, not the orders ⋈ lineitem
-    # subtree). The 2x storage is the price of the two bucketed layouts
-    # a 100 TB deployment would keep for exactly this access pattern.
-    pairs = pin_partitioned(base, "cust")
-    pairs_by_supp = pin_partitioned(pairs, "supp")
-    hubs = pairs.select("cust").distinct().select(
+    # subtree, and the 2x storage is the price of the two bucketed
+    # layouts a 100 TB deployment would keep for this access pattern.
+    first = pin_partitioned(base, "supp" if small_v else "cust")
+    second = pin_partitioned(first, "cust" if small_v else "supp")
+    pairs_ar, pairs_hr = first, second
+    score_side = F.broadcast if small_v else (lambda df: df)
+    hubs = first.select("cust").distinct().select(
         "cust", F.lit(HITS_SCALE).cast("long").alias("h")
     )
     auths = None
@@ -1099,7 +1144,7 @@ def graph_hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         # rescale itself is a broadcast of a 1-row max over the
         # checkpointed aggregate, so leaving it un-materialized is free.
         ar = materialize(
-            pairs.join(hubs, "cust").groupBy("supp").agg(
+            pairs_ar.join(score_side(hubs), "cust").groupBy("supp").agg(
                 F.sum("h").alias("raw")
             )
         )
@@ -1111,7 +1156,7 @@ def graph_hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("a"),
         )
         hr = materialize(
-            pairs_by_supp.join(auths, "supp").groupBy("cust").agg(
+            pairs_hr.join(score_side(auths), "supp").groupBy("cust").agg(
                 F.sum("a").alias("raw")
             )
         )

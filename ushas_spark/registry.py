@@ -131,6 +131,27 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # test (tests/test_layout_hilbert.py); the query stays DuckDB-oracle-gated. 100 TB note: the win is
 # the 6 corpus passes of barrier I/O the Arrow path never pays -- it
 # grows with corpus size.
+# POSITIVE r12 probe (the verdict's optional lane, tools/
+# probe_hits_r12.py): graph_hits_hub_authority restructured to a
+# SIZE-GATED two-regime score join. Broadcast regime (score universe
+# <= HITS_BROADCAST_MAX_V, decided by a parquet-metadata customer
+# count): pins swapped to the GROUPBY keys + explicit F.broadcast of
+# the |V|-row score table -- each half-round plans ZERO exchanges
+# (audited 11 -> 6 summed shuffles; only the one-time initial-hubs
+# distinct exchanges). Merge regime (the 100 TB shape, |V_cust| linear
+# in corpus): the pre-r12 formulation unchanged -- pins on JOIN keys,
+# unhinted join; broadcasting a corpus-scale score table would OOM the
+# driver. Outputs bit-identical across regimes and SFs (regime twin
+# tests/test_graph_hits_regimes.py; probe hashes equal at sf0.01 and
+# sf0.1). Measured: new shape won all six same-window isolated
+# head-to-heads across three windows -- 6.74/4.34 vs old 9.32/7.05;
+# 5.78/5.84 vs unhinted-swap 9.80/7.33; final shipped-vs-merge
+# confirmation 6.38/5.54 vs 6.64/6.20 (narrow window, still 2/2).
+# Key negative inside the probe: the UNHINTED swapped-pin variant got
+# BHJ from cache stats but kept the planned groupBy exchanges as stage
+# boundaries (AQE's runtime broadcast conversion does not remove them)
+# and showed NO win -- the explicit broadcast is load-bearing. The
+# shuffle-hash variant lost outright (7.12 vs 4.06 at sf0.01).
 # MEASUREMENT adjudication r12 (VERDICT r11 watch item 1, closed):
 # graph_personalized_pagerank's r11 repin anomaly (prev 3.23 s, sweep
 # 6.86, isolated 9.64 -- the only r11 entry where isolated > sweep, on
