@@ -55,6 +55,27 @@ def test_regimes_bit_identical(spark, monkeypatch):
     assert len(broadcast_rows) == 20  # top-10 per role, both roles present
 
 
+def test_pagerank_regimes_bit_identical(spark, monkeypatch):
+    """Same gate pattern transferred to global PageRank (r12 probe #2,
+    tools/probe_pagerank_r12.py): broadcast regime won both interleaved
+    sf0.1 pairings; the personalized variant measured NEGATIVE and
+    stays on the merge shape (adjudicated in pagerank()'s docstring)."""
+
+    def rows():
+        out = [
+            tuple(r)
+            for r in graph.graph_pagerank_top(spark, SF_DIR).collect()
+        ]
+        _release(spark)
+        return out
+
+    broadcast_rows = rows()
+    monkeypatch.setattr(graph, "PAGERANK_BROADCAST_MAX_V", 0)
+    merge_rows = rows()
+    assert broadcast_rows == merge_rows
+    assert len(broadcast_rows) == graph.TOP_N
+
+
 def test_small_v_regime_plans_zero_round_exchanges(spark):
     """The broadcast regime's win condition: each half-round segment
     (score join + groupBy over the groupBy-key-pinned pairs) plans no

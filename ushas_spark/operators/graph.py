@@ -43,6 +43,11 @@ DAMPING = 0.85
 ITERS = 3
 RANK_SCALE = 1_000_000_000  # 1e-9 rank resolution; sums < 2^63 for |V| ≤ ~9e9
 TOP_N = 25
+# Regime gate for the per-round ranks join (r12, same rationale as
+# HITS_BROADCAST_MAX_V below): explicit broadcast of the |V|-row ranks
+# table wins while it fits the broadcast budget; past it (|V_cust| is
+# linear in the corpus) the merge regime streams the src-pinned edges.
+PAGERANK_BROADCAST_MAX_V = 10_000_000
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,19 +75,40 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pagerank(
     spark: SparkSession, sf_dir: str, iters: int = ITERS, damping: float = DAMPING
 ) -> DataFrame:
-    """Ranks after ``iters`` synchronous rounds from the uniform start."""
-    # Degree is joined ONTO the edge list once and the result is PINNED
-    # hash-partitioned + sorted on src (pin_partitioned: repartition +
-    # sortWithinPartitions + persist). materialize/localCheckpoint LOSES
-    # outputPartitioning (probe-verified r08: LogicalRDD reports unknown
-    # partitioning, so every round re-shuffled the |E|-row side), while
-    # InMemoryRelation preserves it: each iteration's join now exchanges
-    # AND sorts only the |V|-row ranks side -- rounds x |E| network
-    # becomes |E| + rounds x |V|, the in-session analogue of the
-    # bucketed-by-src edge table a 100 TB deployment would write.
+    """Ranks after ``iters`` synchronous rounds from the uniform start.
+
+    Size-gated regimes like graph_hits_hub_authority (r12 probe,
+    tools/probe_pagerank_r12.py; regimes bit-identical, twin pinned in
+    tests/test_graph_hits_regimes.py):
+
+    - broadcast regime (|V| <= PAGERANK_BROADCAST_MAX_V): edges pinned
+      on DST (the contribution groupBy key) and the |V|-row ranks side
+      explicitly broadcast each round, so a round plans zero exchanges
+      -- the 3-round plan nests the broadcasts inside one job. WON both
+      interleaved isolated sf0.1 pairings: 4.45/4.66 s vs shipped
+      5.78/5.35 s best-of-3, hash-identical at sf0.01/sf0.1.
+    - merge regime (the 100 TB shape): edges pinned on SRC; the degree
+      join + ranks join stream the |E| side exchange- and sort-free and
+      each round exchanges only the |V|-row ranks side.
+      materialize/localCheckpoint LOSES outputPartitioning
+      (probe-verified r08: LogicalRDD reports unknown partitioning)
+      while InMemoryRelation preserves it -- rounds x |E| network
+      becomes |E| + rounds x |V|, the in-session analogue of the
+      bucketed-by-src edge table a 100 TB deployment would write.
+
+    The SAME transfer measured NEGATIVE for graph_personalized_pagerank
+    (lost both pairings: 6.09/5.84 vs 5.55/5.30) -- its per-round
+    rescale carries a seed left-join + crossJoin, and nesting those
+    extra stages inside each round's broadcast child costs more than
+    the two |V|-bounded exchanges it saves. Kept on the merge shape;
+    negative recorded here so the probe isn't re-run blind."""
     edges = _edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ewd = pin_partitioned(edges.join(deg, "src"), "src")
+    small_v = (
+        load_table(spark, sf_dir, "customer").count()
+        <= PAGERANK_BROADCAST_MAX_V
+    )
+    ewd = pin_partitioned(edges.join(deg, "src"), "dst" if small_v else "src")
     # Everything downstream derives from the materialized edge table so
     # the orders ⋈ lineitem subtree is scanned exactly once, not once
     # per iteration (first cut measured 21 exchanges for 3 rounds; this
@@ -96,7 +122,8 @@ def pagerank(
         "node", (F.lit(1.0) / F.col("n").cast("double")).alias("rank"), "n"
     )
     for _ in range(iters):
-        contrib = ranks.join(ewd, ranks.node == ewd.src).select(
+        r = ranks.hint("broadcast") if small_v else ranks
+        contrib = r.join(ewd, r.node == ewd.src).select(
             F.col("dst").alias("node"),
             F.round((F.col("rank") / F.col("deg").cast("double")) * RANK_SCALE)
             .cast("long")

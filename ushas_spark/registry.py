@@ -152,6 +152,25 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # boundaries (AQE's runtime broadcast conversion does not remove them)
 # and showed NO win -- the explicit broadcast is load-bearing. The
 # shuffle-hash variant lost outright (7.12 vs 4.06 at sf0.01).
+# MODEST-POSITIVE r12 probe #2 (tools/probe_pagerank_r12.py): the HITS
+# regime gate transferred to GLOBAL pagerank (graph_pagerank_top).
+# Honest evidence: the ranks side was ALREADY auto-broadcast by the
+# planner at test sizes, so the restructure only moves the 3 per-round
+# groupBy(dst) exchanges to zero (edges pinned by dst; final fragment
+# 3 -> 1 planned shuffles, +1 one-time exchange in the pin segment --
+# summed total unchanged at 9, but per-round cost becomes one-time, so
+# the win grows with ITERS). Pairings: W1 decisive 2/2 (4.45/4.66 vs
+# 5.78/5.35 s); two later noisier windows split 1-1 each (old-shape
+# stragglers up to 12.9 s); pooled across 18 best-of-3 samples/shape
+# the medians are ~5.0 vs ~5.8 s. Hash-identical at sf0.01/sf0.1 +
+# regime twin at sf0.001. Shipped because the direction is consistent,
+# the per-round stage count drops, and the merge regime (the 100 TB
+# shape) is byte-unchanged behind the PAGERANK_BROADCAST_MAX_V gate.
+# NEGATIVE within the same probe: graph_personalized_pagerank lost
+# both pairings (6.09/5.84 vs 5.55/5.30) -- its per-round seed
+# left-join + crossJoin stages nest inside each round's broadcast
+# child and cost more than the exchanges saved. Kept on the merge
+# shape; recorded in pagerank()'s docstring.
 # MEASUREMENT adjudication r12 (VERDICT r11 watch item 1, closed):
 # graph_personalized_pagerank's r11 repin anomaly (prev 3.23 s, sweep
 # 6.86, isolated 9.64 -- the only r11 entry where isolated > sweep, on
