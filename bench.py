@@ -430,6 +430,7 @@ def _classify_window(
     load_end: list[float] | None,
     drift_median: float | None,
     n_outliers: int,
+    retried: bool = False,
 ) -> tuple[str, list[str]]:
     """Classify the sweep window from its own stamps.
 
@@ -447,10 +448,16 @@ def _classify_window(
     if steal_pct is not None and steal_pct >= STEAL_CONTENDED_PCT:
         reasons.append("steal_%.2f_pct" % steal_pct)
     if (
-        load_start is not None
+        not retried
+        and load_start is not None
         and len(load_start) >= 2
         and load_start[1] >= LOAD5_START_CONTENDED
     ):
+        # Skipped on a retry attempt: the 5-min average then carries
+        # THIS RUN'S OWN first-attempt threads, not external load
+        # (observed r12: a retry sweep at steal 0.11% / probe 0.26 /
+        # drift 0.65 still stamped contended from loadavg5_start 3.37
+        # left behind by attempt 1).
         reasons.append("loadavg5_start_%.2f" % load_start[1])
     if load_end and load_end[0] >= LOAD1_END_CONTENDED:
         reasons.append("loadavg1_end_%.2f" % load_end[0])
@@ -646,7 +653,7 @@ def main() -> None:
         else:
             window_class, window_reasons = _classify_window(
                 host_state, steal, cpu_probe, load_start, load_end,
-                drift_median, len(outliers),
+                drift_median, len(outliers), retried=attempt > 1,
             )
         if child or extra or window_class == "quiet" or attempt >= MAX_SWEEP_ATTEMPTS:
             break

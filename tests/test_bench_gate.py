@@ -210,3 +210,16 @@ def test_prev_detail_rejects_cross_sf_snapshot(tmp_path, monkeypatch):
     monkeypatch.setattr(bench, "_REPO", str(tmp_path))
     assert bench._prev_detail(0.1) == {"q1": 1.0}
     assert bench._prev_detail(0.01) == {}
+
+
+def test_classify_retry_ignores_self_inflicted_loadavg5():
+    # Replays the r12 retry sweep's stamps: attempt 2 ran at steal
+    # 0.11% / probe 0.2626 / drift 0.654, but the 5-min start loadavg
+    # (3.37) still carried attempt 1's own 32 threads. A retry must
+    # not classify contended from its own prior attempt.
+    args = ("quiet_after_60s_wait", 0.11, 0.2626, [0.86, 3.37, 3.87],
+            [2.17, 3.78, 4.02], 0.654, 0)
+    assert bench._classify_window(*args)[0] == "contended"  # first attempt
+    cls, reasons = bench._classify_window(*args, retried=True)
+    assert cls == "quiet"
+    assert reasons == []
