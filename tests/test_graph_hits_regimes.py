@@ -76,6 +76,31 @@ def test_pagerank_regimes_bit_identical(spark, monkeypatch):
     assert len(broadcast_rows) == graph.TOP_N
 
 
+def test_cc_regimes_bit_identical(spark, monkeypatch):
+    """connected_components' r12 folded-broadcast regime (self-loops
+    baked into a d-pinned edge list + explicit labels broadcast) must
+    equal the merge loop row-for-row -- checked through BOTH the
+    seeded/incremental caller and a plain dedup caller (probe
+    tools/probe_cc_r12.py won all four sf0.1 head-to-heads)."""
+    from ushas_spark.operators import dedup
+
+    for fn in (
+        graph.graph_components_incremental,
+        dedup.dedup_cluster_components,
+    ):
+        def rows():
+            out = [tuple(r) for r in fn(spark, SF_DIR).collect()]
+            _release(spark)
+            return out
+
+        broadcast_rows = rows()
+        monkeypatch.setattr(dedup, "CC_BROADCAST_MAX_V", 0)
+        merge_rows = rows()
+        monkeypatch.undo()
+        assert broadcast_rows == merge_rows
+        assert len(broadcast_rows) > 0
+
+
 def test_small_v_regime_plans_zero_round_exchanges(spark):
     """The broadcast regime's win condition: each half-round segment
     (score join + groupBy over the groupBy-key-pinned pairs) plans no

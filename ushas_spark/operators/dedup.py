@@ -33,6 +33,11 @@ N_HASHES = 12
 BANDS = 4
 ROWS_PER_BAND = 3  # N_HASHES / BANDS
 JACCARD_THRESHOLD = 0.2
+# Regime gate for connected_components' per-round labels join (r12;
+# same rationale as graph.HITS_BROADCAST_MAX_V): explicit broadcast of
+# the |V'|-row labels table wins while edge-participating nodes fit the
+# broadcast budget; past it the s-pinned merge loop streams the edges.
+CC_BROADCAST_MAX_V = 10_000_000
 SHINGLE_WIDTH = 3
 
 
@@ -662,6 +667,23 @@ def connected_components(
     set, and the loop only pays rounds proportional to the diameter of
     the REGIONS THE NEW EDGES MERGE, not the full component diameter.
     Nodes without a seed row label themselves (new arrivals).
+
+    r12 regime gate (probe tools/probe_cc_r12.py; same pattern as
+    graph.HITS_BROADCAST_MAX_V): when the edge-node universe fits the
+    broadcast budget (decided by a near-free count over the
+    just-materialized labels table), the loop switches to a folded
+    broadcast shape -- SELF-LOOP rows (own=true) are baked into the
+    edge list once, the edges are pinned on D (the groupBy key), and
+    the labels side joins as an explicit broadcast -- so one BHJ per
+    round emits both neighbor and self rows already d-partitioned and
+    the min-aggregate finishes with ZERO planned exchanges (the
+    per-round union of self rows disappears too). Bit-identical to the
+    merge loop (regime twin in tests/test_graph_hits_regimes.py); won
+    all four interleaved isolated sf0.1 head-to-heads
+    (graph_components_incremental 4.94/6.07/5.72 vs 6.31/6.19/7.25 s,
+    dedup_cluster_components 3.62 vs 4.75 s). Past the gate -- the
+    100 TB dedup regime, where edge-participating nodes can be
+    billions -- the merge loop below runs byte-unchanged.
     """
     # Materialize the (possibly expensive) edge derivation ONCE, BEFORE
     # the symmetrizing union -- the union's two branches would otherwise
@@ -674,16 +696,8 @@ def connected_components(
     directed = materialize(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     )
-    # The symmetrized edge list is PINNED partitioned+sorted on s
-    # (cache, not checkpoint: InMemoryRelation preserves partitioning,
-    # LogicalRDD does not -- probe-verified r08), so every round's
-    # label-propagation join streams the |E| side with no exchange and
-    # no sort; only the |V|-row labels side moves per round.
-    sym = pin_partitioned(
-        directed.union(
-            directed.select(F.col("d").alias("s"), F.col("s").alias("d"))
-        ),
-        "s",
+    sym_raw = directed.union(
+        directed.select(F.col("d").alias("s"), F.col("s").alias("d"))
     )
     # Iterate ONLY over nodes that appear in an edge: singletons (the vast
     # majority of a deduped corpus) can never change label, so they join
@@ -691,7 +705,7 @@ def connected_components(
     # At 100 TB this shrinks the iterated relation to the candidate-pair
     # minority; at sf0.1 it is 477 of 5000 docs (10x less per-round
     # shuffle; whole query 5.2s -> 4.8s isolated, best-of-3).
-    edge_nodes = sym.select(F.col("s").alias("id")).distinct()
+    edge_nodes = sym_raw.select(F.col("s").alias("id")).distinct()
     if init_labels is None:
         labels = materialize(edge_nodes.withColumn("label", F.col("id")))
     else:
@@ -704,31 +718,74 @@ def connected_components(
                 "id", F.coalesce("slabel", F.col("id")).alias("label")
             )
         )
+    # Regime gate (see docstring): count over the just-materialized
+    # labels table -- a localCheckpointed |V'|-row scan, near-free.
+    small_v = labels.count() <= CC_BROADCAST_MAX_V
+    if small_v:
+        # Folded broadcast loop: self-loops (own=true) baked into the
+        # d-pinned edge list once; one BHJ per round emits neighbor AND
+        # self rows already partitioned on the groupBy key.
+        withloops = sym_raw.select("s", "d", F.lit(False).alias("own")).union(
+            edge_nodes.select(
+                F.col("id").alias("s"),
+                F.col("id").alias("d"),
+                F.lit(True).alias("own"),
+            )
+        )
+        pinned = pin_partitioned(withloops, "d")
+    else:
+        # The symmetrized edge list is PINNED partitioned+sorted on s
+        # (cache, not checkpoint: InMemoryRelation preserves
+        # partitioning, LogicalRDD does not -- probe-verified r08), so
+        # every round's label-propagation join streams the |E| side
+        # with no exchange and no sort; only the |V|-row labels side
+        # moves per round.
+        sym = pin_partitioned(sym_raw, "s")
     for _ in range(max_iter):
         # One round = ONE edge join + ONE fused min-aggregate: the
-        # node's own label rides into the groupBy as a tagged union
-        # branch instead of a second (update) join, so min(label) is the
-        # propagation step and min(own label) recovers the previous
-        # round's value for the change flag in the same aggregate --
-        # every edge node has exactly one self row, so the fused agg is
-        # value-identical to least(own, coalesce(nbr_min, own)). Saves
-        # an SMJ + its sort per round (r08: audio-dedup clusters 49 ->
-        # 38 summed audited shuffles, incremental components 46 -> 37;
-        # convergence detection still reads
-        # the checkpointed result, not a re-derivation).
-        nbr_rows = sym.join(labels, sym.s == labels.id).select(
-            F.col("d").alias("id"), "label", F.lit(False).alias("own")
-        )
-        self_rows = labels.select("id", "label", F.lit(True).alias("own"))
-        new_labels = (
-            self_rows.unionByName(nbr_rows)
-            .groupBy("id")
-            .agg(
-                F.min("label").alias("label"),
-                F.min(F.when(F.col("own"), F.col("label"))).alias("_old"),
+        # node's own label rides into the aggregate (as a self-loop row
+        # in the broadcast regime, as a tagged union branch in the
+        # merge regime) instead of a second (update) join, so
+        # min(label) is the propagation step and min(own label)
+        # recovers the previous round's value for the change flag in
+        # the same aggregate -- every edge node has exactly one self
+        # row, so the fused agg is value-identical to
+        # least(own, coalesce(nbr_min, own)). Saves an SMJ + its sort
+        # per round (r08: audio-dedup clusters 49 -> 38 summed audited
+        # shuffles, incremental components 46 -> 37; convergence
+        # detection still reads the checkpointed result, not a
+        # re-derivation).
+        if small_v:
+            lb = labels.hint("broadcast")
+            new_labels = (
+                pinned.join(lb, pinned.s == lb.id)
+                .groupBy(F.col("d").alias("id2"))
+                .agg(
+                    F.min("label").alias("label"),
+                    F.min(F.when(F.col("own"), F.col("label"))).alias("_old"),
+                )
+                .select(
+                    F.col("id2").alias("id"),
+                    "label",
+                    (F.col("label") < F.col("_old")).alias("_chg"),
+                )
             )
-            .select("id", "label", (F.col("label") < F.col("_old")).alias("_chg"))
-        )
+        else:
+            nbr_rows = sym.join(labels, sym.s == labels.id).select(
+                F.col("d").alias("id"), "label", F.lit(False).alias("own")
+            )
+            self_rows = labels.select("id", "label", F.lit(True).alias("own"))
+            new_labels = (
+                self_rows.unionByName(nbr_rows)
+                .groupBy("id")
+                .agg(
+                    F.min("label").alias("label"),
+                    F.min(F.when(F.col("own"), F.col("label"))).alias("_old"),
+                )
+                .select(
+                    "id", "label", (F.col("label") < F.col("_old")).alias("_chg")
+                )
+            )
         new_labels = materialize(new_labels)
         changed = new_labels.filter(F.col("_chg")).limit(1).count()
         labels = new_labels.drop("_chg")

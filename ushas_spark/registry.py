@@ -171,6 +171,22 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # left-join + crossJoin stages nest inside each round's broadcast
 # child and cost more than the exchanges saved. Kept on the merge
 # shape; recorded in pagerank()'s docstring.
+# POSITIVE r12 probe #3 (tools/probe_cc_r12.py): connected_components
+# (shared by 9 call sites incl. streaming) gained a size-gated FOLDED
+# BROADCAST loop: self-loop rows (own=true) baked into the edge list
+# once, edges pinned on D (the groupBy key), labels joined as an
+# explicit broadcast -- one BHJ per round emits neighbor AND self rows
+# already d-partitioned, so the min-aggregate plans ZERO exchanges and
+# the per-round self-rows union disappears. Gate = count over the
+# just-materialized labels table (CC_BROADCAST_MAX_V); past it the
+# s-pinned merge loop runs byte-unchanged (100 TB dedup: edge nodes
+# can be billions). Bit-identical through both seeded and plain
+# callers (tests/test_graph_hits_regimes.py + probe hashes at
+# sf0.01/sf0.1); won all four interleaved isolated sf0.1 head-to-heads
+# (components_incremental 4.94/6.07/5.72 vs 6.31/6.19/7.25;
+# cluster_components 3.62 vs 4.75). PLANS deltas:
+# multimodal_audio_dedup_clusters 16 -> 7 summed shuffles,
+# graph_components_incremental 19 -> 14, image 10 -> 9.
 # MEASUREMENT adjudication r12 (VERDICT r11 watch item 1, closed):
 # graph_personalized_pagerank's r11 repin anomaly (prev 3.23 s, sweep
 # 6.86, isolated 9.64 -- the only r11 entry where isolated > sweep, on
