@@ -187,6 +187,30 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # cluster_components 3.62 vs 4.75). PLANS deltas:
 # multimodal_audio_dedup_clusters 16 -> 7 summed shuffles,
 # graph_components_incremental 19 -> 14, image 10 -> 9.
+# NEGATIVE r12 probe #4 (continuation session, tools/
+# probe_semdedup_r12.py): dedup_semantic_clusters' two pair
+# aggregations (distinct-then-count drops + max sims, two left joins,
+# pairs materialized for the two consumers) re-expressed as ONE
+# groupBy(cid) with COUNT(DISTINCT CASE WHEN sim >= tau THEN id_b END)
+# + MAX(sim) and a single left join -- no pairs barrier, one join
+# fewer. Value-identical (probe hashes equal in all eight runs) but
+# LOST three interleaved isolated sf0.1 pairings and tied the fourth
+# (shipped 5.08/5.19/4.68/5.34 vs onepass 7.03/5.83/5.32/5.34
+# best-of-3). Why: the shipped drop path filters sim >= tau BEFORE its
+# distinct (few rows), while the distinct-agg expand rewrite routes
+# EVERY pair row through a doubled-row two-exchange aggregate; the
+# saved K-row join and barrier do not pay for that. Shipped shape kept.
+# MEASUREMENT adjudication r12 (continuation session):
+# graph_triangle_count's in-sweep anomaly in the quiet post-CC-fold
+# sweep (12.56 s in-sweep / 15.14 isolated repin vs prev 5.48 while
+# the rest of the sweep ran FAST, drift_median 0.727) does NOT
+# reproduce: interleaved isolated sf0.1 pairings read 8.83/7.42 vs
+# canary graph_random_walks 5.38/3.42 in a winding-down window, then
+# 4.86/6.80 vs canary 3.56/4.22 once quiet -- proportionate to the
+# canary everywhere (ratio 1.6-2.2x vs the 1.87x quiet-reference
+# ratio), and the 12.56/15.14 pair is far outside every quiet reading.
+# Code byte-identical since r10 (6de512d). Verdict: transient host
+# slow-mode confined to the one query during the sweep; no action.
 # MEASUREMENT adjudication r12 (VERDICT r11 watch item 1, closed):
 # graph_personalized_pagerank's r11 repin anomaly (prev 3.23 s, sweep
 # 6.86, isolated 9.64 -- the only r11 entry where isolated > sweep, on
