@@ -101,6 +101,47 @@ def test_cc_regimes_bit_identical(spark, monkeypatch):
         assert len(broadcast_rows) > 0
 
 
+def test_kcore_regimes_bit_identical(spark, monkeypatch):
+    """k-core's r12 broadcast-anti peel regime (probe
+    tools/probe_kcore_r12.py; won both interleaved isolated sf0.1
+    pairings 4.96/4.69 vs 5.86/5.69 s) must equal the r11 semi-join
+    merge shape row-for-row. The merge shape is the r11 driver-green
+    formulation, so this twin pins the restructure against that
+    evidence the same way the HITS twin does."""
+    def rows():
+        out = [
+            tuple(r) for r in graph.graph_kcore_summary(spark, SF_DIR).collect()
+        ]
+        _release(spark)
+        return out
+
+    broadcast_rows = rows()
+    monkeypatch.setattr(graph, "KCORE_BROADCAST_MAX_V", 0)
+    merge_rows = rows()
+    assert broadcast_rows == merge_rows
+    assert len(broadcast_rows) == 1  # one-row core summary
+
+
+def test_kcore_broadcast_rounds_plan_one_exchange_no_smj(spark):
+    """Win condition of the kcore broadcast regime: every peel round
+    plans exactly one (groupBy) hash exchange, a broadcast anti BHJ,
+    and no sort-merge join -- vs the merge shape's two exchanges + semi
+    SMJ. Audited via the same tree-walk counter PLANS.md uses."""
+    from ushas_spark import durability
+
+    durability.begin_plan_audit()
+    df = graph.graph_kcore_summary(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    segments = durability.end_plan_audit()
+    _release(spark)
+    round_segs = segments[-graph.KCORE_ROUNDS:]
+    assert len(round_segs) == graph.KCORE_ROUNDS
+    for seg in round_segs:
+        assert seg["counts"]["shuffles"] == 1, seg["counts"]
+        assert seg["counts"]["smj"] == 0, seg["counts"]
+        assert seg["counts"]["bhj"] == 1, seg["counts"]
+
+
 def test_small_v_regime_plans_zero_round_exchanges(spark):
     """The broadcast regime's win condition: each half-round segment
     (score join + groupBy over the groupBy-key-pinned pairs) plans no

@@ -43,13 +43,27 @@ from ushas_spark.operators.graph import KCORE_K, KCORE_ROUNDS
 def kcore_fold(
     edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
 ) -> DataFrame:
+    """Variant A (persist-chain, MEASURED NEGATIVE at sf0.01: 7.64 vs
+    3.27 s best-of-3, hash-identical): persist() preserves the groupBy
+    partitioning so every round planned ZERO exchanges, but persist does
+    NOT truncate the logical plan, and each round references adj TWICE
+    (stream + dropped) -- Catalyst re-inlines the chain exponentially
+    across the 6 rounds (the r09 MMR lesson) and planning time swamps
+    the exchanges saved.
+
+    Variant B (this shape): keep materialize() (localCheckpoint,
+    truncates, loses partitioning) and replace the survivor LEFT SEMI
+    (E'-row exchange + sort on the stream, V'-row exchange + sort on the
+    build) with an explicit-broadcast LEFT ANTI against the DROPPED set
+    -- same semantics (arrays are symmetric; every neighbor is in
+    exactly one of keep/dropped), one E'-row groupBy exchange per round
+    instead of two exchanges + two sorts."""
     edges = materialize(edges)
     n_edges_initial = edges.agg(F.count(F.lit(1)).alias("n_edges_initial"))
     both = edges.select(F.col("u").alias("w"), F.col("v").alias("n")).unionAll(
         edges.select(F.col("v").alias("w"), F.col("u").alias("n"))
     )
-    adj = both.groupBy("w").agg(F.collect_list("n").alias("ns")).persist()
-    adj.count()
+    adj = materialize(both.groupBy("w").agg(F.collect_list("n").alias("ns")))
     n_nodes_initial = adj.agg(F.count(F.lit(1)).alias("n_nodes_initial"))
 
     round_shuffles = []
@@ -62,12 +76,11 @@ def kcore_fold(
             .join(F.broadcast(dropped), "n", "left_anti")
             .groupBy("w")
             .agg(F.collect_list("n").alias("ns"))
-        ).persist()
+        )
         round_shuffles.append(
             plan_counts(new_adj._jdf.queryExecution().executedPlan())
         )
-        new_adj.count()
-        adj = new_adj
+        adj = materialize(new_adj)
 
     summary = surv.agg(F.count(F.lit(1)).alias("n_core_nodes")).crossJoin(
         adj.agg(

@@ -411,6 +411,12 @@ def triangle_summary(edges: DataFrame) -> DataFrame:
 # ----------------------------------------------- k-core peeling (iterative)
 KCORE_K = 80
 KCORE_ROUNDS = 6
+# Regime gate for the peel loop's survivor restriction (r12 probe #5,
+# tools/probe_kcore_r12.py; same rationale as HITS/CC/PAGERANK gates):
+# below it the per-round neighbor filter anti-joins a BROADCAST of the
+# round's dropped-node set; past it (|V| linear in corpus) the semi-join
+# merge shape runs byte-unchanged.
+KCORE_BROADCAST_MAX_V = 10_000_000
 
 
 def _kcore_oracle() -> str:
@@ -470,10 +476,12 @@ def graph_kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- only sizes are ever read), so
     the peeling degree test is ``size(ns)`` -- a FREE re-scan of the
     materialized arrays, no aggregation, no shuffle. Each round then
-    pays exactly two E'-row exchanges: explode the survivors' arrays
-    and LEFT SEMI the neighbor side against the survivor set (itself a
-    shuffle-free filter of the same cache), then re-collect arrays by
-    node. The r08/r10-vintage edge-list twin paid ~4E' shuffled rows
+    restricts the exploded survivor arrays to surviving neighbors and
+    re-collects by node: below KCORE_BROADCAST_MAX_V that restriction
+    is a broadcast LEFT ANTI against the round's dropped set (r12 --
+    one E'-row groupBy exchange per round, no sorts); past the gate it
+    is a LEFT SEMI against the survivor set (two E'-row exchanges,
+    r11 shape, byte-unchanged). The r08/r10-vintage edge-list twin paid ~4E' shuffled rows
     per round (a 2E-row unionAll degree aggregation + two semi joins);
     halving the per-round volume won both r11 interleaved isolated
     sf0.1 pairings: adj 4.08/4.43 s vs edges 5.76/5.16 s best-of-3,
@@ -537,16 +545,38 @@ def kcore_summary(
     # surv is NOT materialized: both consumers (the survivor set and
     # the explode) re-scan the already-materialized adj, so the filter
     # costs nothing either time.
+    #
+    # r12 regime gate (probe tools/probe_kcore_r12.py): restricting the
+    # exploded neighbor side to survivors is set-equivalent to
+    # SUBTRACTING the round's dropped nodes (arrays are symmetric --
+    # every neighbor holds an edge back to its source, so every
+    # neighbor id is in exactly one of keep/dropped). Below
+    # KCORE_BROADCAST_MAX_V the loop therefore anti-joins an explicit
+    # BROADCAST of dropped (|V'|-row, decided by a near-free count over
+    # the just-materialized adj): the round keeps ONE E'-row groupBy
+    # exchange and plans 1 BHJ / 0 SMJ / 0 sorts, vs the merge shape's
+    # two exchanges + two sorts (E'-row semi stream + V'-row build).
+    # WON both interleaved isolated sf0.1 pairings (4.96/4.69 s vs
+    # 5.86/5.69 best-of-3), hash-identical at sf0.001/0.01/0.1. The
+    # probe's variant A (persist-chain keeping the groupBy partitioning
+    # for ZERO per-round exchanges) measured NEGATIVE 7.64 vs 3.27 s:
+    # persist does not truncate the logical plan, and with adj
+    # referenced twice per round Catalyst re-inlines the chain
+    # exponentially (the r09 MMR lesson) -- planning swamps the
+    # exchange saved. Past the gate (|V| linear in corpus, a broadcast
+    # would OOM the driver) the semi-join shape runs byte-unchanged.
+    small_v = adj.count() <= KCORE_BROADCAST_MAX_V
     surv = None
     for _ in range(rounds):
         surv = adj.filter(F.size("ns") >= k)
-        keep = surv.select(F.col("w").alias("n"))
-        adj = (
-            surv.select("w", F.explode("ns").alias("n"))
-            .join(keep, "n", "left_semi")
-            .groupBy("w")
-            .agg(F.collect_list("n").alias("ns"))
-        )
+        exploded = surv.select("w", F.explode("ns").alias("n"))
+        if small_v:
+            dropped = adj.filter(F.size("ns") < k).select(F.col("w").alias("n"))
+            kept = exploded.join(F.broadcast(dropped), "n", "left_anti")
+        else:
+            keep = surv.select(F.col("w").alias("n"))
+            kept = exploded.join(keep, "n", "left_semi")
+        adj = kept.groupBy("w").agg(F.collect_list("n").alias("ns"))
         adj = materialize(adj)
 
     summary = surv.agg(F.count(F.lit(1)).alias("n_core_nodes")).crossJoin(

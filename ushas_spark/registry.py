@@ -200,6 +200,41 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # distinct (few rows), while the distinct-agg expand rewrite routes
 # EVERY pair row through a doubled-row two-exchange aggregate; the
 # saved K-row join and barrier do not pay for that. Shipped shape kept.
+# POSITIVE r12 probe #5 (continuation session 2, tools/
+# probe_kcore_r12.py): graph_kcore_summary's peel round restriction
+# re-expressed as a size-gated broadcast LEFT ANTI against the round's
+# DROPPED set (set-equivalent to the survivor LEFT SEMI: the adjacency
+# is symmetric, so every exploded neighbor id is in exactly one of
+# keep/dropped). Below KCORE_BROADCAST_MAX_V a round plans 1 groupBy
+# exchange / 1 BHJ / 0 SMJ / 0 sorts (audited per-segment) vs the r11
+# shape's 2 exchanges + semi SMJ + 2 sorts; summed audit (PLANS.md
+# regen) 22 -> 10 shuffles / 6 -> 0 SMJ -- the semi join's build-side
+# V'-row exchanges vanish with it. WON both interleaved isolated sf0.1 pairings
+# (4.96/4.69 vs 5.86/5.69 s best-of-3); hash-identical at
+# sf0.001/0.01/0.1 (probe hashes + regime twin
+# tests/test_graph_hits_regimes.py::test_kcore_regimes_bit_identical,
+# which pins the merge regime = the r11 driver-green formulation,
+# byte-unchanged past the gate). The probe's KEY NEGATIVE (variant A):
+# persist()-chaining the adjacency to keep the groupBy partitioning
+# (zero per-round exchanges) measured 7.64 vs 3.27 s at sf0.01 --
+# persist does NOT truncate the logical plan and adj is referenced
+# twice per round, so Catalyst re-inlines the chain exponentially (the
+# r09 MMR lesson applied to loop STATE, not expressions); the CC fold
+# dodges this because its evolving side is the localCheckpointed
+# BROADCAST side, while kcore's evolving side is the stream. 100 TB
+# win condition: per-round shuffled volume halves (one E'-row exchange,
+# no sort buffers); the dropped broadcast is |V'|-bounded and gated.
+# MODEST-POSITIVE r12 probe #6 (continuation session 2, tools/
+# probe_kmeans_r12.py): kmeans_assign materializes the projected
+# embedding corpus once instead of re-deriving it (parquet scan +
+# string->double-array conversion) in each of ITERS+1 _assign rounds.
+# Won both interleaved isolated sf0.1 pairings (2.38/2.25 vs 2.94/2.38
+# s best-of-3; second pair narrow but direction consistent),
+# hash-identical; plan shape per round unchanged (the centroid fold was
+# already exchange-free) -- the win is pure repeated-conversion
+# elimination and grows with corpus size. Canonical Lloyd shape (MLlib
+# warns on uncached k-means input); reliable-mode materialize is the
+# 100 TB story, as for every iterative operator.
 # MEASUREMENT adjudication r12 (continuation session):
 # graph_triangle_count's in-sweep anomaly in the quiet post-CC-fold
 # sweep (12.56 s in-sweep / 15.14 isolated repin vs prev 5.48 while
