@@ -101,6 +101,51 @@ def test_cc_regimes_bit_identical(spark, monkeypatch):
         assert len(broadcast_rows) > 0
 
 
+def test_triangle_regimes_bit_identical(spark, monkeypatch):
+    """triangle_summary's r12 broadcast regime (probe
+    tools/probe_triangle_r12.py; won all three interleaved isolated
+    sf0.1 pairings 3.50/2.69/2.72 vs 3.95/2.77/5.79 s) must equal the
+    r10 shuffle shape row-for-row. The shuffle shape is the r10-r11
+    driver-green formulation, so this twin pins the restructure against
+    that evidence the same way the HITS/CC/k-core twins do."""
+
+    def rows():
+        out = [
+            tuple(r)
+            for r in graph.graph_triangle_count(spark, SF_DIR).collect()
+        ]
+        _release(spark)
+        return out
+
+    broadcast_rows = rows()
+    monkeypatch.setattr(graph, "TRIANGLE_BROADCAST_MAX_E", 0)
+    merge_rows = rows()
+    assert broadcast_rows == merge_rows
+    assert len(broadcast_rows) == 1  # one-row summary
+
+
+def test_triangle_broadcast_plan_no_smj(spark):
+    """Win condition of the triangle broadcast regime: the degree
+    orientation and the closing intersection all join as broadcast
+    BHJs -- no sort-merge join anywhere, and the E-row array-carrying
+    exchange on t is gone (summed shuffles 8 -> 6). Audited via the
+    same tree-walk counter PLANS.md uses."""
+    from ushas_spark import durability
+
+    durability.begin_plan_audit()
+    df = graph.graph_triangle_count(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    segments = durability.end_plan_audit()
+    _release(spark)
+    totals = {}
+    for seg in segments:
+        for k, v in seg["counts"].items():
+            totals[k] = totals.get(k, 0) + v
+    assert totals["smj"] == 0, totals
+    assert totals["bhj"] >= 3, totals
+    assert totals["shuffles"] <= 6, totals
+
+
 def test_kcore_regimes_bit_identical(spark, monkeypatch):
     """k-core's r12 broadcast-anti peel regime (probe
     tools/probe_kcore_r12.py; won both interleaved isolated sf0.1

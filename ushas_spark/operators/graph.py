@@ -308,6 +308,14 @@ FROM tri
 """
 
 
+# Regime gate for triangle_summary's broadcast joins (r12 probe #7,
+# tools/probe_triangle_r12.py): compared against the just-materialized
+# DISTINCT edge count. The broadcast side (oriented adjacency) carries E
+# total array entries (~8E bytes of ids), so the gate bounds the
+# broadcast at ~80 MB -- the same order as the sibling 10M-vertex gates.
+TRIANGLE_BROADCAST_MAX_E = 10_000_000
+
+
 @query("graph_triangle_count", oracle=_TRIANGLE_ORACLE)
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count + wedge count of the part co-purchase graph
@@ -347,8 +355,24 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def triangle_summary(edges: DataFrame) -> DataFrame:
     """Degree-oriented triangle/wedge summary of any distinct
     (u, v; u != v, one row per undirected edge) edge DataFrame --
-    factored out so scale tests can feed planted graphs."""
+    factored out so scale tests can feed planted graphs.
+
+    Regime gate (r12 probe #7, tools/probe_triangle_r12.py; same
+    rationale as the HITS/CC/PAGERANK/KCORE gates): the degree tables
+    are |V|-row two-column frames and the oriented adjacency holds E
+    total array entries, so below TRIANGLE_BROADCAST_MAX_E (over the
+    just-materialized edge count) both degree joins and the closing
+    intersection join take explicit broadcasts -- the E-row
+    array-carrying exchange on t (by bytes the heaviest shuffle here)
+    disappears and the SMJ degree joins become map-side BHJs. Audited
+    8 -> 6 summed shuffles, SMJ 2 -> 0; won three interleaved isolated
+    sf0.1 pairings (3.50/2.69/2.72 vs 3.95/2.77/5.79 s), output
+    bit-identical. Past the gate (E linear in corpus at 100 TB; the
+    adjacency no longer fits a broadcast) the shuffle shape below runs
+    byte-unchanged.
+    """
     edges = materialize(edges)
+    small_e = edges.count() <= TRIANGLE_BROADCAST_MAX_E
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -357,7 +381,10 @@ def triangle_summary(edges: DataFrame) -> DataFrame:
     )
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    keyed = edges.join(du, "u").join(dv, "v")
+    if small_e:
+        keyed = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    else:
+        keyed = edges.join(du, "u").join(dv, "v")
     lower = F.struct("du", "u") < F.struct("dv", "v")
     oriented = keyed.select(
         F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
@@ -390,7 +417,7 @@ def triangle_summary(edges: DataFrame) -> DataFrame:
     )
     adj_t = adj.select(F.col("s").alias("t"), F.col("nbrs").alias("nt"))
     tri = (
-        es.join(adj_t, "t")
+        es.join(F.broadcast(adj_t) if small_e else adj_t, "t")
         .select(F.size(F.array_intersect("ns", "nt")).alias("c"))
         .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_triangles"))
     )

@@ -235,6 +235,23 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # elimination and grows with corpus size. Canonical Lloyd shape (MLlib
 # warns on uncached k-means input); reliable-mode materialize is the
 # 100 TB story, as for every iterative operator.
+# POSITIVE r12 probe #7 (continuation session 3, tools/
+# probe_triangle_r12.py): triangle_summary's degree joins and closing
+# intersection join take explicit size-gated broadcasts
+# (TRIANGLE_BROADCAST_MAX_E over the just-materialized distinct edge
+# count). The degree tables are |V|-row two-column frames and adj_t
+# holds E total array entries (~8E bytes), all broadcastable below the
+# gate; the E-row array-carrying exchange on t -- by bytes the
+# heaviest shuffle in the query -- disappears and the two degree SMJs
+# become map-side BHJs. Audited 8 -> 6 summed audit-segment shuffles /
+# SMJ 2 -> 0 / BHJ 1 -> 3 (plans/r12/graph_triangle_count_*). WON all
+# three interleaved isolated sf0.1 pairings (bcast 3.50/2.69/2.72 vs
+# shipped 3.95/2.77/5.79 s best-of-3), hash-identical in all six runs;
+# regime twin test_triangle_regimes_bit_identical pins the r10 shuffle
+# shape byte-unchanged past the gate (the 100 TB regime, E linear in
+# corpus). Oriented-adjacency es-join left co-partitioned (zero
+# exchange already; only the final-fragment sort remains -- not worth
+# a fourth broadcast without pairing evidence).
 # MEASUREMENT adjudication r12 (continuation session):
 # graph_triangle_count's in-sweep anomaly in the quiet post-CC-fold
 # sweep (12.56 s in-sweep / 15.14 isolated repin vs prev 5.48 while
