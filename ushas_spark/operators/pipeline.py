@@ -227,10 +227,17 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     tr = flat.filter(F.col("doc_id") % _DECONTAM_EVAL_MOD != 0)
+    # COUNT, not COUNT(DISTINCT): grams are per-doc distinct already
+    # (array_distinct before the explode) and ev is distinct on ng, so
+    # each (doc, ng) survives the inner join at most once -- the plain
+    # count is provably identical and drops the distinct-aggregate's
+    # extra (doc_id, ng)-wide exchange (r12 probe #8,
+    # tools/probe_ngrams_r12.py: 4 -> 3 planned shuffles, won all three
+    # interleaved isolated sf0.1 pairings, hash-identical).
     return (
         tr.join(F.broadcast(ev), "ng")
         .groupBy("doc_id")
-        .agg(F.count_distinct("ng").alias("n_shared_ngrams"))
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
         .orderBy("doc_id")
     )
 
@@ -1209,10 +1216,13 @@ def pipeline_contamination_severity(
         .distinct()
     )
     tr = flat.filter(F.col("doc_id") % _DECONTAM_EVAL_MOD != 0)
+    # Plain COUNT: same by-construction (doc, ng) uniqueness as
+    # pipeline_decontaminate (array_distinct grams x distinct ev side),
+    # same redundant distinct-aggregate exchange dropped (r12 probe #8).
     shared = (
         tr.join(F.broadcast(ev), "ng")
         .groupBy("doc_id")
-        .agg(F.countDistinct("ng").alias("n_shared"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     tot = base.filter(F.col("doc_id") % _DECONTAM_EVAL_MOD != 0).select(
         "doc_id", F.size("ngs").cast("long").alias("n_ngrams")

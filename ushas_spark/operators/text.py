@@ -1637,10 +1637,16 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines use to strip template text before dedup.
 
     Scale shape (two corpus passes, both shuffle-bounded):
-    1. doc-frequency: explode grams -> distinct (gram, doc) -> count
-       per gram. Both steps shuffle on the gram key with map-side
-       partial aggregation; no reducer sees a document, only a gram's
-       postings count.
+    1. doc-frequency: explode PER-DOC-DISTINCT grams -> count per gram.
+       A (gram, doc) duplicate can only arise inside one document (each
+       doc is a single row before the explode), so array_distinct on
+       the gram array makes the pair stream globally distinct BY
+       CONSTRUCTION -- the old separate distinct() exchange on full
+       gram strings is provably redundant (r12 probe #8,
+       tools/probe_ngrams_r12.py: 4 -> 3 planned shuffles, won all
+       three interleaved isolated sf0.1 pairings 3.52/3.49/3.47 vs
+       4.11/3.69/3.80 s, hash-identical). The groupBy shuffles only
+       (gram, partial count) with map-side aggregation.
     2. scoring: the boilerplate set is the HIGH-doc-frequency tail --
        by construction orders of magnitude smaller than the gram
        universe -- so the join back to per-doc grams is a broadcast
@@ -1653,20 +1659,15 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sequence(1, size-2) on a short doc is DESCENDING (sequence(1,0) =
     # [1,0]) and slice() then throws / fabricates grams, while the DuckDB
     # oracle's range(1, 0) is simply empty.
-    grams = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"CASE WHEN size(split(text, ' ')) >= {BOILER_N} THEN"
-                f" transform(sequence(1, size(split(text, ' ')) - {BOILER_N - 1}),"
-                f" k -> concat_ws(' ', slice(split(text, ' '), k, {BOILER_N})))"
-                f" ELSE CAST(array() AS array<string>) END"
-            )
-        ).alias("gram"),
+    gram_array = F.expr(
+        f"CASE WHEN size(split(text, ' ')) >= {BOILER_N} THEN"
+        f" transform(sequence(1, size(split(text, ' ')) - {BOILER_N - 1}),"
+        f" k -> concat_ws(' ', slice(split(text, ' '), k, {BOILER_N})))"
+        f" ELSE CAST(array() AS array<string>) END"
     )
+    grams = d.select("doc_id", F.explode(gram_array).alias("gram"))
     df_counts = (
-        grams.select("gram", "doc_id")
-        .distinct()
+        d.select(F.explode(F.array_distinct(gram_array)).alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )

@@ -252,6 +252,35 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # corpus). Oriented-adjacency es-join left co-partitioned (zero
 # exchange already; only the final-fragment sort remains -- not worth
 # a fourth broadcast without pairing evidence).
+# POSITIVE r12 probe #8 (continuation session 3, tools/
+# probe_ngrams_r12.py): two provably-redundant distincts removed from
+# the n-gram operators. (a) text_boilerplate_ngrams: a (gram, doc)
+# duplicate can only arise WITHIN one document (each doc is a single
+# row before the explode), so explode(array_distinct(gram_array)) is
+# globally distinct by construction -- the separate distinct() exchange
+# on full gram strings is gone (4 -> 3 planned shuffles; won all three
+# interleaved isolated sf0.1 pairings 3.52/3.49/3.47 vs 4.11/3.69/3.80
+# s best-of-3, hash-identical). (b) pipeline_decontaminate (+ the same
+# shape in pipeline_contamination_severity): grams are per-doc distinct
+# (array_distinct before explode) and the broadcast ev side is distinct
+# on ng, so each (doc, ng) survives the inner join at most once and
+# COUNT == COUNT(DISTINCT) -- the distinct-aggregate's extra
+# (doc_id, ng)-wide exchange is gone (4 -> 3; won all three pairings
+# 1.16/1.15/1.27 vs 1.29/1.26/1.34 s, hash-identical; severity twin
+# row-identical at sf0.1). Plan pins: tests/test_ngram_plan_shapes.py.
+# 100 TB: both removals are full-corpus-width gram-string exchanges.
+# NEGATIVE r12 probe #9 (continuation session 3, tools/
+# probe_bloom_r12.py): pipeline_bloom_prefilter. (a) dropping
+# bits.distinct() before the BIT_OR word fold (idempotent OR) is a
+# PLANNED NO-OP -- Catalyst already stacks the dedup on the word-group
+# exchange; both variants plan byte-identically. (b) computing the
+# probe IN-ROW (words folded to a one-row map broadcast + forall over
+# the BLOOM_HASHES positions, removing the per-bit explode/BHJ and the
+# (doc_id, ng) min-agg exchange, 5 -> 4 planned shuffles) measured a
+# wash-to-LOSS in two interleaved isolated sf0.1 pairings (2.56/2.70
+# vs shipped 2.51/2.25 s): the forall re-evaluates the double-hash per
+# position and H map probes per gram cost more than the map-side-
+# combinable min-agg exchange they replace. Shipped shape kept.
 # MEASUREMENT adjudication r12 (continuation session):
 # graph_triangle_count's in-sweep anomaly in the quiet post-CC-fold
 # sweep (12.56 s in-sweep / 15.14 isolated repin vs prev 5.48 while
