@@ -36,7 +36,7 @@ from ushas_spark.io import load_table
 from ushas_spark.operators import graph
 
 
-def triangle_bcast(edges: DataFrame) -> DataFrame:
+def triangle_bcast(edges: DataFrame, bcast_es: bool = False) -> DataFrame:
     edges = materialize(edges)
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -54,7 +54,9 @@ def triangle_bcast(edges: DataFrame) -> DataFrame:
     )
     oriented = pin_partitioned(oriented, "s")
     adj = oriented.groupBy("s").agg(F.collect_list("t").alias("nbrs"))
-    es = oriented.join(adj, "s").select("t", F.col("nbrs").alias("ns"))
+    es = oriented.join(F.broadcast(adj) if bcast_es else adj, "s").select(
+        "t", F.col("nbrs").alias("ns")
+    )
     adj_t = adj.select(F.col("s").alias("t"), F.col("nbrs").alias("nt"))
     tri = (
         es.join(F.broadcast(adj_t), "t")
@@ -98,6 +100,8 @@ def build(spark: SparkSession, sf_dir: str, variant: str) -> DataFrame:
     )
     if variant == "bcast":
         return triangle_bcast(edges)
+    if variant == "bcast2":
+        return triangle_bcast(edges, bcast_es=True)
     return graph.triangle_summary(edges)
 
 
