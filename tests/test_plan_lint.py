@@ -109,6 +109,18 @@ PANDAS_EVAL_OK_NAMES = {
     # bit-equality twin (_hilbert_chain_histogram) and the query stays
     # DuckDB-oracle-gated.
     "layout_hilbert_histogram",
+    # Reviewed r12 (measured, tools/probe_pca_r12.py): the PCA moment
+    # pass's three readouts (upper-triangle second moments, per-dim
+    # sums, row count) are all exact-integer sums, so one mapInPandas
+    # pass over the quantised corpus replaces three corpus scans and
+    # the 2080-named_structs-per-row explode (~31M struct rows at
+    # sf0.1) with <= 2145 partial rows per batch; numpy int64 matmul
+    # is the identical integer arithmetic. Won both interleaved
+    # isolated sf0.1 pairings 2.12/2.00 s vs 4.94/3.61, hash-identical
+    # at sf0.001/0.01/0.1. The JVM explode shape is kept as the
+    # bit-equality twin (_pca_jvm_power_iteration,
+    # tests/test_pca_twin.py); the query stays DuckDB-oracle-gated.
+    "sim_pca_power_iteration",
 }
 
 _BATCH_QUERIES = [

@@ -391,6 +391,14 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec(F.col("embedding")).alias("e")
     )
+    # Same one-line transfer as kmeans_assign (r12 probe
+    # tools/probe_semdedup_mat_r12.py): the inline Lloyd loop otherwise
+    # re-scans parquet and re-runs the string->double-array conversion
+    # in every _assign round (ITERS + 1 corpus passes). Won both
+    # interleaved isolated sf0.1 pairings (6.99/5.23 s vs 9.10/8.03
+    # best-of-3), hash-identical; the per-row float-op sequence is
+    # untouched so outputs are bit-identical by construction.
+    emb = materialize(emb)
     cents = _init_centroids(emb)
     for _ in range(ITERS):
         cents = materialize(_update(_assign(emb, cents)))
@@ -543,18 +551,94 @@ def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: fixed v0 = all-ones, fixed round count, integer
     rescale -- both engines walk the identical integer sequence, so the
-    eigenvector sign ambiguity never arises."""
+    eigenvector sign ambiguity never arises.
+
+    r12 (tools/probe_pca_r12.py): the corpus pass is the engine's third
+    reviewed Arrow-eval allowance (tests/test_plan_lint.py
+    PANDAS_EVAL_OK_NAMES, precedents sim_brute_force_topk_numpy and
+    layout_hilbert_histogram). The JVM shape paid THREE corpus scans
+    (pairs explode, posexplode means, count) and fanned 2080
+    named_structs per row through the explode (~31M struct rows at
+    sf0.1); all three readouts are exact-integer sums, so one
+    mapInPandas pass emits per-batch partial G = X^T X (upper
+    triangle), per-dim sums and the row count as <= 2145 tiny rows per
+    batch -- one corpus scan, no struct fan-out, and the combine
+    shuffle stays O(D^2) per map partition exactly like the explode's.
+    numpy int64 matmul is the same exact integer arithmetic (at the
+    documented overflow budget numpy would wrap where ANSI throws;
+    tested scales sit ~300x inside the bound, and the PCA_SCALE
+    remedies above apply unchanged). Won both interleaved isolated
+    sf0.1 pairings (2.12/2.00 s vs 4.94/3.61 best-of-3),
+    hash-identical in all four processes and at sf0.001/0.01/0.1. The
+    JVM explode shape is kept as _pca_jvm_power_iteration with a
+    bit-equality twin test (tests/test_pca_twin.py); the query stays
+    DuckDB-oracle-gated."""
+    rows = _pca_rows(spark, sf_dir)
+    return _pca_tail(*_pca_moments_arrow(rows))
+
+
+def _pca_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The x{PCA_SCALE}-quantised long-vector corpus both moment
+    builders read."""
     emb = load_table(spark, sf_dir, "embeddings")
     xs = F.transform(
         _dvec(F.col("embedding")),
         lambda v: F.round(v * PCA_SCALE).cast("long"),
     )
-    rows = emb.select(xs.alias("xs"))
+    return emb.select(xs.alias("xs"))
 
-    # Symmetry: fan out only i <= j (2080 products/row instead of 4096)
-    # and mirror the aggregated 2080-cell table afterwards -- halves the
-    # corpus-side explode+combine volume, which is the whole cost of
-    # this operator (measured 5.8s -> ~3s at sf0.1).
+
+def _pca_moments_arrow(rows: DataFrame):
+    """One Arrow pass -> (upper-triangle cells, per-dim sums, count).
+
+    Each batch contributes exact-integer partials; the groupBy(i, j)
+    sum is order-independent, so the result is bit-identical to the
+    JVM explode shape. Encoding: (i, j, p) cells for i <= j, (i, -1, m)
+    per-dim sums, (-1, -1, n) the row count. The aggregate is
+    materialized because all three readouts (referenced 4x downstream)
+    must not re-run the corpus pass."""
+    import numpy as np
+    import pandas as pd
+
+    D = PCA_DIM
+
+    def moments(batches):
+        iu, ju = np.triu_indices(D)
+        G = np.zeros((D, D), dtype=np.int64)
+        m = np.zeros(D, dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["xs"].tolist(), dtype=np.int64)
+            G += X.T @ X
+            m += X.sum(axis=0)
+            n += len(X)
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate([iu, np.arange(D), [-1]]),
+                "j": np.concatenate([ju, np.full(D, -1), [-1]]),
+                "p": np.concatenate([G[iu, ju], m, [n]]),
+            }
+        )
+
+    part = rows.mapInPandas(moments, "i long, j long, p long")
+    agg = materialize(part.groupBy("i", "j").agg(F.sum("p").alias("s")))
+    upper = agg.filter((F.col("i") >= 0) & (F.col("j") >= 0))
+    mu = agg.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(
+        "i", F.col("s").alias("m")
+    )
+    nn = agg.filter(F.col("i") == -1).select(F.col("s").alias("n"))
+    return upper, mu, nn
+
+
+def _pca_moments_jvm(rows: DataFrame):
+    """The pre-r12 pure-JVM moment pass, kept as the bit-equality twin.
+
+    Symmetry: fan out only i <= j (2080 products/row instead of 4096)
+    and mirror the aggregated 2080-cell table afterwards -- halves the
+    corpus-side explode+combine volume, which is the whole cost of
+    this shape (r08: measured 5.8s -> ~3s at sf0.1)."""
     pairs = rows.select(
         F.explode(
             F.expr(
@@ -565,17 +649,30 @@ def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s")
     ).select("s.i", "s.j", "s.p")
     upper = pairs.groupBy("i", "j").agg(F.sum("p").alias("s"))
-    cells = upper.unionAll(
-        upper.filter(F.col("i") != F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), F.col("s")
-        )
-    )
     mu = (
         rows.select(F.posexplode("xs").alias("i", "xi"))
         .groupBy("i")
         .agg(F.sum("xi").alias("m"))
     )
     nn = rows.agg(F.count(F.lit(1)).alias("n"))
+    return upper, mu, nn
+
+
+def _pca_jvm_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_pca_power_iteration on the JVM explode moment pass -- the
+    bit-equality twin for the reviewed Arrow allowance."""
+    rows = _pca_rows(spark, sf_dir)
+    return _pca_tail(*_pca_moments_jvm(rows))
+
+
+def _pca_tail(upper: DataFrame, mu: DataFrame, nn: DataFrame) -> DataFrame:
+    """Mirror + exact-integer centering + the power-method rounds;
+    shared verbatim by both moment builders."""
+    cells = upper.unionAll(
+        upper.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), F.col("s")
+        )
+    )
     c = (
         cells.join(F.broadcast(mu.select(F.col("i"), F.col("m").alias("mi"))), "i")
         .join(

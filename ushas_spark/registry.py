@@ -281,6 +281,43 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # vs shipped 2.51/2.25 s): the forall re-evaluates the double-hash per
 # position and H map probes per gram cost more than the map-side-
 # combinable min-agg exchange they replace. Shipped shape kept.
+# POSITIVE r12 probe #10 (continuation session 4, tools/
+# probe_semdedup_mat_r12.py): dedup_semantic_clusters materializes the
+# projected embedding corpus once before its inline Lloyd loop -- the
+# identical one-line transfer probe #6 gave kmeans_assign (the inline
+# loop had been left out because it needs the assignment WITH raw
+# vectors/norms for the pair stage, not because the scan reuse didn't
+# apply). WON both interleaved isolated sf0.1 pairings (6.99/5.23 vs
+# 9.10/8.03 s best-of-3), hash-identical in all four processes and
+# oracle-green at sf0.001/0.01/0.1; audited parquet scans 5 -> 1
+# (plans/r12/dedup_semantic_clusters_*), shuffle total unchanged at 13
+# -- the win is repeated scan + string->double-array conversion
+# elimination, growing with corpus size. This SUPERSEDES the r10
+# persist wash below: that probe kept the un-truncated persist plan in
+# a window where the distance fold dominated; materialize (truncating,
+# eager, the probe-#6 shape) wins decisively and consistently with the
+# kmeans_assign result. Pinned by
+# tests/test_semdedup_scan_reuse.py (exactly one embeddings scan
+# across all audited segments).
+# POSITIVE r12 probe #11 (continuation session 4, tools/
+# probe_pca_r12.py): sim_pca_power_iteration's corpus pass moved from
+# three JVM corpus scans (2080-named_struct explode for the second
+# moments at ~31M struct rows sf0.1, posexplode means, count) to ONE
+# mapInPandas pass emitting exact-integer per-batch partials
+# (G = X^T X upper triangle + per-dim sums + count, <= 2145 rows per
+# batch; numpy int64 matmul is the same integer arithmetic -- at the
+# operator's documented BIGINT overflow budget numpy would wrap where
+# ANSI throws, both ~300x inside the bound at tested scales). WON both
+# interleaved isolated sf0.1 pairings (2.12/2.00 vs 4.94/3.61 s
+# best-of-3), hash-identical in all four processes and oracle-green at
+# sf0.001/0.01/0.1; audited parquet scans 5 -> 1, summed shuffles
+# 8 -> 5, explode nodes 2 -> 0 (plans/r12/sim_pca_power_iteration_*).
+# Third reviewed Arrow-eval allowance (PANDAS_EVAL_OK_NAMES,
+# precedents brute-force-numpy + hilbert); the JVM explode shape is
+# kept as _pca_jvm_power_iteration with a bit-equality twin test
+# (tests/test_pca_twin.py). 100 TB: the removed work (two extra
+# corpus scans + the struct fan-out) is linear in the corpus; the
+# combine shuffle stays O(D^2) per map partition in both shapes.
 # MEASUREMENT adjudication r12 (continuation session):
 # graph_triangle_count's in-sweep anomaly in the quiet post-CC-fold
 # sweep (12.56 s in-sweep / 15.14 isolated repin vs prev 5.48 while
