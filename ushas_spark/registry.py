@@ -318,6 +318,21 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (tests/test_pca_twin.py). 100 TB: the removed work (two extra
 # corpus scans + the struct fan-out) is linear in the corpus; the
 # combine shuffle stays O(D^2) per map partition in both shapes.
+# NEGATIVE r12 probe #12 (session 5, tools/probe_boiler_inrow_r12.py):
+# text_boilerplate_ngrams in-row scoring. Re-expressing pass 2 as a
+# row-local fold (one-row broadcast map of the boiler set +
+# aggregate(ga, ..., IF(map_contains_key(bm, g), 1, 0)) per doc)
+# removes the scoring explode and the groupBy(doc_id) exchange
+# (3 -> 2 planned shuffles) and is hash-identical at sf0.01 -- but it
+# is a DECISIVE LOSS at sf0.1: shipped best-of-3 4.95 s, candidate DNF
+# past a 10-minute bound in the same window. Root cause: Spark map
+# values are ArrayBasedMapData with NO hash index, so map_contains_key
+# is a LINEAR scan over the boiler set per gram occurrence (O(G x B)),
+# where the shipped broadcast-hash-join probes a real hash relation
+# per exploded row; the HOF fold is also CodegenFallback. Same family
+# as the probe-#9 bloom in-row loss, with a sharper mechanism.
+# Shipped shape kept; the per-doc rollup exchange it would have
+# removed is tiny (post-partial-agg (doc_id, counts) rows).
 # MEASUREMENT adjudication r12 (continuation session):
 # graph_triangle_count's in-sweep anomaly in the quiet post-CC-fold
 # sweep (12.56 s in-sweep / 15.14 isolated repin vs prev 5.48 while
