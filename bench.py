@@ -398,10 +398,50 @@ PROBE_SLOW_SEC = 0.30
 DRIFT_SLOW_MEDIAN = 1.15
 DRIFT_SLOW_OUTLIERS = 8
 DRIFT_SLOW_OUTLIER_MEDIAN = 1.05
-# Bounded sweep retry: a non-quiet full sweep re-awaits a quiet window
-# and re-times ONCE (the driver's per-round run must terminate; both
-# windows land in the artifact either way).
-MAX_SWEEP_ATTEMPTS = int(os.environ.get("USHAS_BENCH_MAX_ATTEMPTS", "2"))
+# Bounded sweep retry: a non-quiet full sweep MAY re-await a quiet
+# window and re-time once -- but only when the builder opts in
+# (USHAS_BENCH_MAX_ATTEMPTS=2) AND the run is still inside the retry
+# wall budget. Default is ONE attempt (r13, VERDICT r12 item 1): the
+# r12 driver's 32-core run hit its own timeout mid-retry (rc 124, no
+# JSON line, no official number -- strictly worse than a contended
+# number with an honest window_class stamp). Non-quiet windows are
+# COMMON on this host, so a default retry roughly doubles expected
+# sweep wall plus quiet-waits; the builder's own sweeps can afford
+# that, the driver's per-round run cannot.
+MAX_SWEEP_ATTEMPTS = int(os.environ.get("USHAS_BENCH_MAX_ATTEMPTS", "1"))
+# Even an opted-in retry is skipped when the run has already consumed
+# this much wall (warm pass + attempt 1 + quiet waits): past it, a
+# second full sweep risks the caller's timeout more than it improves
+# the artifact. ~15 min covers a quiet 32-core attempt with margin.
+RETRY_BUDGET_SEC = float(os.environ.get("USHAS_BENCH_RETRY_BUDGET_SEC", "900"))
+# The post-sweep isolated re-pins (fresh subprocess JVMs, up to 8) are
+# also wall-bounded: stop launching new ones past this total elapsed
+# wall so the re-pin tail can never push the driver's run over its
+# timeout. Generous: a quiet full sweep + warm pass fits well inside.
+REPIN_BUDGET_SEC = float(os.environ.get("USHAS_BENCH_REPIN_BUDGET_SEC", "1800"))
+
+
+def _retry_decision(
+    attempt: int, window_class: str, elapsed_sec: float,
+    max_attempts: int = None, budget_sec: float = None,
+) -> str:
+    """Whether the sweep loop retries: 'retry', 'done', or a
+    'retry_skipped_*' reason string (stamped into the artifact).
+
+    Pure logic, unit-tested in tests/test_bench_gate.py: the r12 driver
+    run died to an unbounded retry (rc 124), so termination is now a
+    tested property, not a hope."""
+    if max_attempts is None:
+        max_attempts = MAX_SWEEP_ATTEMPTS
+    if budget_sec is None:
+        budget_sec = RETRY_BUDGET_SEC
+    if window_class == "quiet":
+        return "done"
+    if attempt >= max_attempts:
+        return "done" if max_attempts > 1 else "retry_skipped_single_attempt"
+    if elapsed_sec > budget_sec:
+        return "retry_skipped_budget_%ds_elapsed" % int(elapsed_sec)
+    return "retry"
 
 
 def _uniform_drift(drift_median: float | None, n_outliers: int) -> bool:
@@ -557,6 +597,7 @@ def main() -> None:
     # point, and the parent discards the child's stamps anyway -- the
     # ~0.8s probe was dead wall time in each of up to 8 isolated re-pins
     # (ADVICE r11).
+    t_main0 = time.perf_counter()  # retry/re-pin wall budgets count from here
     child = os.environ.get("USHAS_BENCH_CHILD") == "1"
     if child:
         load_start, host_state = _loadavg(), "child"
@@ -629,6 +670,7 @@ def main() -> None:
     # stats vs the full committed detail are partial anyway.
     attempt = 0
     attempt1_summary = None
+    retry_skipped = None
     while True:
         attempt += 1
         timings: dict[str, float] = {}
@@ -655,7 +697,18 @@ def main() -> None:
                 host_state, steal, cpu_probe, load_start, load_end,
                 drift_median, len(outliers), retried=attempt > 1,
             )
-        if child or extra or window_class == "quiet" or attempt >= MAX_SWEEP_ATTEMPTS:
+        if child or extra:
+            break
+        decision = _retry_decision(
+            attempt, window_class, time.perf_counter() - t_main0
+        )
+        if decision != "retry":
+            if decision.startswith("retry_skipped"):
+                # Non-quiet window but no retry (single-attempt default
+                # or wall budget exhausted): say so in the artifact so a
+                # judge reading a non-quiet window_class knows the
+                # harness declined to re-time deliberately.
+                retry_skipped = decision
             break
         print(
             "bench.py WARNING: sweep window classified %s (%s); "
@@ -719,6 +772,8 @@ def main() -> None:
     if attempt1_summary is not None:
         out["sweep_attempts"] = attempt
         out["attempt1"] = attempt1_summary
+    if retry_skipped is not None:
+        out["retry_skipped"] = retry_skipped
 
     # Variance guard (r06 verdict item 3): every round so far, 1-4
     # sub-second queries read >1.5x their prior-round sweep value on
@@ -759,6 +814,17 @@ def main() -> None:
         else:
             repinned: dict[str, dict[str, float]] = {}
             for ratio, name in outliers[:8]:
+                # Wall budget (r13): each re-pin is a fresh JVM with a
+                # 600s subprocess timeout; 8 of them after a slow sweep
+                # is the other way the driver's run can exceed its
+                # window. Stop launching new ones past the budget --
+                # the sweep/prev numbers are already in the artifact.
+                elapsed = time.perf_counter() - t_main0
+                if elapsed > REPIN_BUDGET_SEC:
+                    out["repin_truncated"] = (
+                        "wall_budget_%ds_elapsed" % int(elapsed)
+                    )
+                    break
                 iso = _repin_isolated(name)
                 if iso is not None:
                     repinned[name] = {

@@ -22,6 +22,37 @@ def pytest_configure(config):
         "markers",
         "xdist_group(name): pin tests to one pytest-xdist worker",
     )
+    config.addinivalue_line(
+        "markers",
+        "slow: heavyweight conformance/execution twins, deselected from "
+        "the default lane (opt in with USHAS_RUN_SLOW=1)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default lane excludes @pytest.mark.slow (r13, VERDICT r12 item 2).
+
+    The full suite outgrew the driver's per-round pytest window (r12:
+    truncated ~64% through a pass-only run -- a gate that cannot finish
+    cannot protect). The slow marker covers the heavyweight
+    execution-twin conformance suites whose semantics the driver's own
+    oracle gate re-checks independently every round; plan-shape, regime
+    -twin, unit and lint tests all stay in the default lane. Run
+    EVERYTHING with USHAS_RUN_SLOW=1 (the builder does before closing a
+    round):
+
+        USHAS_RUN_SLOW=1 python -m pytest tests/ -x -q
+    """
+    if os.environ.get("USHAS_RUN_SLOW") == "1":
+        return
+    selected, deselected = [], []
+    for item in items:
+        (deselected if item.get_closest_marker("slow") else selected).append(
+            item
+        )
+    if deselected:
+        config.hook.pytest_deselected(items=deselected)
+        items[:] = selected
 
 
 @pytest.fixture(scope="session")

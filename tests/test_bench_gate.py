@@ -212,6 +212,58 @@ def test_prev_detail_rejects_cross_sf_snapshot(tmp_path, monkeypatch):
     assert bench._prev_detail(0.01) == {}
 
 
+# --- r13: sweep-retry wall budget (VERDICT r12 item 1) ----------------
+# The r12 driver's 32-core run hit rc 124 mid-retry: a non-quiet first
+# attempt triggered a second full 87-query sweep plus quiet-waits, and
+# the round lost its official bench number entirely. Termination of the
+# driver's run is now a tested property: one attempt by default, and
+# even an opted-in retry must fit the wall budget.
+
+
+def test_retry_default_is_single_attempt():
+    # Driver invocation (no env): a non-quiet window must NOT retry --
+    # it stamps retry_skipped_single_attempt and terminates.
+    got = bench._retry_decision(1, "contended", 120.0,
+                                max_attempts=1, budget_sec=900.0)
+    assert got == "retry_skipped_single_attempt"
+
+
+def test_retry_quiet_window_always_done():
+    assert bench._retry_decision(1, "quiet", 0.0,
+                                 max_attempts=2, budget_sec=900.0) == "done"
+    assert bench._retry_decision(1, "quiet", 1e9,
+                                 max_attempts=1, budget_sec=900.0) == "done"
+
+
+def test_retry_opted_in_within_budget():
+    got = bench._retry_decision(1, "contended", 500.0,
+                                max_attempts=2, budget_sec=900.0)
+    assert got == "retry"
+
+
+def test_retry_opted_in_but_budget_exhausted():
+    # Replays the r12 failure shape: attempt 1 finished non-quiet after
+    # the budget was already gone -- the old code retried and died to
+    # the caller's timeout; now it stamps and terminates.
+    got = bench._retry_decision(1, "slow_mode", 1200.0,
+                                max_attempts=2, budget_sec=900.0)
+    assert got.startswith("retry_skipped_budget_")
+
+
+def test_retry_second_attempt_terminates_regardless():
+    assert bench._retry_decision(2, "contended", 100.0,
+                                 max_attempts=2, budget_sec=900.0) == "done"
+
+
+def test_retry_env_defaults_guarantee_termination():
+    # The module-level defaults the driver runs with: MAX_SWEEP_ATTEMPTS
+    # must be 1 unless the builder exported the opt-in env var.
+    if "USHAS_BENCH_MAX_ATTEMPTS" not in os.environ:
+        assert bench.MAX_SWEEP_ATTEMPTS == 1
+    assert bench.RETRY_BUDGET_SEC > 0
+    assert bench.REPIN_BUDGET_SEC > 0
+
+
 def test_classify_retry_ignores_self_inflicted_loadavg5():
     # Replays the r12 retry sweep's stamps: attempt 2 ran at steal
     # 0.11% / probe 0.2626 / drift 0.654, but the 5-min start loadavg

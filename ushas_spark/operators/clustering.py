@@ -607,13 +607,31 @@ def _pca_moments_arrow(rows: DataFrame):
         G = np.zeros((D, D), dtype=np.int64)
         m = np.zeros(D, dtype=np.int64)
         n = 0
+        max_abs = 0
         for pdf in batches:
             if not len(pdf):
                 continue
             X = np.array(pdf["xs"].tolist(), dtype=np.int64)
+            # Overflow guard (r13, VERDICT r12 item 7): numpy int64
+            # WRAPS where ANSI Spark throws. |G_ij| <= n * max|x|^2
+            # over this task's rows; checked in unbounded Python ints
+            # BEFORE the accumulate, so the Arrow path fails as loudly
+            # as the JVM twin would instead of going silently wrong.
+            # (The cross-task combine is a Spark ANSI SUM, which throws
+            # on overflow by itself.) Remedy at scale: drop PCA_SCALE —
+            # see the operator docstring's overflow-budget table.
+            max_abs = max(max_abs, int(np.abs(X).max(initial=0)))
+            n += len(X)
+            if max_abs and n * max_abs * max_abs >= 2 ** 63:
+                raise OverflowError(
+                    "PCA moment accumulation would exceed int64: "
+                    f"{n} rows with max|x|={max_abs} in one task "
+                    f"(bound n*max^2 = {n * max_abs * max_abs} >= 2^63). "
+                    "Reduce PCA_SCALE (see sim_pca_power_iteration's "
+                    "overflow budget) before running at this scale."
+                )
             G += X.T @ X
             m += X.sum(axis=0)
-            n += len(X)
         yield pd.DataFrame(
             {
                 "i": np.concatenate([iu, np.arange(D), [-1]]),
