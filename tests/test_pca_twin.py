@@ -36,33 +36,32 @@ def test_arrow_moment_pass_is_single_corpus_scan(spark, sf_dir):
     assert "BatchEvalPython" not in plan, plan
 
 
-def test_arrow_moment_pass_overflow_guard_fails_loudly(spark):
+def test_arrow_moment_pass_overflow_guard_fails_loudly():
     """r13 (VERDICT r12 item 7): numpy int64 wraps where ANSI throws.
     A synthetic over-budget frame (one row whose |x| makes n*max^2
-    cross 2^63) must raise, not return wrapped numbers."""
+    cross 2^63) must raise, not return wrapped numbers. Exercised on
+    the module-level generator directly: a deliberately-crashed Spark
+    task kills the session's reused Python workers and flakes the NEXT
+    test's job (observed ClosedSelectorException in the full suite)."""
+    import pandas as pd
     import pytest
-    from ushas_spark.operators.clustering import PCA_DIM, _pca_moments_arrow
+    from ushas_spark.operators.clustering import PCA_DIM, _pca_moment_batches
 
-    over = spark.createDataFrame(
-        [([3_100_000_000] * PCA_DIM,)], "xs array<long>"
-    )
-    with pytest.raises(Exception, match="PCA moment accumulation"):
-        # materialize() inside the moment pass is eager: building the
-        # readouts already runs the corpus job.
-        _pca_moments_arrow(over)
+    over = pd.DataFrame({"xs": [[3_100_000_000] * PCA_DIM]})
+    with pytest.raises(OverflowError, match="PCA moment accumulation"):
+        list(_pca_moment_batches(iter([over])))
 
 
-def test_arrow_moment_pass_guard_passes_in_budget(spark):
+def test_arrow_moment_pass_guard_passes_in_budget():
     """The guard must not fire inside the documented budget: a tiny
-    legitimate frame still yields exact moments."""
-    from ushas_spark.operators.clustering import PCA_DIM, _pca_moments_arrow
+    legitimate frame still yields exact partial moments."""
+    import pandas as pd
+    from ushas_spark.operators.clustering import PCA_DIM, _pca_moment_batches
 
-    rows = spark.createDataFrame(
-        [([7] * PCA_DIM,), ([-3] * PCA_DIM,)], "xs array<long>"
-    )
-    upper, mu, nn = _pca_moments_arrow(rows)
-    assert nn.collect()[0]["n"] == 2
-    got_mu = {r["i"]: r["m"] for r in mu.collect()}
-    assert got_mu[0] == 4 and got_mu[PCA_DIM - 1] == 4
-    diag = {r["i"]: r["s"] for r in upper.filter("i = j").collect()}
-    assert diag[0] == 49 + 9
+    rows = pd.DataFrame({"xs": [[7] * PCA_DIM, [-3] * PCA_DIM]})
+    (out,) = list(_pca_moment_batches(iter([rows])))
+    cells = {(r.i, r.j): r.p for r in out.itertuples()}
+    assert cells[(-1, -1)] == 2                      # row count
+    assert cells[(0, -1)] == 4 and cells[(PCA_DIM - 1, -1)] == 4  # sums
+    assert cells[(0, 0)] == 49 + 9                   # diagonal moment
+    assert cells[(0, 1)] == 49 + 9                   # off-diagonal

@@ -15,6 +15,13 @@ from pyspark.sql import functions as F
 
 from ushas_spark.operators.dedup import lsh_candidates, minhash_signatures
 
+import pytest
+
+# r13 (VERDICT r12 item 2): scale-stress twins run in the slow lane;
+# the driver's default pytest invocation deselects them (opt in with
+# USHAS_RUN_SLOW=1 -- the builder's round-close run).
+pytestmark = pytest.mark.slow
+
 N_DOCS = 120_000  # 60k planted near-dup pairs
 N_EVENTS = 2_000_000
 N_USERS = 50_000

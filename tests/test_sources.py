@@ -11,6 +11,11 @@ from __future__ import annotations
 
 
 import pytest
+
+# r13 (VERDICT r12 item 2): execution-conformance twins run in the
+# slow lane; the driver's default pytest invocation deselects them
+# (opt in with USHAS_RUN_SLOW=1 -- the builder's round-close run).
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from ushas_spark.io import load_table

@@ -53,6 +53,7 @@ RES_V27 = "/root/reference/sql/core/src/test/resources/tpcds-v2.7.0"
 # Same bare-table-name temp views as the other two TPC-DS modules: keep
 # all three on one pytest-xdist worker (see test_tpcds_execution.py).
 pytestmark = [
+    pytest.mark.slow,  # r13: execution-twin lane (VERDICT r12 item 2)
     pytest.mark.skipif(
         not os.path.isdir(RES_V14), reason="reference resources not available"
     ),

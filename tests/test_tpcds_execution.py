@@ -39,6 +39,7 @@ RES = "/root/reference/sql/core/src/test/resources/tpcds"
 # the bare TPC-DS table names as session-global temp views; keep them on
 # one worker under pytest-xdist --dist loadgroup.
 pytestmark = [
+    pytest.mark.slow,  # r13: execution-twin lane (VERDICT r12 item 2)
     pytest.mark.skipif(
         not os.path.isdir(RES), reason="reference resources not available"
     ),

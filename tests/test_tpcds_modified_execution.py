@@ -40,6 +40,7 @@ RES_MOD = "/root/reference/sql/core/src/test/resources/tpcds-modifiedQueries"
 # concurrently in one Spark session. Pinning both to one xdist group
 # keeps them on the same worker under pytest-xdist --dist loadgroup.
 pytestmark = [
+    pytest.mark.slow,  # r13: execution-twin lane (VERDICT r12 item 2)
     pytest.mark.skipif(
         not os.path.isdir(RES_MOD), reason="reference resources not available"
     ),

@@ -52,6 +52,7 @@ from tests.test_tpcds_execution import _positional
 RES = "/root/reference/sql/core/src/test/resources/tpcds"
 
 pytestmark = [
+    pytest.mark.slow,  # r13: execution-twin lane (VERDICT r12 item 2)
     pytest.mark.skipif(
         not os.path.isdir(RES), reason="reference resources not available"
     ),

@@ -52,6 +52,7 @@ RES_V14 = "/root/reference/sql/core/src/test/resources/tpcds"
 RES_V27 = "/root/reference/sql/core/src/test/resources/tpcds-v2.7.0"
 
 pytestmark = [
+    pytest.mark.slow,  # r13: execution-twin lane (VERDICT r12 item 2)
     pytest.mark.skipif(
         not os.path.isdir(RES_V14), reason="reference resources not available"
     ),

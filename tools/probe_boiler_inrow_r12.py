@@ -133,6 +133,9 @@ def build(spark: SparkSession, sf_dir: str, variant: str) -> DataFrame:
 
 
 def main() -> None:
+    if len(sys.argv) < 2 or sys.argv[1] not in ("shipped", "inrow"):
+        print(f"Run: python {sys.argv[0]} {{shipped|inrow}} [sf_dir]")
+        raise SystemExit(2)
     variant = sys.argv[1]
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     from ushas_spark.session import get_spark

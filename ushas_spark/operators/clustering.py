@@ -588,6 +588,55 @@ def _pca_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(xs.alias("xs"))
 
 
+def _pca_moment_batches(batches, D: int = PCA_DIM):
+    """Per-task exact-integer moment partials (the mapInPandas body).
+
+    Module-level (not a closure) so the overflow guard is unit-testable
+    WITHOUT a Spark job: a deliberately-crashed Python task kills the
+    session's reused workers and flakes the next test's job (observed:
+    ClosedSelectorException in the suite), so the guard tests feed this
+    generator pandas frames directly."""
+    import numpy as np
+    import pandas as pd
+
+    iu, ju = np.triu_indices(D)
+    G = np.zeros((D, D), dtype=np.int64)
+    m = np.zeros(D, dtype=np.int64)
+    n = 0
+    max_abs = 0
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        X = np.array(pdf["xs"].tolist(), dtype=np.int64)
+        # Overflow guard (r13, VERDICT r12 item 7): numpy int64 WRAPS
+        # where ANSI Spark throws. |G_ij| <= n * max|x|^2 over this
+        # task's rows; checked in unbounded Python ints BEFORE the
+        # accumulate, so the Arrow path fails as loudly as the JVM
+        # twin would instead of going silently wrong. (The cross-task
+        # combine is a Spark ANSI SUM, which throws on overflow by
+        # itself.) Remedy at scale: drop PCA_SCALE — see the operator
+        # docstring's overflow-budget table.
+        max_abs = max(max_abs, int(np.abs(X).max(initial=0)))
+        n += len(X)
+        if max_abs and n * max_abs * max_abs >= 2 ** 63:
+            raise OverflowError(
+                "PCA moment accumulation would exceed int64: "
+                f"{n} rows with max|x|={max_abs} in one task "
+                f"(bound n*max^2 = {n * max_abs * max_abs} >= 2^63). "
+                "Reduce PCA_SCALE (see sim_pca_power_iteration's "
+                "overflow budget) before running at this scale."
+            )
+        G += X.T @ X
+        m += X.sum(axis=0)
+    yield pd.DataFrame(
+        {
+            "i": np.concatenate([iu, np.arange(D), [-1]]),
+            "j": np.concatenate([ju, np.full(D, -1), [-1]]),
+            "p": np.concatenate([G[iu, ju], m, [n]]),
+        }
+    )
+
+
 def _pca_moments_arrow(rows: DataFrame):
     """One Arrow pass -> (upper-triangle cells, per-dim sums, count).
 
@@ -597,50 +646,7 @@ def _pca_moments_arrow(rows: DataFrame):
     per-dim sums, (-1, -1, n) the row count. The aggregate is
     materialized because all three readouts (referenced 4x downstream)
     must not re-run the corpus pass."""
-    import numpy as np
-    import pandas as pd
-
-    D = PCA_DIM
-
-    def moments(batches):
-        iu, ju = np.triu_indices(D)
-        G = np.zeros((D, D), dtype=np.int64)
-        m = np.zeros(D, dtype=np.int64)
-        n = 0
-        max_abs = 0
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.array(pdf["xs"].tolist(), dtype=np.int64)
-            # Overflow guard (r13, VERDICT r12 item 7): numpy int64
-            # WRAPS where ANSI Spark throws. |G_ij| <= n * max|x|^2
-            # over this task's rows; checked in unbounded Python ints
-            # BEFORE the accumulate, so the Arrow path fails as loudly
-            # as the JVM twin would instead of going silently wrong.
-            # (The cross-task combine is a Spark ANSI SUM, which throws
-            # on overflow by itself.) Remedy at scale: drop PCA_SCALE —
-            # see the operator docstring's overflow-budget table.
-            max_abs = max(max_abs, int(np.abs(X).max(initial=0)))
-            n += len(X)
-            if max_abs and n * max_abs * max_abs >= 2 ** 63:
-                raise OverflowError(
-                    "PCA moment accumulation would exceed int64: "
-                    f"{n} rows with max|x|={max_abs} in one task "
-                    f"(bound n*max^2 = {n * max_abs * max_abs} >= 2^63). "
-                    "Reduce PCA_SCALE (see sim_pca_power_iteration's "
-                    "overflow budget) before running at this scale."
-                )
-            G += X.T @ X
-            m += X.sum(axis=0)
-        yield pd.DataFrame(
-            {
-                "i": np.concatenate([iu, np.arange(D), [-1]]),
-                "j": np.concatenate([ju, np.full(D, -1), [-1]]),
-                "p": np.concatenate([G[iu, ju], m, [n]]),
-            }
-        )
-
-    part = rows.mapInPandas(moments, "i long, j long, p long")
+    part = rows.mapInPandas(_pca_moment_batches, "i long, j long, p long")
     agg = materialize(part.groupBy("i", "j").agg(F.sum("p").alias("s")))
     upper = agg.filter((F.col("i") >= 0) & (F.col("j") >= 0))
     mu = agg.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(
