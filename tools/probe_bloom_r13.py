@@ -279,8 +279,64 @@ def bloom_threejoinmat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _final(agg)
 
 
+def bloom_r12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-r13 shipped formulation, frozen here verbatim after the
+    restructure landed so the comparison stays reproducible (probe runs
+    before the ship used `shipped` = this shape)."""
+    hashed = _hashed(spark, sf_dir, with_pos=False)
+    ev = hashed.filter(F.col("doc_id") % _DECONTAM_EVAL_MOD == 0)
+    words = _words(ev)
+    tr = hashed.filter(F.col("doc_id") % _DECONTAM_EVAL_MOD != 0)
+    probe = (
+        tr.select(
+            "doc_id",
+            "ng",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(BLOOM_HASHES - 1)),
+                    lambda i: (F.col("h1") + i * F.col("h2")) % BLOOM_BITS,
+                )
+            ).alias("bit"),
+        )
+        .join(F.broadcast(words), F.expr("bit div 62") == F.col("w"), "left")
+        .select(
+            "doc_id",
+            "ng",
+            (
+                F.coalesce(F.col("mask"), F.lit(0)).bitwiseAND(
+                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 62 AS INT))")
+                )
+                != 0
+            )
+            .cast("long")
+            .alias("hit_i"),
+        )
+        .groupBy("doc_id", "ng")
+        .agg(F.min("hit_i").alias("hit"))
+    )
+    truth = (
+        hashed.filter(F.col("doc_id") % _DECONTAM_EVAL_MOD == 0)
+        .select("ng")
+        .distinct()
+        .withColumn("is_true", F.lit(1))
+    )
+    agg = (
+        probe.join(F.broadcast(truth), "ng", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("hit").alias("n_bloom_candidates"),
+            F.sum(F.coalesce(F.col("is_true"), F.lit(0))).alias(
+                "n_true_contaminated"
+            ),
+        )
+    )
+    return _final(agg)
+
+
 VARIANTS = {
     "shipped": pipeline_bloom_prefilter,
+    "r12": bloom_r12,
     "mat": bloom_mat,
     "narrowmat": bloom_narrowmat,
     "threejoinmat": bloom_threejoinmat,

@@ -200,6 +200,13 @@ def graph_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- deterministic random walks (node2vec-style corpus sampling) ----------
 WALK_LEN = 3
 START_MOD = 10  # walkers start from customers with custkey % 10 == 0
+# Regime gate (r13, tools/probe_walks_r13.py; same parquet-metadata
+# customer-count proxy as HITS/PAGERANK_BROADCAST_MAX_V): below it the
+# walk table (|customers|/START_MOD rows) is explicitly broadcast per
+# hop and the per-src adjacency is array-packed; past it (|walkers| and
+# hub degrees are linear in the corpus) the r10 merge shape runs
+# byte-unchanged.
+WALKS_BROADCAST_MAX_V = 10_000_000
 
 
 def random_walks(spark: SparkSession, sf_dir: str, length: int = WALK_LEN) -> DataFrame:
@@ -209,11 +216,89 @@ def random_walks(spark: SparkSession, sf_dir: str, length: int = WALK_LEN) -> Da
     (DeepWalk / node2vec): from each start node, repeatedly hop to the
     neighbor minimizing md5(walker || step || neighbor) -- a
     deterministic stand-in for a seeded RNG that both engines compute
-    identically, so whole walks are oracle-gated. Each hop is one join
-    on the current node against the materialized edge table plus one
-    per-walker argmin (min over (hash, dst) structs, map-side
-    combinable); the walk table stays |walkers| rows end to end.
+    identically, so whole walks are oracle-gated.
+
+    Size-gated regimes (r13 probe, tools/probe_walks_r13.py; regimes
+    bit-identical, twin pinned in tests/test_graph_hits_regimes.py):
+
+    - adjacency regime (|V_cust| <= WALKS_BROADCAST_MAX_V): the edge
+      table folds ONCE into a |V|-row (src, nbrs array) adjacency
+      (grams are distinct by _edges construction, so no distinct pass)
+      and each hop is one broadcast join of the |walkers|-row walk
+      table against it plus an IN-ROW argmin
+      array_min(transform(nbrs, d -> struct(md5, d))) -- the per-hop
+      |E|-scan, the candidate fan-out through the join, the
+      groupBy(walker) exchange and the F.first prefix-carrying all
+      disappear (md5-per-candidate count is unchanged: the oracle's
+      semantics). WON all four interleaved isolated sf0.1 pairings
+      (2.44/2.42/2.14/2.30 vs 4.88/2.72/3.13/3.14 s best-of-3),
+      hash-identical at sf0.001/0.01/0.1. The UNHINTED adjacency
+      variant measured a decisive LOSS (8.95/6.61 s -- the per-hop
+      join of two stat-less checkpointed tables plans SMJ with both
+      sides exchanged): the explicit broadcast is load-bearing, same
+      lesson as the r12 HITS probe.
+    - merge regime (the 100 TB shape): the r10 formulation
+      byte-unchanged -- per hop one join against the src-pinned |E|
+      table + one map-side-combinable per-walker argmin. Also probed
+      r13 and NOT shipped: dropping this regime's edges.distinct()
+      (provably redundant -- _edges dedups the pair set and the
+      fwd/rev id ranges are disjoint) measured a WASH on wall in both
+      pairings (4.98/2.99 vs 4.88/2.72), so the driver-green
+      formulation stays byte-identical.
     """
+    small_v = (
+        load_table(spark, sf_dir, "customer").count()
+        <= WALKS_BROADCAST_MAX_V
+    )
+    if small_v:
+        return _random_walks_adjacency(spark, sf_dir, length)
+    return _random_walks_merge(spark, sf_dir, length)
+
+
+def _random_walks_adjacency(
+    spark: SparkSession, sf_dir: str, length: int = WALK_LEN
+) -> DataFrame:
+    """Small-V regime: array-packed adjacency + broadcast walk table +
+    in-row argmin. No pin: edges feed exactly one consumer (the
+    adjacency fold), so the groupBy's own exchange does the
+    partitioning work and the checkpoint truncates the loop's plan."""
+    adj = materialize(
+        _edges(spark, sf_dir)
+        .groupBy("src")
+        .agg(F.collect_list("dst").alias("nbrs"))
+    )
+    walks = adj.select(F.col("src").alias("n0")).where(
+        (F.col("n0") < 1_000_000_000) & (F.col("n0") % START_MOD == 0)
+    )
+    cur = "n0"
+    for t in range(1, length + 1):
+        w = walks.hint("broadcast")
+        argmin = F.array_min(
+            F.transform(
+                F.col("nbrs"),
+                lambda d: F.struct(
+                    F.md5(
+                        F.concat_ws("|", F.col("n0"), F.lit(t), d)
+                    ).alias("h"),
+                    d.alias("dst"),
+                ),
+            )
+        )
+        walks = w.join(adj, w[cur] == adj.src).select(
+            *[w[c] for c in walks.columns], argmin["dst"].alias(f"n{t}")
+        )
+        cur = f"n{t}"
+    return walks.orderBy("n0")
+
+
+def _random_walks_merge(
+    spark: SparkSession, sf_dir: str, length: int = WALK_LEN
+) -> DataFrame:
+    """Big-V regime: the r10 driver-green formulation, byte-unchanged.
+    Each hop is one join on the current node against the pinned edge
+    table plus one per-walker argmin (min over (hash, dst) structs,
+    map-side combinable); the walk table stays |walkers| rows end to
+    end."""
     edges = pin_partitioned(_edges(spark, sf_dir).distinct(), "src")
     starts = (
         edges.select(F.col("src").alias("n0"))
@@ -932,7 +1017,99 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical per-round cost to global PageRank (one
     ranks ⋈ pre-partitioned-edges join + one groupBy); the seed set
     is a broadcast membership join. Zero-rank nodes (unreached within
-    the walk horizon) are filtered before the top slice."""
+    the walk horizon) are filtered before the top slice.
+
+    Size-gated regimes (r13 probe, tools/probe_ppr_r13.py; regimes
+    bit-identical, twin pinned in tests/test_graph_hits_regimes.py).
+    The r12 broadcast transfer lost BECAUSE the per-round seed
+    left-join + crossJoin rescale nested inside each round's broadcast
+    child; the r13 fix removes the join at its root: seeds is defined
+    as exactly the V-nodes below PPR_SEED_CAP and every aggregated
+    node is in V (dst of the symmetric edge list), so the oracle's
+    ``sd.node IS NOT NULL`` ⟺ ``node < PPR_SEED_CAP`` -- a WHEN
+    predicate, provably row-identical. With the join gone, the
+    broadcast regime (edges pinned on DST = the groupBy key, ranks
+    explicitly broadcast per round, same gate constant as global
+    PageRank) WON all four interleaved isolated sf0.1 pairings
+    (4.36/4.26/3.54/3.72 vs 5.21/4.87/4.69/4.80 s best-of-3),
+    hash-identical at sf0.001/0.01/0.1. The verdict's literal
+    materialize-hoist arm (join kept, round aggregate checkpointed
+    before the rescale) measured consistently BEHIND the predicate
+    shape (3.77 vs 3.02 s at sf0.01) and is recorded in the probe.
+    The predicate-on-merge-shape arm split its pairings (won 4.43 vs
+    5.21, lost 5.21 vs 4.87), so past the gate the r04-r12
+    driver-green join-based merge formulation stays byte-unchanged."""
+    small_v = (
+        load_table(spark, sf_dir, "customer").count()
+        <= PAGERANK_BROADCAST_MAX_V
+    )
+    if small_v:
+        return _ppr_broadcast_pred(spark, sf_dir)
+    return _ppr_merge(spark, sf_dir)
+
+
+def _ppr_broadcast_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-V regime: seed WHEN-predicate + dst-pinned edges + explicit
+    per-round ranks broadcast (zero planned exchanges per round)."""
+    edges = _edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ewd = pin_partitioned(edges.join(deg, "src"), "dst")
+    nodes = ewd.groupBy("src").agg(F.first("deg")).select(
+        F.col("src").alias("node")
+    )
+    n_seeds = materialize(
+        nodes.filter(F.col("node") < PPR_SEED_CAP).agg(
+            F.count(F.lit(1)).alias("ns")
+        )
+    )
+    is_seed = F.col("node") < PPR_SEED_CAP
+    ranks = nodes.crossJoin(F.broadcast(n_seeds)).select(
+        "node",
+        F.when(is_seed, F.lit(1.0) / F.col("ns").cast("double"))
+        .otherwise(0.0)
+        .alias("rank"),
+        "ns",
+    )
+    for _ in range(ITERS):
+        r = ranks.hint("broadcast")
+        contrib = r.join(ewd, r.node == ewd.src).select(
+            F.col("dst").alias("node"),
+            F.round((F.col("rank") / F.col("deg").cast("double")) * RANK_SCALE)
+            .cast("long")
+            .alias("c"),
+        )
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("sc"))
+        ranks = summed.crossJoin(F.broadcast(n_seeds)).select(
+            "node",
+            (
+                F.when(
+                    is_seed, F.lit(1.0 - DAMPING) / F.col("ns").cast("double")
+                ).otherwise(0.0)
+                + F.lit(DAMPING)
+                * (F.col("sc").cast("double") / F.lit(float(RANK_SCALE)))
+            ).alias("rank"),
+            "ns",
+        )
+    return (
+        ranks.select(
+            "node",
+            F.round(F.col("rank") * RANK_SCALE).cast("long").alias(
+                "rank_x1e9"
+            ),
+            F.when(F.col("node") >= 1_000_000_000, "supplier")
+            .otherwise("customer")
+            .alias("node_type"),
+        )
+        .filter(F.col("rank_x1e9") > 0)
+        .orderBy(F.col("rank_x1e9").desc(), "node")
+        .limit(TOP_N)
+    )
+
+
+def _ppr_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-V regime: the r04-r12 driver-green formulation,
+    byte-unchanged (seed membership as a broadcast left join, edges
+    pinned on SRC, unhinted per-round join)."""
     edges = _edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # Pinned (not checkpointed) edge table: InMemoryRelation preserves

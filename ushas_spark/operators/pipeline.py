@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ushas_spark.durability import materialize
 from ushas_spark.io import load_table
 from ushas_spark.operators.dedup import hash60, sql_hash60
 from ushas_spark.registry import query
@@ -1617,7 +1618,39 @@ def pipeline_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Engine-exact by construction: bit positions come from the md5-based
     hash60 (identical in DuckDB), double hashing h1 + i*h2 is integer
     arithmetic, and both engines fold bits with two's-complement BIGINT
-    shifts and BIT_OR."""
+    shifts and BIT_OR.
+
+    r13 restructure (tools/probe_bloom_r13.py), two changes, both
+    provably value-identical:
+
+    - ``hashed`` (documents scan -> 3-gram zip_with -> explode -> TWO
+      md5-based hash60 evaluations per gram) was referenced three times
+      (words build, probe side, truth) and therefore evaluated three
+      times; it is now ``materialize``d once -- the same per-invocation
+      scan-reuse transfer as the r12 k-means/semdedup/PCA ships, and it
+      freezes h1/h2 so no downstream shape can re-evaluate md5.
+    - The probe no longer explodes 3 bit rows per gram and re-groups by
+      (doc_id, ng): each of the BLOOM_HASHES probes joins the 67-row
+      broadcast words table directly (real hash relations -- unlike the
+      r12 probe-#9 one-row-map arm whose map_contains_key linear scan
+      lost) and the hit is an in-row AND; the per-gram truth join moves
+      BEFORE the probe, so the full-width gram strings never enter any
+      exchange and the (doc_id, ng) min-agg exchange disappears
+      entirely (planned shuffles 5 -> 4, probe-side fan-out 3x -> 1x).
+      Identity: (doc, ng) pairs are unique pre-explode (per-doc
+      array_distinct), so COUNT over gram rows == COUNT over the old
+      (doc_id, ng) groups and MIN over the 3 exploded bit-tests == the
+      in-row AND of the same 3 tests.
+
+    WON all four interleaved isolated sf0.1 pairings
+    (1.97/1.97/1.96/2.00 vs 3.17/2.30/2.48/2.64 s best-of-3),
+    hash-identical at sf0.001/0.01/0.1; at sf0.01 the shape pays fixed
+    checkpoint/stage overhead and measured a small loss (3.41 vs
+    1.24 s) -- the removed costs (triple gram-subtree evaluation, 3x
+    probe fan-out, gram-string exchange) are all linear in the corpus,
+    the added ones are per-query constants. No new regime gate: every
+    broadcast here is either constant-size (words: BLOOM_BITS/62 rows)
+    or already broadcast in the prior shape (truth)."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), r"\s+")
     n = F.size(toks)
@@ -1635,13 +1668,16 @@ def pipeline_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    hashed = d.select("doc_id", F.explode(ngs).alias("ng")).select(
-        "doc_id",
-        "ng",
-        (hash60(F.col("ng")) % BLOOM_BITS).alias("h1"),
-        (F.lit(1) + hash60(F.concat(F.col("ng"), F.lit("|"))) % (BLOOM_BITS - 1)).alias(
-            "h2"
-        ),
+    hashed = materialize(
+        d.select("doc_id", F.explode(ngs).alias("ng")).select(
+            "doc_id",
+            "ng",
+            (hash60(F.col("ng")) % BLOOM_BITS).alias("h1"),
+            (
+                F.lit(1)
+                + hash60(F.concat(F.col("ng"), F.lit("|"))) % (BLOOM_BITS - 1)
+            ).alias("h2"),
+        )
     )
     ev = hashed.filter(F.col("doc_id") % _DECONTAM_EVAL_MOD == 0)
     bits = (
@@ -1655,54 +1691,56 @@ def pipeline_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    words = bits.groupBy(F.expr("bit div 62").alias("w")).agg(
-        F.bit_or(
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 62 AS INT))")
-        ).alias("mask")
-    )
-    tr = hashed.filter(F.col("doc_id") % _DECONTAM_EVAL_MOD != 0)
-    probe = (
-        tr.select(
-            "doc_id",
-            "ng",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(BLOOM_HASHES - 1)),
-                    lambda i: (F.col("h1") + i * F.col("h2")) % BLOOM_BITS,
-                )
-            ).alias("bit"),
+    # Materialized because BLOOM_HASHES broadcast instances reference
+    # it and ReuseExchange does not dedupe identical subtrees across
+    # broadcast boundaries (r08 lesson; first cut of this shape
+    # re-planned the bits.distinct + BIT_OR build once per probe join).
+    words = materialize(
+        bits.groupBy(F.expr("bit div 62").alias("w")).agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 62 AS INT))")
+            ).alias("mask")
         )
-        .join(F.broadcast(words), F.expr("bit div 62") == F.col("w"), "left")
+    )
+    truth = ev.select("ng").distinct().withColumn("is_true", F.lit(1))
+    cur = (
+        hashed.filter(F.col("doc_id") % _DECONTAM_EVAL_MOD != 0)
+        .join(F.broadcast(truth), "ng", "left")
         .select(
             "doc_id",
-            "ng",
-            (
-                F.coalesce(F.col("mask"), F.lit(0)).bitwiseAND(
-                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 62 AS INT))")
-                )
-                != 0
-            )
-            .cast("long")
-            .alias("hit_i"),
+            "h1",
+            "h2",
+            F.coalesce(F.col("is_true"), F.lit(0)).alias("it"),
         )
-        .groupBy("doc_id", "ng")
-        .agg(F.min("hit_i").alias("hit"))
     )
-    truth = (
-        hashed.filter(F.col("doc_id") % _DECONTAM_EVAL_MOD == 0)
-        .select("ng")
-        .distinct()
-        .withColumn("is_true", F.lit(1))
-    )
+    tests = []
+    for i in range(BLOOM_HASHES):
+        wi = words.select(
+            F.col("w").alias(f"w{i}"), F.col("mask").alias(f"mask{i}")
+        )
+        cur = cur.withColumn(
+            f"b{i}", (F.col("h1") + F.lit(i) * F.col("h2")) % BLOOM_BITS
+        ).join(
+            F.broadcast(wi),
+            F.expr(f"b{i} div 62") == F.col(f"w{i}"),
+            "left",
+        )
+        tests.append(
+            F.coalesce(F.col(f"mask{i}"), F.lit(0)).bitwiseAND(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(b{i} % 62 AS INT))")
+            )
+            != 0
+        )
+    hit = tests[0]
+    for t in tests[1:]:
+        hit = hit & t
     return (
-        probe.join(F.broadcast(truth), "ng", "left")
+        cur.select("doc_id", "it", hit.cast("long").alias("hit"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
             F.sum("hit").alias("n_bloom_candidates"),
-            F.sum(F.coalesce(F.col("is_true"), F.lit(0))).alias(
-                "n_true_contaminated"
-            ),
+            F.sum("it").alias("n_true_contaminated"),
         )
         .select(
             "doc_id",

@@ -252,6 +252,67 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # corpus). Oriented-adjacency es-join left co-partitioned (zero
 # exchange already; only the final-fragment sort remains -- not worth
 # a fourth broadcast without pairing evidence).
+# POSITIVE r13 probe #1 (tools/probe_walks_r13.py):
+# graph_random_walks size-gated adjacency regime. Below
+# WALKS_BROADCAST_MAX_V (parquet-metadata customer count, the
+# HITS/PAGERANK proxy) the edge list folds ONCE into a |V|-row
+# (src, nbrs array) adjacency and each hop is one EXPLICIT-broadcast
+# join of the walk table + an in-row argmin
+# array_min(transform(nbrs, d -> struct(md5, d))) -- per-hop |E|-scan,
+# candidate fan-out, groupBy(walker) exchange and F.first
+# prefix-carrying all gone (audited totals 9 -> 4 shuffles, SMJ
+# 3 -> 0, plans/r13/graph_random_walks_*). WON all four interleaved
+# isolated sf0.1 pairings (2.44/2.42/2.14/2.30 vs 4.88/2.72/3.13/3.14
+# s best-of-3), hash-identical at three SFs. TWO companion negatives:
+# the UNHINTED adjacency join is a decisive LOSS (8.95/6.61 s -- two
+# stat-less checkpointed tables plan SMJ both-sides-exchanged per hop;
+# the explicit broadcast is load-bearing, the r12 HITS lesson again),
+# and dropping the merge regime's provably-redundant edges.distinct()
+# measured a WASH (4.98/2.99 vs 4.88/2.72) so the driver-green merge
+# shape stays byte-identical past the gate. Twin + plan pin:
+# tests/test_r13_regimes.py.
+# POSITIVE r13 probe #2 (tools/probe_ppr_r13.py):
+# graph_personalized_pagerank broadcast regime UNBLOCKED by removing
+# the per-round seed join at its root: seeds == exactly the V-nodes
+# below PPR_SEED_CAP and every aggregated node is in V, so the
+# oracle's "sd.node IS NOT NULL" is PROVABLY "node < PPR_SEED_CAP" --
+# a WHEN predicate. With the join gone the r12-negative transfer
+# (edges pinned on DST, ranks explicitly broadcast per round) WINS:
+# all four interleaved isolated sf0.1 pairings (4.36/4.26/3.54/3.72
+# vs 5.21/4.87/4.69/4.80 s best-of-3), hash-identical at three SFs;
+# audited SMJ 4 -> 1, final-fragment shuffles 3 -> 1 (rounds plan
+# ZERO exchanges; plans/r13/graph_personalized_pagerank_*). The
+# verdict-suggested materialize-hoist arm (join kept, round aggregate
+# checkpointed before the rescale) ran consistently BEHIND the
+# predicate shape (3.77 vs 3.02 s sf0.01) -- recorded, not shipped;
+# the predicate-on-merge-shape arm SPLIT its pairings (4.43 vs 5.21
+# won, 5.21 vs 4.87 lost), so past the gate the r04-r12 driver-green
+# join-based merge formulation stays byte-unchanged. Twin + plan pin:
+# tests/test_r13_regimes.py.
+# POSITIVE r13 probe #3 (tools/probe_bloom_r13.py):
+# pipeline_bloom_prefilter. (a) the gram table (documents scan ->
+# 3-gram zip_with -> explode -> TWO md5 hash60s per gram) was
+# referenced 3x (words, probe, truth) and evaluated 3x -- materialized
+# once (the r12 scan-reuse transfer; also freezes h1/h2 against md5
+# re-evaluation, the probe-#9 failure cause). (b) the probe-side
+# 3-bit explode + (doc_id, ng)-STRING min-agg exchange replaced by
+# BLOOM_HASHES broadcast joins against the 67-row words table (real
+# hash relations, NOT the probe-#9 one-row map whose linear scan
+# lost) + in-row AND, with the truth join hoisted before the probe so
+# gram strings never enter any exchange. Audited 5 -> 4 shuffles,
+# documents scans 3 -> 1, probe fan-out 3x -> 1x
+# (plans/r13/pipeline_bloom_prefilter_*). WON all four interleaved
+# isolated sf0.1 pairings as the probe arm (1.97/1.97/1.96/2.00 vs
+# 3.17/2.30/2.48/2.64 s) and 2/2 as the shipped shape vs the frozen
+# r12 formulation (2.44/2.36 vs 2.93/2.80). words is ALSO
+# materialized: ReuseExchange does not dedupe across broadcast
+# boundaries (r08), so the first cut re-planned the bits+BIT_OR build
+# once per probe join; the materialize is a wall WASH at sf0.1 (split
+# pairings 2.65/2.26 vs 2.57/2.51) but executes the corpus-linear ev
+# explode once instead of 3x [guide §2.1]. Known cost: at sf0.01 the
+# shape pays fixed checkpoint/stage overhead (3.41 vs 1.24 s); every
+# removed cost is corpus-linear, every added one is a per-query
+# constant. Plan pin: tests/test_r13_regimes.py.
 # POSITIVE r12 probe #8 (continuation session 3, tools/
 # probe_ngrams_r12.py): two provably-redundant distincts removed from
 # the n-gram operators. (a) text_boilerplate_ngrams: a (gram, doc)
